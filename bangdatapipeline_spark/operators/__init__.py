@@ -1,0 +1,5 @@
+"""Operator modules. Importing this package registers every query."""
+
+from bangdatapipeline_spark.operators import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,59 @@
+"""SparkSession configuration.
+
+Two entry paths:
+  * ``get_spark()`` — build a session for local tests / bench.
+  * ``configure_session(spark)`` — apply the required runtime-settable
+    configs to an EXISTING session (the driver constructs its own session,
+    so every config we depend on must be settable at runtime; all of the
+    ones below are, verified on PySpark 4.1.2).
+
+Required configs and why (SURVEY.md §1.2/§4.3):
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table is
+    parquet TIMESTAMP(NANOS) which Spark 4 cannot read otherwise
+    ([PARQUET_TYPE_ILLEGAL]). With the flag, ``ts`` arrives as bigint
+    nanoseconds and is normalized in tables.load_tables.
+  * ``spark.sql.session.timeZone=UTC`` — the DuckDB oracle compares naive
+    timestamps; UTC removes local-tz skew from timestamp<->ntz casts.
+  * ``spark.sql.shuffle.partitions`` — at test scale (<=600k rows) 200
+    default partitions are pure scheduling overhead; 32 matches cores.
+    At 100 TB this would instead be sized to ~128 MB per post-shuffle
+    partition (or left to AQE coalescing, which stays enabled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs required by the engine to any session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # AQE is on by default in Spark 4; keep it that way (runtime coalescing,
+    # skew-join splitting — both essential at scale, harmless locally).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def get_spark(app_name: str = "bangdatapipeline_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) a local session with the engine's configs."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure_session(spark)

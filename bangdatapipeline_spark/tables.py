@@ -1,0 +1,69 @@
+"""Canonical table loader.
+
+The reference (a pandas ETL client) fetches nested JSON from a REST API,
+caches it, and flattens to DataFrames. Our engine's canonical store is
+parquet (the driver's testdata), read declaratively so Catalyst gets
+predicate pushdown + column pruning on the scan for free.
+
+Scale notes (100 TB posture):
+  * Each table is a plain ``spark.read.parquet`` — on a cluster the same
+    call reads a partitioned directory layout; nothing here assumes a
+    single file.
+  * ``load_tables`` returns *lazy* DataFrames; no materialization happens
+    at load time, so the full pipeline stays one Catalyst plan.
+  * The ``events.ts`` nanos normalization is a projection (cast), which
+    Spark pushes below nothing but also costs nothing — it stays inside
+    whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bangdatapipeline_spark.session import configure_session
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, normalizing the events nanos timestamp.
+
+    ``events.parquet`` is TIMESTAMP(NANOS): with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it reads as bigint ns;
+    ``timestamp_micros(ts div 1000)`` truncates ns->us exactly the way
+    DuckDB reads the same file (verified equal at the microsecond), and the
+    cast to timestamp_ntz (under a UTC session tz) makes it comparable with
+    DuckDB's naive TIMESTAMP.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables as a dict of lazy DataFrames."""
+    configure_session(spark)
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views for spark.sql use."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

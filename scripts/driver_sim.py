@@ -1,0 +1,79 @@
+"""Simulate the driver's verify pass against __spark_entry__.py.
+
+Mimics the driver faithfully: builds its OWN SparkSession (none of the
+engine's configs pre-applied), imports __spark_entry__ through the public
+contract, runs t1 smoke (entry on sf0.001, rows>0) and t2 correctness
+(every queries() key at sf0.01 vs oracle_sql() via DuckDB, row-count +
+schema + order-insensitive value comparison).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Driver-like session: note NO nanosAsLong / timezone configs here —
+    # the contract must self-configure.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from bangdatapipeline_spark.registry import load_all
+    from tests.oracle import compare_query
+
+    t0 = time.time()
+    df = e.entry(spark)
+    rows = df.collect()
+    smoke_ok = len(rows) > 0
+    print(f"t1 smoke: rows={len(rows)} schema={df.schema.simpleString()} "
+          f"ok={smoke_ok} ({time.time()-t0:.1f}s)")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    registry = load_all()
+    results: dict[str, str] = {}
+    failed = []
+    for key in sorted(qs):
+        t0 = time.time()
+        try:
+            ok, msg = compare_query(spark, registry[key], sf_dir)
+        except Exception as ex:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(ex).__name__}: {ex}"
+        checked = "hash" if key in oracles else "rows-only"
+        results[key] = msg
+        status = "PASS" if ok else "FAIL"
+        print(f"t2 {status} [{checked}] {key}: {msg} ({time.time()-t0:.1f}s)")
+        if not ok:
+            failed.append(key)
+
+    n_hash = len(oracles)
+    n_total = len(qs)
+    print(json.dumps({
+        "smoke_ok": smoke_ok,
+        "queries": n_total,
+        "hash_checked": n_hash,
+        "rows_only": n_total - n_hash,
+        "failed": failed,
+    }))
+    return 0 if smoke_ok and not failed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bangdatapipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("BDP_TEST_SF_DIR", "/root/testdata/sf0.01")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("bdp-tests", cpus=os.environ.get("BDP_TEST_CPUS", "8"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
