@@ -2,4 +2,7 @@
 
 from bangdatapipeline_spark.operators import (  # noqa: F401
     aggregates,
+    joins,
+    relational,
+    setops,
 )

@@ -75,3 +75,163 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey)                        AS n_cust,
+       count(DISTINCT o_orderpriority)                  AS n_prio,
+       round(sum(DISTINCT round(o_totalprice, 0)), 2)   AS sum_dist_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) + SUM(DISTINCT). The inner round(...,0) makes
+    the distinct-sum a sum of integer-valued doubles, which is exact under
+    any addition order (both engines agree bit-for-bit)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.round(F.sum_distinct(F.round(F.col("o_totalprice"), 0)), 2).alias(
+            "sum_dist_price"
+        ),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approx sketch: not oracle-hashable; rows-only by design
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++). The 100 TB path for
+    cardinality estimation: constant memory per group vs the exact
+    count-distinct expand-shuffle. rsd=0.01 for tight estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+       round(var_samp(l_quantity), 4)                    AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(min(l_extendedprice), 2)                    AS min_price,
+       round(max(l_extendedprice), 2)                    AS max_price,
+       count(*)                                          AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+SELECT o_orderstatus, o_orderkey AS top_order, round(o_totalprice, 2) AS top_price
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a deterministic tie-break: max over a (price, orderkey)
+    struct — lexicographic struct ordering equals ORDER BY price DESC,
+    orderkey DESC pick-first, with no window shuffle (plain aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    top = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("t")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(top)
+        .select(
+            "o_orderstatus",
+            F.col("t.o_orderkey").alias("top_order"),
+            F.round(F.col("t.o_totalprice"), 2).alias("top_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_cube_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       count(*)                            AS n,
+       round(sum(l_quantity), 2)           AS qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (superset of ROLLUP / GROUPING SETS) with grouping()
+    disambiguation of real-NULL vs subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "g_rf",
+            "g_ls",
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 14
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING). The integer-count predicate avoids
+    float-boundary nondeterminism between engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 14)
+    )

@@ -1,0 +1,266 @@
+"""Join operators (SURVEY.md §2.3).
+
+Reference capability: pandas ``merge`` of survey/chat frames with
+user/team dimension frames. Here joins are declared and Catalyst + AQE
+pick the physical strategy: broadcast-hash when a side fits the
+threshold (region/nation/supplier always; customer at test scale),
+sort-merge otherwise, with AQE skew-splitting at runtime.
+
+Scale notes (100 TB):
+  * fact-fact joins (orders x lineitem) shuffle on the join key — both
+    sides are partitioned by orderkey, so bucketing both tables by
+    orderkey in the canonical store removes the shuffle entirely;
+  * dimension joins broadcast (no shuffle of the fact side at all);
+  * the as-of join is implemented as ONE window pass over a union —
+    O(n log n) per user partition, no pairwise blow-up — instead of the
+    naive theta-join + groupBy which is quadratic per user.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                      AS n_orders,
+       round(sum(o_totalprice), 2)   AS total_rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dimension inner equi-join + aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "join_left_right_full",
+    oracle="""
+WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+SELECT 'left'  AS side, count(*) AS n_rows, count(o_orderkey) AS n_matched
+FROM customer LEFT JOIN big ON o_custkey = c_custkey
+UNION ALL
+SELECT 'right' AS side, count(*) AS n_rows, count(c_custkey) AS n_matched
+FROM big RIGHT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'full'  AS side, count(*) AS n_rows, count(o_orderkey) AS n_matched
+FROM customer FULL JOIN big ON o_custkey = c_custkey
+""",
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left / right / full outer joins; the >400k filter guarantees
+    unmatched customers so outer semantics are actually exercised."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+
+    def side(name: str, df: DataFrame, matched_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("side"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(matched_col).alias("n_matched"),
+        ).select("side", "n_rows", "n_matched")
+
+    left = side("left", c.join(big, c.c_custkey == big.o_custkey, "left"), "o_orderkey")
+    right = side("right", big.join(c, big.o_custkey == c.c_custkey, "right"), "c_custkey")
+    full = side("full", c.join(big, c.c_custkey == big.o_custkey, "full"), "o_orderkey")
+    return left.unionByName(right).unionByName(full)
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+SELECT 'semi' AS kind, c_mktsegment, count(*) AS n
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'anti' AS kind, c_mktsegment, count(*) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi ("has an urgent order") and anti ("has none") joins. Spark's
+    left_semi/left_anti never materialize the right side's columns."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cond = c.c_custkey == urgent.o_custkey
+
+    def agg_side(kind: str, joined: DataFrame) -> DataFrame:
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(kind).alias("kind"), "c_mktsegment", "n")
+        )
+
+    semi = agg_side("semi", c.join(urgent, cond, "left_semi"))
+    anti = agg_side("anti", c.join(urgent, cond, "left_anti"))
+    return semi.unionByName(anti)
+
+
+@register(
+    "join_multiway",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table snowflake join. region/nation/supplier are
+    broadcast automatically; AQE reorders the rest. The local-supplier
+    predicate (s_nationkey = c_nationkey) makes it a genuine snowflake."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "orders", "lineitem", "supplier")}
+    return (
+        t["region"].filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT o_orderkey,
+       count(*)                       AS n_shipped_90d,
+       round(sum(l_extendedprice), 2) AS rev_90d
+FROM orders
+JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderkey
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join with an equi-conjunct: the equi key keeps it a
+    hash/sort-merge join with the band as a post-join filter (no
+    nested-loop blow-up); at scale this is the pattern to prefer over
+    pure theta joins."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_90d"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev_90d"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT p.event_id  AS purchase_id,
+       max(c.ts)   AS last_click_ts,
+       count(*)    AS n_prior_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user
+    at-or-before its timestamp (inner semantics: purchases with no prior
+    click are dropped, matching DuckDB ASOF JOIN semantics).
+
+    Implemented as a single window pass over the event stream ordered by
+    (ts, clicks-before-purchases-on-ties): O(n log n) per user and ONE
+    shuffle, versus the oracle's quadratic-per-user theta join. This is
+    the 100 TB-safe formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # On ts ties a click sorts before a purchase so `c.ts <= p.ts` holds.
+    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), tie, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("n_prior_clicks", F.count(click_ts).over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "last_click_ts",
+            "n_prior_clicks",
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name, (r_regionkey * 100 + n_nationkey) AS pair_code
+FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two dimensions (the kernel under exact kNN)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_code"),
+    )

@@ -1,0 +1,94 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.2).
+
+Reference capability: column selection/renaming/derived columns and row
+filtering (excluding test users, date ranges) done eagerly in pandas.
+Here each is a single declarative plan: Catalyst prunes columns down to
+the parquet scan (ReadSchema) and pushes every sargable predicate into
+the scan (PushedFilters) — at 100 TB these queries read only the row
+groups and columns they touch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+@register(
+    "project_rename",
+    oracle="""
+SELECT
+  c_custkey                       AS custkey,
+  upper(c_name)                   AS name_upper,
+  round(c_acctbal * 1.1, 3)     AS boosted_bal,
+  c_mktsegment                    AS segment
+FROM customer
+""",
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection, renaming, computed columns. Column pruning reaches
+    the scan: only 4 of 5 customer columns are read."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.round(F.col("c_acctbal") * 1.1, 3).alias("boosted_bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_totalprice BETWEEN 50000 AND 450000
+  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '%URGENT' OR o_orderpriority = '5-LOW')
+  AND o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+""",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates, IN-list, BETWEEN, LIKE, date
+    range. All predicates are sargable built-ins -> pushed to parquet."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(50000, 450000)
+        & (
+            F.col("o_orderpriority").like("1%")
+            | F.col("o_orderpriority").like("%URGENT")
+            | (F.col("o_orderpriority") == "5-LOW")
+        )
+        & (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-06-01 00:00:00'"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+SELECT
+  c_custkey,
+  nullif(c_mktsegment, 'BUILDING')                            AS seg_nulled,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)')        AS seg_filled,
+  (nullif(c_mktsegment, 'BUILDING') IS NULL)                  AS is_building
+FROM customer
+WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) > 1000
+""",
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic: a NULL-producing CASE inside a predicate drops
+    NULL rows (not just false ones); nullif/coalesce in the projection."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_nulled = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.filter(
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")) > 1000
+    ).select(
+        "c_custkey",
+        seg_nulled.alias("seg_nulled"),
+        F.coalesce(seg_nulled, F.lit("(none)")).alias("seg_filled"),
+        seg_nulled.isNull().alias("is_building"),
+    )

@@ -47,6 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cast to timestamp_ntz (under a UTC session tz) makes it comparable with
     DuckDB's naive TIMESTAMP.
     """
+    configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn(
@@ -57,7 +58,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all tables as a dict of lazy DataFrames."""
-    configure_session(spark)
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
