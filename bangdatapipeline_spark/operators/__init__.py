@@ -2,7 +2,10 @@
 
 from bangdatapipeline_spark.operators import (  # noqa: F401
     aggregates,
+    functions,
     joins,
     relational,
+    reshape,
     setops,
+    windows,
 )

@@ -1,0 +1,293 @@
+"""Scalar function families (SURVEY.md §2.8): string / date / math /
+conditional / array / map / JSON / hash.
+
+All built-in pyspark.sql.functions — JVM-side, inside whole-stage
+codegen; no Python UDFs anywhere in these paths. Where Spark and DuckDB
+spell a function differently (instr/strpos, weekday/isodow, log/ln) the
+two sides are validated to agree value-for-value.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+@register(
+    "str_funcs",
+    oracle=r"""
+SELECT p_partkey,
+       lower(p_name)                                   AS name_lo,
+       upper(p_brand)                                  AS brand_up,
+       substring(p_type, 1, 6)                         AS type6,
+       CAST(length(p_name) AS INT)                     AS name_len,
+       replace(p_type, ' ', '_')                       AS type_us,
+       regexp_extract(p_type, '^(\w+)', 1)             AS type_first,
+       regexp_replace(p_name, '[aeiou]', '', 'g')      AS name_novowel,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_pad,
+       concat_ws('-', p_brand, p_type)                 AS brand_type,
+       CAST(strpos(p_name, 'a') AS INT)                AS pos_a,
+       trim(concat('  ', p_brand, ' '))                AS brand_trim
+FROM part
+""",
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, length, replace, regexp extract /
+    replace, pad, concat, position, trim. Note DuckDB regexp_replace needs
+    the 'g' flag to match Spark's replace-all default."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lo"),
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_type", 1, 6).alias("type6"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.instr("p_name", "a").cast("int").alias("pos_a"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate)                               AS month_start,
+       CAST(year(o_orderdate)    AS INT)                              AS yr,
+       CAST(month(o_orderdate)   AS INT)                              AS mo,
+       CAST(day(o_orderdate)     AS INT)                              AS dom,
+       CAST(quarter(o_orderdate) AS INT)                              AS qtr,
+       CAST(isodow(o_orderdate)  AS INT)                              AS dow_iso,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)  AS d_since,
+       o_orderdate + INTERVAL 30 DAY                                  AS due_ts,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')      AS eom
+FROM orders
+WHERE o_orderkey < 5000
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, parts, ISO day-of-week (Spark weekday()+1
+    == DuckDB isodow), day difference, interval arithmetic, last_day."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow_iso"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("d_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.date_format(F.last_day(F.to_date("o_orderdate")), "yyyy-MM-dd").alias("eom"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                    AS price_r1,
+       CAST(floor(l_extendedprice) AS BIGINT)       AS price_floor,
+       CAST(ceil(l_extendedprice)  AS BIGINT)       AS price_ceil,
+       round(abs(l_discount - 0.05), 4)             AS disc_dev,
+       round(pow(l_quantity, 2), 2)                 AS qty_sq,
+       round(sqrt(l_quantity), 6)                   AS qty_sqrt,
+       round(ln(l_extendedprice), 6)                AS price_ln,
+       round(exp(l_discount), 6)                    AS disc_exp,
+       l_orderkey % 7                               AS mod7,
+       l_orderkey // 1000                           AS kdiv
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/floor/ceil/abs/pow/sqrt/ln/exp, modulo, integer
+    division. floor/ceil are cast to BIGINT on both sides (Spark returns
+    BIGINT natively, DuckDB DOUBLE)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.expr("l_orderkey div 1000").alias("kdiv"),
+    )
+
+
+@register(
+    "cond_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END                                   AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'open')          AS status2,
+       round(least(o_totalprice, 250000.0), 2)               AS capped,
+       round(greatest(o_totalprice, 50000.0), 2)             AS floored
+FROM orders
+""",
+)
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce, nullif, least/greatest."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status2"
+        ),
+        F.round(F.least("o_totalprice", F.lit(250000.0)), 2).alias("capped"),
+        F.round(F.greatest("o_totalprice", F.lit(50000.0)), 2).alias("floored"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT)                      AS n_tokens,
+       list_contains(string_split(text, ' '), 'data')                 AS has_data,
+       (string_split(text, ' '))[1:3]                                 AS head3,
+       list_sort((string_split(text, ' '))[1:5])                      AS head5_sorted,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT)       AS n_uniq
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family on tokenized text: size, contains, slice, sort,
+    distinct-count. All narrow ops — no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.slice(toks, 1, 3).alias("head3"),
+        F.sort_array(F.slice(toks, 1, 5)).alias("head5_sorted"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq"),
+    )
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)                                    AS dim,
+       round(list_inner_product(embedding, embedding), 4)             AS self_dot,
+       round(list_aggregate(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE)), 'sum'), 4)       AS sum_e,
+       round(list_aggregate(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * 2), 'max'), 6)   AS max_2e
+FROM embeddings
+""",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column: transform,
+    zip_with, aggregate (fold). This is the JVM-side dot-product kernel
+    the kNN operators build on — no Python, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("embedding"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(dot_self, 4).alias("self_dot"),
+        F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x), 4).alias("sum_e"),
+        F.round(
+            F.array_max(F.transform(F.col("embedding"), lambda x: x.cast("double") * 2)),
+            6,
+        ).alias("max_2e"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT)            AS k_val,
+       CAST(len(json_keys(props)) AS INT)                 AS n_keys,
+       array_to_string(json_keys(props), ',')             AS keys_csv
+FROM events
+WHERE event_id < 2000
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON -> typed map, key/value access: from_json to map<string,int>,
+    element access, cardinality, key listing."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+SELECT event_type,
+       count(*)                                                  AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 4)    AS avg_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction with typed cast, aggregated — the reference's
+    nested-JSON-document access pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "hash_funcs",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + sha256 (dedup keys). xxhash64 is the
+    cheaper Spark-side key at scale but has no DuckDB twin, so the
+    hash-checked query sticks to the portable pair."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.lower(F.sha2("text", 256)).alias("text_sha256"),
+    )

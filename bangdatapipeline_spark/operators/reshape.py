@@ -1,0 +1,111 @@
+"""Reshaping operators (SURVEY.md §2.9) — the reference's bread and
+butter: questions-as-rows -> one column per question (pivot), melts,
+duplicate-submission cleanup, nested-JSON flattening.
+
+Scale notes: pivot with an EXPLICIT value list is one hash aggregation
+(no extra pass to discover values — at 100 TB value discovery is a full
+scan); explode is a narrow transformation (no shuffle); exact dedup is a
+hash aggregate keyed on content hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*)                                        AS total
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with an explicit value list (single-pass hash agg;
+    never let Spark scan for distinct pivot values at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in EVENT_TYPES)
+    return pivoted.select("user_id", *cols, total.alias("total"))
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 500
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (Spark 4 native unpivot). Raw column passthrough:
+    values are bit-identical on both engines, no rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_md5, min(doc_id) AS first_doc, count(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group on full text, keep-first by doc_id.
+    Deterministic keeper (min doc_id), never dropDuplicates (its keeper is
+    partition-order-dependent). At 100 TB group on md5/xxhash of content
+    instead of raw text to shrink shuffle width — output keys by md5 here
+    for exactly that reason."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select(F.md5("text").alias("text_md5"), "first_doc", "n_copies")
+
+
+@register(
+    "explode_normalize",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(l))) - 1 AS INT) AS pos,
+       unnest(l) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 50)
+""",
+)
+def explode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-to-rows normalization: one document -> one row per token
+    with its position (the json_normalize / explode shape). posexplode is
+    a narrow op — no shuffle, scales linearly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
