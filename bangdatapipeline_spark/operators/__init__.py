@@ -4,6 +4,7 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     aggregates,
     functions,
     joins,
+    llm_text,
     relational,
     reshape,
     setops,

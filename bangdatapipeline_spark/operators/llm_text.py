@@ -1,0 +1,288 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.10).
+
+The reference is a pandas ETL client for experiment text (chat logs, free-text
+survey answers); these operators generalize its text handling to the scale a
+training-data pipeline needs: per-corpus stats, term frequencies, token
+counting, quality scoring, language ID, and content fingerprinting — all on
+the `documents` table.
+
+Scale posture (100 TB): every operator is a pure DataFrame pipeline —
+tokenize with built-in `split`/`explode` (JVM-side, whole-stage codegen),
+aggregate with map-side partial aggregation, never collect. The only
+shuffles are the groupBys on (lang) / (lang, token) / (doc pair); token is a
+high-cardinality well-distributed key, so no salting is needed. Language-ID
+profiles are tiny (|langs| × |vocab|) and broadcast automatically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+# non-alnum-non-space symbols (the GPT-2 pre-tokenizer family, simplified).
+TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a")
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.split("text", " "))
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)                                  AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)                              AS total_chars,
+       round(avg(n_chars), 4)                                    AS avg_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)         AS total_words,
+       round(avg(len(string_split(text, ' '))), 4)               AS avg_words
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc counts, char and word totals/averages."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("n_words", F.size("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+        )
+    )
+
+
+@register(
+    "text_tf",
+    oracle="""
+WITH tf AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), counted AS (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tf GROUP BY lang, token
+)
+SELECT lang, token, cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS INT) AS rk
+FROM counted
+QUALIFY rk <= 10
+""",
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency: top-10 tokens per language (count desc, token asc
+    tie-break so the top-k set is deterministic)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    counted = (
+        d.select("lang", F.explode("toks").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@register(
+    "text_tokens",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT)                  AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT)   AS re_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT)   AS uniq_tokens,
+       round((n_chars - len(string_split(text, ' ')) + 1.0)
+             / len(string_split(text, ' ')), 6)                   AS avg_tok_len
+FROM documents
+""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    pre-tokenizer — plus distinct-token count and mean token length."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    n_words = F.size("toks")
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+        .cast("int")
+        .alias("re_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("uniq_tokens"),
+        F.round((F.col("n_chars") - n_words + F.lit(1.0)) / n_words, 6).alias(
+            "avg_tok_len"
+        ),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id, lang, n_chars,
+           len(string_split(text, ' '))                          AS n_words,
+           len(list_distinct(string_split(text, ' ')))           AS n_uniq,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN {STOPWORDS!r}))             AS n_stop
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_words AS INT)                                      AS n_words,
+       round(CAST(n_uniq AS DOUBLE) / n_words, 6)                AS uniq_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6)                AS stop_ratio,
+       round((n_chars - n_words + 1.0) / n_words, 6)             AS avg_word_len,
+       CASE WHEN n_words BETWEEN 20 AND 90
+             AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+            THEN 'keep' ELSE 'drop' END                          AS quality
+FROM feats
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band, lexical diversity, stopword
+    ratio → keep/drop verdict (the filter stage of a pretraining pipeline)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    n_words = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(toks, t -> t IN ({stop_list}))"))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("int").alias("n_words"),
+        F.round(n_uniq.cast("double") / n_words, 6).alias("uniq_ratio"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stop_ratio"),
+        F.round((F.col("n_chars") - n_words + F.lit(1.0)) / n_words, 6).alias(
+            "avg_word_len"
+        ),
+        F.when(
+            n_words.between(20, 90) & (n_uniq.cast("double") / n_words >= 0.3),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+    SELECT DISTINCT tok FROM toks
+), langs AS (
+    SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY lang
+), grid AS (
+    SELECT l.lang, v.tok, l.n_docs FROM langs l CROSS JOIN vocab v
+), cnts AS (
+    SELECT lang, tok, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY lang, tok
+), profile AS (
+    SELECT g.lang, g.tok,
+           coalesce(c.cnt, 0) + 1.0 AS smoothed
+    FROM grid g LEFT JOIN cnts c ON g.lang = c.lang AND g.tok = c.tok
+), totals AS (
+    SELECT lang, sum(smoothed) AS tot FROM profile GROUP BY lang
+), scored AS (
+    SELECT t.doc_id, p.lang,
+           sum(ln(p.smoothed / tt.tot)) + any_value(ln(l.n_docs)) AS score
+    FROM toks t
+    JOIN profile p ON t.tok = p.tok
+    JOIN totals tt ON p.lang = tt.lang
+    JOIN langs l ON p.lang = l.lang
+    GROUP BY t.doc_id, p.lang
+)
+SELECT doc_id, lang AS pred_lang, round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by corpus-learned token profiles: a naive-Bayes unigram
+    classifier (Laplace-smoothed token likelihood per language + log prior),
+    argmax per document with a deterministic language tie-break.
+
+    Scale: the profile table is |langs| x |vocab| — tiny — and broadcasts
+    into the scoring join; the only big shuffle is the per-(doc, lang)
+    aggregation, keyed on doc_id (dense, unskewed).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.select("tok").distinct()
+    langs = d.groupBy("lang").agg(F.count("*").cast("double").alias("n_docs"))
+    grid = langs.crossJoin(vocab)
+    cnts = toks.groupBy("lang", "tok").agg(F.count("*").cast("double").alias("cnt"))
+    profile = grid.join(cnts, ["lang", "tok"], "left").select(
+        "lang", "tok", "n_docs", (F.coalesce("cnt", F.lit(0.0)) + 1.0).alias("smoothed")
+    )
+    totals = profile.groupBy("lang").agg(F.sum("smoothed").alias("tot"))
+    profile = profile.join(totals, "lang")
+    scored = (
+        toks.drop("lang")
+        .join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(F.log(F.col("smoothed") / F.col("tot")))
+                + F.any_value(F.log("n_docs"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), F.round("score", 6).alias("score"))
+    )
+
+
+# Portable rolling hash (both engines fold left-to-right over int64, so the
+# results are bit-identical): acc = (acc*31 + ascii(char)) mod (2^31 - 1).
+_HASH_MOD = 2147483647
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)),
+                                  i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {_HASH_MOD}) AS fp
+    FROM documents
+)
+SELECT doc_id, fp,
+       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count
+FROM fp
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: a polynomial rolling hash over the full text
+    (portable across engines — pure int64 arithmetic), plus the count of
+    documents sharing each fingerprint (exact-duplicate cluster size; sf0.1
+    contains 8 exact duplicate texts).
+
+    Scale: the hash is a per-row projection (no shuffle); the dup_count
+    window shuffles on fp, which is uniform by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), "
+            f"(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % {_HASH_MOD})"
+        ).alias("fp"),
+    )
+    return fp.withColumn(
+        "dup_count", F.count("*").over(Window.partitionBy("fp")).cast("bigint")
+    )

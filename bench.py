@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology mirrors BASELINE.md: one shared SparkSession for the whole run
+(amortizes the ~1-2 s local[*] job overhead), timing includes full
+materialization (`collect()`), 1 warm-up run then median of 3 timed runs
+per query. Budgets: <=2x the DuckDB-oracle numbers in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bangdatapipeline_spark.registry import load_all  # noqa: E402
+from bangdatapipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# BASELINE.md metric name -> registry key (same query shape at the same sf).
+# Keys not yet registered are skipped, so the bench degrades gracefully while
+# coverage is still widening.
+BENCH_QUERIES: list[tuple[str, str]] = [
+    ("q1_pricing_summary", "agg_groupby"),
+    ("q3_shipping_priority", "topk_limit"),
+    ("q5_region_revenue", "join_multiway"),
+    ("window_rank_orders", "win_rank"),
+    ("setops_segments", "setop_intersect_except"),
+    ("events_tumbling_1d", "stream_tumbling"),
+    ("events_sessionize_30m", "stream_session"),
+    ("events_json_extract", "json_funcs"),
+    ("doc_token_stats", "text_stats"),
+    ("doc_exact_dedup", "dedup_exact"),
+    ("emb_knn_top5", "knn_cosine_topk"),
+    ("asof_last_event_before_order", "join_asof"),
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    registry = load_all()
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for metric, key in BENCH_QUERIES:
+        q = registry.get(key)
+        if q is None:
+            continue
+        q.fn(spark, SF_DIR).collect()  # warm-up (also JIT + parquet footer cache)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[metric] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+if __name__ == "__main__":
+    main()
