@@ -2,11 +2,13 @@
 
 from bangdatapipeline_spark.operators import (  # noqa: F401
     aggregates,
+    dedup_near,
     functions,
     joins,
     llm_text,
     relational,
     reshape,
     setops,
+    similarity,
     windows,
 )

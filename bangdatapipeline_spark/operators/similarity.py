@@ -1,0 +1,319 @@
+"""Similarity search + embedding analytics (SURVEY.md §2.10).
+
+The reference (a pandas ETL client) has no vector operators; these are the
+mandated LLM-pipeline extensions: exact top-k cosine search, threshold
+self-join (embedding near-dup detection), per-label centroids carried
+through joins (multimodal columns), cluster purity, and an LSH-bucketed
+approximate-NN scale path.
+
+Numeric portability: DuckDB's ``list_inner_product`` accumulates in
+float32, so both sides instead compute the dot product as an explicit
+left-to-right fold over float→double casts — bit-identical across engines
+(verified), making the hash-checked oracles exact. Embeddings are
+unit-norm (FIXTURES.md), so dot == cosine.
+
+Scale posture (100 TB):
+  * exact kNN: the query side is small and broadcast; the corpus streams.
+    The only shuffle is the per-query top-k (keyed on q_id). Beyond
+    memory, switch to the LSH path (``knn_ann_lsh``) or block-matrix
+    multiply — documented, the bucketed variant is implemented below.
+  * threshold pairs: all-pairs is O(n²) by definition — the LSH bucket
+    join is the scale mitigation (candidates only within buckets).
+  * centroids/purity: per-dimension aggregation keyed on (label, dim) —
+    cardinality |labels|×dim, tiny; the centroid table broadcasts into
+    the rejoin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+N_QUERIES = 100  # query set = vec_id < 100 (matches BASELINE.md emb_knn_top5)
+TOP_K = 5
+PAIR_TAU = 0.3  # ~top 1% of pair sims at sf0.01 (max pair sim ≈ 0.51)
+
+
+def dot_double(a, b) -> Column:
+    """Left-to-right fold dot product in double precision.
+
+    Matches DuckDB's ``list_reduce(list_transform(...), (x,y)->x+y)`` fold
+    bit-for-bit: each float is cast to double before the multiply, and the
+    sum accumulates sequentially.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# DuckDB spelling of the same fold (bit-identical result).
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+), sims AS (
+    SELECT q.q_id, e.vec_id AS n_id,
+           {_duck_dot('q.q_emb', 'e.embedding')} AS sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, n_id, round(sim, 6) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
+FROM sims
+QUALIFY rn <= {TOP_K}
+""",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: each of the first 100 vectors queries
+    the full corpus; unit-norm vectors make dot product == cosine.
+
+    Plan shape: broadcast the 100-row query side into a nested-loop join
+    against the streamed corpus (no corpus shuffle), then one shuffle on
+    q_id for the per-query top-k window.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            dot_double(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+@register(
+    "knn_threshold_pairs",
+    oracle=f"""
+WITH sims AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
+           {_duck_dot('a.embedding', 'b.embedding')} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label_a, label_b, round(sim, 6) AS sim
+FROM sims WHERE sim >= {PAIR_TAU}
+""",
+)
+def knn_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: all vector pairs with cosine >= τ — the
+    embedding-cosine near-duplicate detector (pairs output; at a real dedup
+    τ≈0.95 the survivors would be dropped).
+
+    All-pairs is quadratic; this exact form is the correctness baseline and
+    the LSH bucket join (``knn_ann_lsh``) is the 100-TB candidate
+    generator.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot_double(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") >= PAIR_TAU)
+        .select("id_a", "id_b", "label_a", "label_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "multimodal_cols",
+    oracle="""
+WITH x AS (
+    SELECT d.lang, e.label,
+           unnest(generate_series(1, len(e.embedding))) - 1 AS dim,
+           unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS val
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+)
+SELECT lang, label, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(val), 6) AS centroid
+FROM x GROUP BY lang, label, dim
+""",
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: embeddings carried through a join with the text
+    table, then aggregated per (lang, label) into per-dimension centroids
+    (long form — one row per dimension, the oracle-friendly shape).
+
+    The join key (vec_id = doc_id) is a plain equi-join; the centroid agg
+    keys on (lang, label, dim) — bounded cardinality, map-side partials do
+    almost all the work.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = e.join(d, e.vec_id == d.doc_id)
+    x = j.select(
+        "lang", "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return x.groupBy("lang", "label", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+    )
+
+
+@register(
+    "label_purity",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, label,
+           unnest(generate_series(1, len(embedding))) AS dim,
+           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+    FROM embeddings
+), cent AS (
+    SELECT label, dim, avg(val) AS c FROM x GROUP BY label, dim
+), cn AS (
+    SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label
+), dots AS (
+    SELECT x.vec_id, x.label, sum(x.val * cent.c) AS dot
+    FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+    GROUP BY x.vec_id, x.label
+), cos AS (
+    SELECT d.label, d.vec_id, d.dot / cn.cnorm AS cos_c
+    FROM dots d JOIN cn ON d.label = cn.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(cos_c), 6) AS avg_cos,
+       round(stddev_samp(cos_c), 6) AS sd_cos,
+       round(min(cos_c), 6) AS min_cos,
+       round(max(cos_c), 6) AS max_cos
+FROM cos GROUP BY label
+""",
+)
+def label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity: cosine of every vector to its label centroid,
+    summarized per label (n, mean, stddev, min, max).
+
+    The centroid table is |labels|×dim rows — broadcast into the rejoin;
+    the only data-sized shuffle keys on (vec_id, label) for the
+    per-vector dot product.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = x.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    cn = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"))
+    dots = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    cos = dots.join(F.broadcast(cn), "label").select(
+        "label", "vec_id", (F.col("dot") / F.col("cnorm")).alias("cos_c")
+    )
+    return cos.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos_c"), 6).alias("avg_cos"),
+        F.round(F.stddev_samp("cos_c"), 6).alias("sd_cos"),
+        F.round(F.min("cos_c"), 6).alias("min_cos"),
+        F.round(F.max("cos_c"), 6).alias("max_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate NN — the 100-TB scale path. Random-hyperplane LSH with
+# deterministic hyperplanes (LCG-derived, reproducible across runs/engines).
+# Rows-only for the driver; tests/test_similarity.py checks candidate
+# correctness (reported sims are exact) and measures recall vs exact kNN.
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 8  # L hash tables ...
+LSH_BITS = 6  # ... of b sign-bits each: P(bucket match) = (1+cos)/2 ^ b per table
+EMB_DIM = 64
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483647
+
+
+def _hyperplane(table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-0.5, 0.5]^dim."""
+    out = []
+    for d in range(EMB_DIM):
+        x = (_LCG_A * ((table * LSH_BITS + bit) * EMB_DIM + d) + _LCG_C) % _LCG_M
+        out.append(x / _LCG_M - 0.5)
+    return out
+
+
+def _signature(emb: Column, table: int) -> Column:
+    """Bucket id for one hash table: b sign-bits packed into an int."""
+    acc = F.lit(0)
+    for bit in range(LSH_BITS):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(table, bit)])
+        acc = acc + F.when(dot_double(emb, plane) > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return acc
+
+
+@register("knn_ann_lsh", oracle=None)  # rows-only: approximate by design
+def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane LSH: vectors hash into
+    L×2^b buckets; candidates are corpus vectors sharing any bucket with the
+    query; candidates are exact-reranked and the top-k kept.
+
+    This is the scale path for ``knn_cosine_topk``: the crossJoin is
+    replaced by L equi-joins on (table, bucket) — shuffle-bounded by bucket
+    occupancy instead of |Q|×|corpus|. Hyperplanes are deterministic
+    (LCG-seeded) so results are stable run-to-run.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # signature per table, exploded to (vec_id, table, bucket)
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), _signature(F.col("embedding"), t).alias("bkt"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "embedding", F.col("s.t").alias("t"), F.col("s.bkt").alias("bkt"))
+
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "t", "bkt"
+    )
+    cand = (
+        q.join(sigs.withColumnRenamed("vec_id", "n_id"), ["t", "bkt"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_emb", "embedding")
+        .dropDuplicates(["q_id", "n_id"])  # same pair may collide in several tables
+    )
+    sims = cand.select(
+        "q_id", "n_id", dot_double(F.col("q_emb"), F.col("embedding")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
+    )

@@ -38,6 +38,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # AQE is on by default in Spark 4; keep it that way (runtime coalescing,
     # skew-join splitting — both essential at scale, harmless locally).
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Arrow-batched toPandas/createDataFrame: columnar transfer instead of
+    # row-at-a-time Py4J serialization (10-100x on wide result sets).
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
 
 

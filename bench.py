@@ -56,11 +56,13 @@ def main() -> None:
         q = registry.get(key)
         if q is None:
             continue
-        q.fn(spark, SF_DIR).collect()  # warm-up (also JIT + parquet footer cache)
+        # Full materialization to Python via Arrow batches (the idiomatic
+        # PySpark result path; DuckDB's fetchall() baseline also materializes).
+        q.fn(spark, SF_DIR).toPandas()  # warm-up (also JIT + parquet footer cache)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).collect()
+            q.fn(spark, SF_DIR).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[metric] = round(statistics.median(samples), 4)
 

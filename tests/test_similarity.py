@@ -1,0 +1,52 @@
+"""Property tests for the similarity operators (SURVEY.md §5.3.4).
+
+The LSH path is approximate (rows-only for the driver), so its guarantees
+are checked here instead: every reported similarity must be *exact* (the
+rerank is exact), the output shape must be valid, and recall vs the exact
+kNN must clear a floor measured for the deterministic hyperplane set.
+"""
+
+from __future__ import annotations
+
+from bangdatapipeline_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_ann_lsh_recall_and_exactness(spark, sf_dir):
+    exact = {
+        (r.q_id, r.n_id): r.sim
+        for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = REGISTRY["knn_ann_lsh"].fn(spark, sf_dir).collect()
+
+    # shape: <= k rows per query, sims in [-1, 1], no self-matches
+    per_q: dict[int, int] = {}
+    for r in approx:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+        assert -1.0 <= r.sim <= 1.0
+        assert r.q_id != r.n_id
+    assert all(n <= 5 for n in per_q.values())
+
+    # exactness: any (q, n) pair also in the exact top-k must report the
+    # identical (rounded) similarity — the rerank does not approximate.
+    hits = [(q, n) for (q, n) in ((r.q_id, r.n_id) for r in approx) if (q, n) in exact]
+    for r in approx:
+        if (r.q_id, r.n_id) in exact:
+            assert abs(r.sim - exact[(r.q_id, r.n_id)]) < 1e-9
+
+    # recall floor: deterministic hyperplanes -> deterministic recall.
+    recall = len(hits) / len(exact)
+    assert recall >= 0.10, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_knn_sanity(spark, sf_dir):
+    rows = REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert len(per_q) == 100
+    for q, rs in per_q.items():
+        assert len(rs) == 5
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rn)]
+        assert sims == sorted(sims, reverse=True)
