@@ -10,5 +10,6 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     reshape,
     setops,
     similarity,
+    streaming_batch,
     windows,
 )

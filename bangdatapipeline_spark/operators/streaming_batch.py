@@ -1,0 +1,245 @@
+"""Streaming operators — batch twins (SURVEY.md §2.11).
+
+The driver's oracle is batch DuckDB, so every streaming operator ships as
+two artifacts: the HASH-CHECKED batch query here (identical semantics on
+the same `events` table) and a Structured Streaming variant in
+``bangdatapipeline_spark.streaming`` whose output is asserted equal to the
+batch twin in tests/test_streaming.py (file-source replay of the same
+rows).
+
+Scale posture (100 TB): tumbling/sliding aggregations are keyed on
+(window, event_type) — bounded cardinality, map-side partials absorb the
+volume. Sessionization shuffles once on user_id; per-user state is a sort
+within the partition (Spark's window exec), bounded by events-per-user.
+The late-data diagnostic is the only globally-ordered window — it models
+the stream's single logical watermark clock and is a diagnostic, not a
+data-path operator (in the streaming engine the watermark is maintained by
+the coordinator, not a shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+SESSION_GAP_MIN = 30
+WATERMARK_DELAY = "1 hour"
+# deterministic pseudo-shuffle of arrival order for the late-data demo
+# (event_id itself is time-ordered, so "arrival = event_id" has no late rows)
+ARRIVAL = "(event_id * 1103515245 + 12345) % 2147483647"
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+SELECT date_trunc('day', ts) AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregation — the batch twin of the
+    watermarked streaming aggregate (streaming variant:
+    streaming.tumbling_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+WITH expanded AS (
+    SELECT make_timestamp((epoch_us(ts) // 21600000000 - k) * 21600000000) AS w_start,
+           event_type, value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+)
+SELECT w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1-day length, 6-hour slide): every event lands in
+    exactly 4 overlapping windows. The oracle expands the window set by
+    hand (epoch arithmetic); Spark's window() generates the same starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM o
+), sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       min(ts) AS sess_start, max(ts) AS sess_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sess_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the classic
+    lag-gap-flag-cumsum kernel (one shuffle on user_id; state bounded per
+    user). Streaming variant: streaming.session_aggregate uses
+    F.session_window with the same gap."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("sess_id").cast("bigint").alias("sess_id")).agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT DISTINCT event_id, ts, user_id, event_type, round(value, 2) AS value
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on event_id over a doubled input (simulating at-least-once
+    delivery). Duplicate rows are bit-identical, so dropDuplicates'
+    nondeterministic keeper is value-invisible here. Streaming variant:
+    dropDuplicatesWithinWatermark in streaming.dedup_stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dimension
+    (broadcast — the dim is KB-MB scale) then aggregated per (segment,
+    event_type). The streaming variant joins the same static dim to the
+    event stream micro-batch by micro-batch."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "stream_late",
+    oracle=f"""
+WITH arr AS (
+    SELECT event_id, ts, user_id,
+           max(ts) OVER (ORDER BY {ARRIVAL}, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - INTERVAL '{WATERMARK_DELAY}' AS wm
+    FROM events
+)
+SELECT event_id, ts, user_id, wm
+FROM arr WHERE ts < wm
+""",
+)
+def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data diagnostic: which events would a '1 hour' watermark drop,
+    given a (deterministic) pseudo-shuffled arrival order? wm = running
+    max event-time over prior arrivals minus the delay; an event is late
+    when its ts is below the watermark. Mirrors Structured Streaming's
+    per-row policy (the engine advances the watermark per micro-batch, so
+    the streaming run drops a subset of these; test_streaming asserts
+    that containment)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.expr(ARRIVAL), "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    arr = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        (F.max("ts").over(w) - F.expr(f"INTERVAL {WATERMARK_DELAY}")).alias("wm"),
+    )
+    return arr.filter(F.col("ts") < F.col("wm"))
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_so_far,
+       CAST(len(list_distinct(list(event_type) OVER w)) AS INT) AS n_types_so_far,
+       round(sum(value) OVER w, 2) AS cum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user counters (count, distinct event types seen,
+    cumulative value) — the batch twin of an arbitrary-stateful streaming
+    op. Streaming variant: streaming.stateful_counts via
+    applyInPandasWithState keeps the same counters in a state store."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_so_far"),
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("int")
+        .alias("n_types_so_far"),
+        F.round(F.sum("value").over(w), 2).alias("cum_value"),
+    )

@@ -1,0 +1,149 @@
+"""Structured Streaming variants of the §2.11 operators.
+
+Batch twins in ``operators.streaming_batch`` carry the hash-checked
+semantics; this package runs the same logic as real streams via
+file-source replay (``replay.py``) so tests can assert stream == batch.
+
+Design notes for the cluster path:
+  * Sources: at 100 TB the file source is swapped for Kafka (
+    ``spark.readStream.format("kafka")``) — every query below only
+    assumes a DataFrame with (event_id, ts, user_id, event_type, value),
+    so the source is pluggable.
+  * Watermarks bound state: each windowed aggregation holds only windows
+    newer than (max event time - delay); session windows hold open
+    sessions per user.
+  * Output modes: append for watermarked aggs (finalized windows only),
+    update for stateful counters.
+  * Checkpointing: every query takes a checkpoint dir (RocksDB state
+    store in production; local dir here).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from bangdatapipeline_spark.operators.streaming_batch import (
+    SESSION_GAP_MIN,
+    WATERMARK_DELAY,
+)
+
+
+def _event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (not NTZ); the session tz is UTC so the
+    cast is value-preserving."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_tumbling`` (append mode after watermark)."""
+    return (
+        _event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_sliding``."""
+    return (
+        _event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_aggregate(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_session`` via native session windows.
+
+    ``F.session_window(ts, gap)`` merges events whose gaps are < gap into
+    one window per user — the same grouping the batch lag-gap kernel
+    produces (gap-boundary ties: both treat gap == exactly 30 min as a
+    new session, verified in tests).
+    """
+    return (
+        _event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_dedup``: exactly-once output from
+    at-least-once input, state bounded by the watermark."""
+    return _event_time(events).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Streaming twin of ``stream_static_join`` (stream-static join then
+    windowless running aggregate; complete mode)."""
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cum", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cum_value", DoubleType()),
+        StructField("n_batches", IntegerType()),
+    ]
+)
+
+
+def _count_state(key, pdf_iter, state: GroupState):
+    """Per-user running counters kept in the state store."""
+    n, cum = state.get if state.exists else (0, 0.0)
+    batches = 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cum += float(pdf["value"].sum())
+        batches += 1
+    state.update((n, cum))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "cum_value": [round(cum, 2)],
+            "n_batches": [batches],
+        }
+    )
+
+
+def stateful_counts(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: per-user counters via applyInPandasWithState
+    (update mode). The final state equals the batch groupBy totals —
+    asserted in tests."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,123 @@
+"""Structured Streaming equivalence tests (SURVEY.md §5.3.3).
+
+Each §2.11 operator's streaming variant replays `events` as a file-source
+stream (1 chunk = 1 micro-batch) and is asserted against its hash-checked
+batch twin: equality where semantics are exact (no watermark, complete
+mode), containment where the watermark legitimately drops late data.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark import streaming
+from bangdatapipeline_spark.registry import load_all
+from bangdatapipeline_spark.streaming import replay
+from bangdatapipeline_spark.tables import load_table
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"  # 1k events — fast micro-batch replay
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    d = replay.write_chunks(spark, SF, n_chunks=6)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def shuffled_chunks(spark):
+    d = replay.write_chunks(spark, SF, n_chunks=6, shuffled=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, chunks):
+    stream = replay.read_stream(spark, chunks)
+    # no watermark + complete mode => every window present at stream end
+    out = replay.run_stream(
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        ).select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"),
+        mode="complete",
+    )
+    batch = REGISTRY["stream_tumbling"].fn(spark, SF)
+    cols = ["w_start", "event_type", "n", "sum_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_session_stream_equals_batch(spark, chunks):
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(streaming.session_aggregate(stream), mode="complete")
+    batch = REGISTRY["stream_session"].fn(spark, SF)
+    cols = ["user_id", "sess_start", "sess_end", "n_events", "sum_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_watermark_drops_late_data(spark, shuffled_chunks):
+    """Out-of-order replay + watermark + append mode: finalized windows
+    must never exceed the batch (true) counts, and the shuffled arrival
+    must actually cause drops somewhere."""
+    stream = replay.read_stream(spark, shuffled_chunks)
+    out = replay.run_stream(streaming.tumbling_counts(stream, watermark="1 hour"), mode="append")
+    batch = REGISTRY["stream_tumbling"].fn(spark, SF)
+    b = {(r.w_start, r.event_type): r.n for r in batch.collect()}
+    o = {(r.w_start, r.event_type): r.n for r in out.collect()}
+    assert o, "append-mode stream emitted nothing"
+    assert all(o[k] <= b[k] for k in o)
+    dropped = sum(b[k] - o[k] for k in o)
+    assert dropped > 0, "shuffled replay should have produced late drops"
+
+
+def test_dedup_stream(spark):
+    ev = load_table(spark, SF, "events")
+    doubled = ev.unionByName(ev)
+    d = replay.write_chunks(spark, SF, n_chunks=6, df=doubled)
+    try:
+        stream = replay.read_stream(spark, d)
+        out = replay.run_stream(streaming.dedup_stream(stream), mode="append")
+        assert out.select("event_id").distinct().count() == out.count() == ev.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_counts_final_state(spark, chunks):
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(streaming.stateful_counts(stream), mode="update")
+    # last update per user == total per-user aggregate
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("cum_value").alias("cum_value"))
+        .collect()
+    )
+    batch = {
+        r.user_id: (r.n, r.cum)
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("cum"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for r in final:
+        n, cum = batch[r.user_id]
+        assert r.n_events == n
+        assert abs(r.cum_value - cum) < 0.05  # per-batch float accumulation
+
+
+def test_static_join_stream(spark, chunks):
+    stream = replay.read_stream(spark, chunks)
+    cust = load_table(spark, SF, "customer")
+    out = replay.run_stream(streaming.static_enrich(stream, cust), mode="complete")
+    batch = REGISTRY["stream_static_join"].fn(spark, SF)
+    o = {(r.c_mktsegment, r.event_type): r.n for r in out.collect()}
+    b = {(r.c_mktsegment, r.event_type): r.n for r in batch.collect()}
+    assert o == b
