@@ -6,10 +6,12 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     functions,
     joins,
     llm_text,
+    multimodal,
     relational,
     reshape,
     setops,
     similarity,
     streaming_batch,
+    udfs,
     windows,
 )

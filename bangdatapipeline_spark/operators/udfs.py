@@ -1,0 +1,166 @@
+"""User-defined function surface (SURVEY.md §2.12) — the reference's
+"processor" mechanism re-expressed on Spark.
+
+The reference lets users register per-question Python callables that
+recode survey answers column-wise; the Spark equivalents are:
+
+  * scalar  → ``pandas_udf`` (Arrow-vectorized batches, 10-100× faster
+    than row-at-a-time ``F.udf``; this is the only sanctioned way to put
+    Python in a hot path),
+  * grouped aggregation → ``groupBy().applyInPandas`` (one pandas frame
+    per group, Arrow both ways),
+  * table function → Python UDTF (Spark 4), one row in → many out,
+    used via a SQL LATERAL join.
+
+Each is hash-checked against a pure-SQL oracle re-expressing the same
+logic, proving the UDF path computes exactly what the declarative path
+would — the parity the reference's processors rely on.
+
+Scale posture: pandas_udf/applyInPandas move Arrow batches across the
+Python worker boundary (SURVEY.md §3.2 boundary 5); per-group state must
+fit one executor (groups here are mktsegments — 5 groups — fine; at
+100 TB key on something finer or pre-aggregate first).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+# --- scalar: Likert-ish string -> int recode, vectorized over Arrow batches
+# (pandas_udf construction is deferred into the query fn: the decorator needs
+# an active SparkSession, and operator modules import before one exists)
+
+def _prio_code_fn(s: pd.Series) -> pd.Series:
+    # '1-URGENT' -> 1, '5-LOW' -> 5; the reference's per-question recode shape
+    return s.str.slice(0, 1).astype("int32")
+
+
+def _sentiment_score_fn(s: pd.Series) -> pd.Series:
+    # toy lexicon scorer over free text: (+1 per 'e', -1 per 'z') / length —
+    # deterministic, vectorized, SQL-re-expressible
+    length = s.str.len().clip(lower=1)
+    return ((s.str.count("e") - s.str.count("z")) / length).round(6)
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_code,
+       round((length(o_orderstatus || o_orderpriority)
+              - length(replace(o_orderstatus || o_orderpriority, 'e', ''))
+              - (length(o_orderstatus || o_orderpriority)
+                 - length(replace(o_orderstatus || o_orderpriority, 'z', ''))))
+             / greatest(length(o_orderstatus || o_orderpriority), 1), 6) AS txt_score
+FROM orders
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udfs: a priority recode and a toy text
+    scorer, both re-expressed in SQL for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_code = pandas_udf(_prio_code_fn, "int")
+    sentiment = pandas_udf(_sentiment_score_fn, "double")
+    return o.select(
+        "o_orderkey",
+        prio_code("o_orderpriority").alias("prio_code"),
+        sentiment(F.concat("o_orderstatus", "o_orderpriority")).alias("txt_score"),
+    )
+
+
+# --- grouped: custom per-group aggregate via applyInPandas
+
+def _segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    # exact order statistics (explicit indices), not interpolated quantiles:
+    # pandas and DuckDB interpolate with different float formulas, which
+    # flips the last rounded digit; (lo+hi)/2 and element picks are exact.
+    bal = pdf["c_acctbal"].sort_values().reset_index(drop=True)
+    n = len(bal)
+    # median/iqr stay unrounded: lo/hi/q1/q3 are the same doubles in both
+    # engines, so the derived values are bit-identical — while rounding a
+    # half-cent boundary differs between Python (half-even) and SQL round.
+    median = (float(bal.iloc[(n - 1) // 2]) + float(bal.iloc[n // 2])) / 2.0
+    q1 = float(bal.iloc[(n - 1) // 4])
+    q3 = float(bal.iloc[(3 * (n - 1)) // 4])
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n": [n],
+            "median_bal": [median],
+            "iqr_bal": [q3 - q1],
+            "mean_bal": [round(float(bal.mean()), 2)],
+        }
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+WITH s AS (
+    SELECT c_mktsegment, list_sort(list(c_acctbal)) AS bal, count(*) AS n,
+           avg(c_acctbal) AS mean_raw
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n,
+       (bal[CAST((n - 1) // 2 AS BIGINT) + 1]
+        + bal[CAST(n // 2 AS BIGINT) + 1]) / 2.0 AS median_bal,
+       bal[CAST((3 * (n - 1)) // 4 AS BIGINT) + 1]
+         - bal[CAST((n - 1) // 4 AS BIGINT) + 1] AS iqr_bal,
+       round(mean_raw, 2) AS mean_bal
+FROM s
+""",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation (median + IQR via exact order
+    statistics) through applyInPandas — one Arrow-backed pandas frame per
+    group, the reference's per-group custom-score shape."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _segment_stats,
+        schema="c_mktsegment string, n bigint, median_bal double, iqr_bal double, mean_bal double",
+    )
+
+
+# --- table function: one row -> many (Spark 4 Python UDTF)
+
+class _TokenizeUDTF:
+    """Yield (position, token) per whitespace token of the input text."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield i, tok
+
+
+@register(
+    "udtf_expand",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS tok
+FROM documents WHERE doc_id < 100
+""",
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL join: one document row expands to one
+    row per token (the explode/normalize shape, but through the
+    user-extensible table-function path)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize_udtf", udtf(_TokenizeUDTF, returnType="pos int, tok string"))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )

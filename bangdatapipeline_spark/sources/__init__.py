@@ -1,0 +1,81 @@
+"""Sources & sinks (SURVEY.md §2.1) — the reference's ETL boundary on Spark.
+
+The reference fetches nested JSON batches from a REST API, caches them on
+disk, flattens to DataFrames, and exports CSV. The Spark-native shape:
+
+  raw JSON (cache dir) --spark.read.json--> DataFrame
+      --write.parquet--> canonical columnar store (partitioned)
+      --read.parquet--> all downstream queries (predicate/column pushdown)
+      --write.csv--> notebook deliverable
+
+At 100 TB: JSON is read once and canonicalized to partitioned, compressed
+parquet — every downstream query then scans only the columns/partitions it
+needs. Partition column choice (here `lang`; in general a low-cardinality,
+filter-frequent key like date) bounds file counts while enabling partition
+pruning. The REST fetch itself is out of scope offline (the cache dir is
+the interface; on a cluster the same dir lives on S3/HDFS).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def ingest_json(
+    spark: SparkSession, cache_dir: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read a JSON cache directory (one doc per line / multiLine files).
+
+    Pass an explicit schema in production: schema inference scans the data
+    twice and silently widens types.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(cache_dir)
+
+
+def canonicalize_parquet(
+    df: DataFrame, out_dir: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Write the canonical parquet store, optionally hive-partitioned."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_dir)
+
+
+def export_csv(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """CSV export (the reference's notebook deliverable)."""
+    df.write.mode(mode).option("header", True).csv(out_dir)
+
+
+def flatten_batch(raw: DataFrame) -> DataFrame:
+    """Flatten a nested batch document (batch -> rounds[] -> users[]) into
+    one row per (batch, round, user) — the reference's json_normalize
+    step as explode + struct expansion."""
+    return (
+        raw.select("batch_id", F.explode("rounds").alias("r"))
+        .select("batch_id", F.col("r.round_id").alias("round_id"), F.explode("r.users").alias("u"))
+        .select("batch_id", "round_id", "u.*")
+    )
+
+
+def read_partitioned(spark: SparkSession, root: str) -> DataFrame:
+    """Read a hive-partitioned parquet layout (partition pruning applies
+    when filtering on the partition column)."""
+    return spark.read.parquet(root)
+
+
+def partition_files(root: str) -> dict[str, int]:
+    """Count data files per partition dir (layout introspection helper)."""
+    out: dict[str, int] = {}
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if os.path.isdir(p) and "=" in entry:
+            out[entry] = sum(f.endswith(".parquet") for f in os.listdir(p))
+    return out
