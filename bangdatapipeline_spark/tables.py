@@ -37,6 +37,12 @@ TABLES = [
 ]
 
 
+# DataFrame-plan cache: a DataFrame is an immutable logical plan, so reusing
+# one per (session, dir, table) skips the repeated file-listing + footer-read
+# job that otherwise taxes every small query with ~100 ms of fixed overhead.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, normalizing the events nanos timestamp.
 
@@ -47,12 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cast to timestamp_ntz (under a UTC session tz) makes it comparable with
     DuckDB's naive TIMESTAMP.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    _df_cache[key] = df
     return df
 
 

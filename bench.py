@@ -51,6 +51,11 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
+    # Global JVM warm-up: the first executed query pays one-time JIT /
+    # codegen-compiler costs that would otherwise be misattributed to it
+    # (BASELINE.md's DuckDB numbers are warm-cache medians too).
+    registry[BENCH_QUERIES[0][1]].fn(spark, SF_DIR).toPandas()
+
     timings: dict[str, float] = {}
     for metric, key in BENCH_QUERIES:
         q = registry.get(key)

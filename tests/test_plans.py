@@ -1,0 +1,83 @@
+"""Physical-plan assertions (SURVEY.md §5.3.2).
+
+Correctness tests prove WHAT is computed; these prove HOW — the plan
+properties that make the same query viable at 100 TB:
+
+  * dimension joins broadcast (no shuffle of the fact side's join),
+  * filters and column projections reach the parquet scan
+    (PushedFilters / ReadSchema), so row groups are skipped and unread
+    columns never leave the file,
+  * grouped top-k inserts WindowGroupLimit (per-partition k-row
+    pre-filter before the shuffle),
+  * global top-k runs as TakeOrderedAndProject (per-partition heaps, no
+    full sort),
+  * the hot relational path stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark.registry import load_all
+from bangdatapipeline_spark.tables import load_table
+
+REGISTRY = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(REGISTRY["join_inner_equi"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(REGISTRY["join_multiway"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the snowflake dims (region/nation) must never sort-merge
+    assert plan.count("SortMergeJoin") <= 1, plan[:3000]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,40" in plan, plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # ReadSchema must contain only the two projected columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(REGISTRY["win_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(REGISTRY["topk_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_flagship_agg_is_codegen_partial_final(spark, sf_dir):
+    df = REGISTRY["agg_groupby"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegen-wraps) the plan on execution
+    plan = _plan(df)
+    # codegen stages render as "*(n) Operator" in the compact plan string
+    assert "*(" in plan or "WholeStageCodegen" in plan
+    # partial + final hash aggregation (map-side combine before shuffle)
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(REGISTRY["knn_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
