@@ -42,11 +42,19 @@ def ingest_json(
 def canonicalize_parquet(
     df: DataFrame, out_dir: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
-    """Write the canonical parquet store, optionally hive-partitioned."""
-    w = df.write.mode(mode)
+    """Write the canonical parquet store, optionally hive-partitioned.
+
+    Partitioned writes first repartition on the partition columns so each
+    task writes to few partition dirs — without this, every task writes a
+    file into every partition (tasks × partitions small files at 100 TB).
+    """
+    w = df
     if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(out_dir)
+        w = df.repartition(*[F.col(c) for c in partition_by])
+    writer = w.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
 
 
 def export_csv(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:

@@ -1,0 +1,95 @@
+"""Property spot-checks (SURVEY.md §5.3.4) — cheap invariants that hold
+regardless of data scale, catching classes of bugs the oracle comparison
+can't (the oracle could be wrong the same way)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark.registry import load_all
+from bangdatapipeline_spark.tables import load_table
+
+REGISTRY = load_all()
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    """dedup(dedup(x)) == dedup(x)."""
+    once = REGISTRY["stream_dedup"].fn(spark, sf_dir)
+    twice = once.dropDuplicates(["event_id"])
+    # compare materialized row sets (exceptAll over this union+dedup plan
+    # trips a Catalyst attribute-rewrite bug in Spark 4.1.2)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    """#sessions == #users + #gaps>30min; sessions partition the events."""
+    sess = REGISTRY["stream_session"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+
+    n_events = ev.count()
+    agg = sess.agg(
+        F.sum("n_events").alias("tot"), F.count("*").alias("n_sess")
+    ).collect()[0]
+    assert agg.tot == n_events  # every event is in exactly one session
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .filter(F.col("ts") - F.col("prev") > F.expr("INTERVAL 30 MINUTES"))
+        .count()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert agg.n_sess == n_users + gaps
+
+    # sessions never overlap per user
+    sw = Window.partitionBy("user_id").orderBy("sess_start")
+    overlaps = (
+        sess.withColumn("prev_end", F.lag("sess_end").over(sw))
+        .filter(F.col("prev_end").isNotNull())
+        .filter(F.col("sess_start") <= F.col("prev_end"))
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_minhash_finds_all_high_jaccard_pairs(spark, sf_dir):
+    """LSH recall check on the bounded subset where exact ground truth is
+    computed: every exact pair with jaccard >= tau must be a minhash pair
+    (with 4x4 bands at j>=0.9, miss probability < 1e-6)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_near_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    assert exact <= approx
+
+
+def test_knn_threshold_consistency(spark, sf_dir):
+    """Every top-k neighbor with sim >= tau must appear in the threshold
+    self-join (and with the identical rounded similarity)."""
+    topk = REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()
+    pairs = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.sim
+        for r in REGISTRY["knn_threshold_pairs"].fn(spark, sf_dir).collect()
+    }
+    for r in topk:
+        if r.sim >= 0.3:
+            key = (min(r.q_id, r.n_id), max(r.q_id, r.n_id))
+            assert key in pairs and abs(pairs[key] - r.sim) < 1e-9
+
+
+def test_centroid_purity_bounds(spark, sf_dir):
+    rows = REGISTRY["label_purity"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # labels 0..9
+    for r in rows:
+        assert -1.0 <= r.min_cos <= r.avg_cos <= r.max_cos <= 1.0
