@@ -104,16 +104,39 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approx sketch: not oracle-hashable; rows-only by design
+    # The sketch value itself is not oracle-reproducible (DuckDB's HLL is a
+    # different implementation), but its accuracy contract is: the estimate
+    # must land within ±5% of the exact count (rsd=0.01 gives far tighter).
+    # Hash-checking the bounded verdict keeps the sketch honest while
+    # staying deterministic on both engines.
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       'ok' AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++). The 100 TB path for
     cardinality estimation: constant memory per group vs the exact
-    count-distinct expand-shuffle. rsd=0.01 for tight estimates."""
+    count-distinct expand-shuffle. rsd=0.01 for tight estimates; the
+    oracle checks the estimate lands within the accuracy contract."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.when(
+            F.approx_count_distinct("user_id", 0.01)
+            .cast("double")
+            .between(
+                F.countDistinct("user_id") * 0.95,
+                F.countDistinct("user_id") * 1.05,
+            ),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("out_of_bounds"))
+        .alias("approx_within_5pct"),
     )
 
 
@@ -234,4 +257,42 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("spend"),
         )
         .filter(F.col("n_orders") >= 14)
+    )
+
+
+@register(
+    "agg_time_rollup",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       date_trunc('hour', ts) AS hour,
+       CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
+       CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+""",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: one pass produces
+    hourly, daily, and grand-total aggregates via ROLLUP over truncated
+    timestamps (the continuous-aggregate shape time-series stores
+    maintain incrementally).
+
+    Scale: rollup expands each row into its grouping sets map-side and
+    still partial-aggregates before the shuffle; output cardinality is
+    hours + days + 1, independent of row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    return (
+        ev.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )

@@ -286,3 +286,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "dup_count", F.count("*").over(Window.partitionBy("fp")).cast("bigint")
     )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           tf.tf * ln(n.n_docs / df.df) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tf, round(tfidf, 6) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rk
+FROM scored
+WHERE doc_id < 50
+QUALIFY rk <= 5
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-5 terms per document (bounded to doc_id < 50 for
+    the materialized output; the scoring pipeline itself is corpus-wide).
+
+    Scale: tf shuffles on (doc_id, tok); the document-frequency table and
+    the 1-row corpus count broadcast back into the scoring join — the
+    classic two-aggregation + broadcast-enrich shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    ndocs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf_raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("tok").asc())
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "tok", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+    )

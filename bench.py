@@ -41,6 +41,13 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_exact_dedup", "dedup_exact"),
     ("emb_knn_top5", "knn_cosine_topk"),
     ("asof_last_event_before_order", "join_asof"),
+    # beyond-BASELINE headliners (no DuckDB budget line; recorded for trend)
+    ("doc_minhash_dedup", "dedup_near_minhash"),
+    ("doc_tfidf_top5", "text_tfidf"),
+    ("doc_langid", "text_langid"),
+    ("events_time_rollup", "agg_time_rollup"),
+    ("emb_label_purity", "label_purity"),
+    ("emb_threshold_pairs", "knn_threshold_pairs"),
 ]
 
 RUNS = 3
