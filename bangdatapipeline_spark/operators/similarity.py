@@ -317,3 +317,70 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
     )
+
+
+IVF_NPROBE = 3  # cells probed per query (of the 10 label-centroid cells)
+
+
+def _cell_scores(x: DataFrame, cent: DataFrame, cn: DataFrame) -> DataFrame:
+    """Cosine of every vector to every cell centroid (long-form join)."""
+    return (
+        x.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+        .join(F.broadcast(cn), "cell")
+        .select("vec_id", "cell", (F.col("dot") / F.col("cnorm")).alias("score"))
+    )
+
+
+@register("knn_ivf_topk", oracle=None)  # rows-only: approximate by design
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN: label centroids act as the coarse
+    quantizer (a pretrained codebook — deterministic, unlike in-query
+    k-means); each corpus vector lives in its nearest cell, each query
+    probes its IVF_NPROBE closest cells and exact-reranks only those
+    cells' members.
+
+    The second ANN scale path next to ``knn_ann_lsh``: candidate count is
+    ~(nprobe / n_cells) x corpus per query instead of the full corpus, and
+    the corpus can be stored partitioned/bucketed BY CELL so a probe reads
+    only its cells' partitions. Recall floor asserted in
+    tests/test_similarity.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+    )
+    cn = cent.groupBy("cell").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"))
+    scores = _cell_scores(x, cent, cn)
+
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cell").asc())
+    ranked = scores.withColumn("cr", F.row_number().over(w_cell))
+    corpus_cells = ranked.filter(F.col("cr") == 1).select(
+        F.col("vec_id").alias("n_id"), "cell"
+    )
+    query_probes = ranked.filter(
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+
+    emb = e.select(F.col("vec_id"), F.col("embedding"))
+    cand = (
+        query_probes.join(corpus_cells, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+        .join(emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed("embedding", "q_emb"), "q_id")
+        .join(emb.withColumnRenamed("vec_id", "n_id").withColumnRenamed("embedding", "n_emb"), "n_id")
+    )
+    sims = cand.select("q_id", "n_id", dot_double(F.col("q_emb"), F.col("n_emb")).alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
+    )

@@ -50,3 +50,18 @@ def test_knn_sanity(spark, sf_dir):
         assert len(rs) == 5
         sims = [r.sim for r in sorted(rs, key=lambda r: r.rn)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_and_exactness(spark, sf_dir):
+    exact = {
+        (r.q_id, r.n_id): r.sim
+        for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = REGISTRY["knn_ivf_topk"].fn(spark, sf_dir).collect()
+    assert approx and all(r.q_id != r.n_id and -1.0 <= r.sim <= 1.0 for r in approx)
+    for r in approx:
+        if (r.q_id, r.n_id) in exact:
+            assert abs(r.sim - exact[(r.q_id, r.n_id)]) < 1e-9
+    hits = sum((r.q_id, r.n_id) in exact for r in approx)
+    recall = hits / len(exact)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"

@@ -121,3 +121,16 @@ def test_static_join_stream(spark, chunks):
     o = {(r.c_mktsegment, r.event_type): r.n for r in out.collect()}
     b = {(r.c_mktsegment, r.event_type): r.n for r in batch.collect()}
     assert o == b
+
+
+def test_sliding_stream_equals_batch(spark, chunks):
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(
+        stream.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        ).select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"),
+        mode="complete",
+    )
+    batch = REGISTRY["stream_sliding"].fn(spark, SF)
+    cols = ["w_start", "event_type", "n", "sum_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
