@@ -243,3 +243,42 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_types_so_far"),
         F.round(F.sum("value").over(w), 2).alias("cum_value"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join of two event streams: (purchase, click) pairs by the
+    same user with the click in the 30 minutes up to the purchase — the
+    batch twin of a watermarked stream-stream join (attribution shape).
+
+    The equi-conjunct (user_id) keeps it a hash join with the interval as
+    a residual filter; in the streaming variant the same interval bounds
+    the join state each side retains.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.click_ts <= p.purchase_ts),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")

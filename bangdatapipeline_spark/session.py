@@ -23,6 +23,7 @@ Required configs and why (SURVEY.md §1.2/§4.3):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,12 @@ def get_spark(app_name: str = "bangdatapipeline_spark", cpus: str | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # static config, settable only at session build: saveAsTable targets
+        # (bucketing demos) land in tmp, never in the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "bdp_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

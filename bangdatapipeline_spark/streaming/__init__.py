@@ -147,3 +147,35 @@ def stateful_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join_streams(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_stream_join``: two watermarked streams
+    (purchases, clicks) joined on user_id + a 30-minute interval. The
+    interval condition lets the engine expire join state: each side holds
+    only rows within (watermark - interval)."""
+    ev = _event_time(events)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.click_ts <= p.purchase_ts),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")

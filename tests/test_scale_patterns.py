@@ -1,0 +1,92 @@
+"""Scale-pattern demonstrations (docs/SCALE.md): the two techniques the
+local testdata can't surface organically — bucketed co-located joins and
+salted skew aggregation — exercised end to end so the cluster recipes in
+the docs are executable code, not prose.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark.tables import load_table
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Writing both join sides bucketed+sorted on the join key lets the
+    sort-merge join read co-located buckets directly: the executed plan
+    must contain NO Exchange (the 100-TB recipe for repeated fact-fact
+    joins on the same key). Tables land in the tmp warehouse configured by
+    session.get_spark."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bucketdemo.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("bucketdemo.lineitem_b")
+        )
+        ob = spark.table("bucketdemo.orders_b")
+        lb = spark.table("bucketdemo.lineitem_b")
+        # at test scale AQE would broadcast the small side; disable so the
+        # plan is the sort-merge join a 100-TB fact-fact join would use
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderstatus").agg(
+            F.count("*").alias("n")
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final_plan = plan.split("== Initial Plan ==")[0]  # AQE appends the pre-AQE plan
+        assert "SortMergeJoin" in final_plan
+        assert "SelectedBucketsCount: 8 out of 8" in final_plan
+        # the join itself reads buckets directly — no shuffle on either side;
+        # the only Exchange is the post-join groupBy on o_orderstatus
+        assert "Exchange hashpartitioning(o_orderkey" not in final_plan
+        assert "Exchange hashpartitioning(l_orderkey" not in final_plan
+        below_join = final_plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join, final_plan[:4000]
+
+        # same result as the unbucketed join
+        plain = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def test_salted_aggregation_equivalence(spark, sf_dir):
+    """Two-level (salted) aggregation for hot keys: groupBy(key, salt) then
+    groupBy(key) re-combine must equal the direct aggregate. The pattern
+    that breaks up a single hot reducer when one key holds a large share
+    of 100 TB (e.g. one viral dup-cluster, one bot user)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 16
+
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum(F.round("value", 2)), 2).alias("sv")
+    )
+    salted = (
+        ev.withColumn("_salt", (F.col("event_id") % n_salts).cast("int"))
+        .groupBy("event_type", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum(F.round("value", 2)).alias("psv"))
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("psv"), 2).alias("sv"))
+    )
+    d = {r.event_type: (r.n, r.sv) for r in direct.collect()}
+    s = {r.event_type: (r.n, r.sv) for r in salted.collect()}
+    assert set(d) == set(s)
+    for k in d:
+        assert d[k][0] == s[k][0]
+        assert abs(d[k][1] - s[k][1]) < 0.02  # float re-association tolerance

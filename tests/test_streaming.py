@@ -134,3 +134,16 @@ def test_sliding_stream_equals_batch(spark, chunks):
     batch = REGISTRY["stream_sliding"].fn(spark, SF)
     cols = ["w_start", "event_type", "n", "sum_value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_interval_join(spark, chunks):
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(streaming.interval_join_streams(stream), mode="append")
+    batch = REGISTRY["stream_stream_join"].fn(spark, SF)
+    cols = ["purchase_id", "click_id"]
+    # in-order replay + append mode: matched pairs are emitted as the
+    # watermark passes them; the final micro-batch may retain the tail
+    o = set(map(tuple, out.select(*cols).collect()))
+    b = set(map(tuple, batch.select(*cols).collect()))
+    assert o <= b
+    assert len(o) >= 0.8 * len(b), f"stream join emitted {len(o)}/{len(b)} pairs"
