@@ -14,11 +14,13 @@ unit-norm (FIXTURES.md), so dot == cosine.
 
 Scale posture (100 TB):
   * exact kNN: the query side is small and broadcast; the corpus streams.
-    The only shuffle is the per-query top-k (keyed on q_id). Beyond
-    memory, switch to the LSH path (``knn_ann_lsh``) or block-matrix
-    multiply — documented, the bucketed variant is implemented below.
-  * threshold pairs: all-pairs is O(n²) by definition — the LSH bucket
-    join is the scale mitigation (candidates only within buckets).
+    The only shuffle is the per-query top-k (keyed on q_id). The
+    throughput path is the block-GEMM kernel (``knn_gemm_topk``): one
+    BLAS matmul per Arrow batch, candidates-only shuffle. Beyond brute
+    force, ``knn_ann_lsh`` / ``knn_ivf_topk`` cut candidate counts.
+  * threshold pairs: all-pairs is O(n²) by definition — the GEMM kernel
+    (``knn_threshold_gemm``) does the n² at BLAS speed with zero shuffle;
+    the LSH bucket join cuts the candidate count when τ is high.
   * centroids/purity: per-dimension aggregation keyed on (label, dim) —
     cardinality |labels|×dim, tiny; the centroid table broadcasts into
     the rejoin.
@@ -59,9 +61,9 @@ def _duck_dot(a: str, b: str) -> str:
     )
 
 
-@register(
-    "knn_cosine_topk",
-    oracle=f"""
+# Shared oracle for the exact top-k kNN (fold and GEMM kernels both
+# produce these values after round-6).
+_KNN_TOPK_ORACLE = f"""
 WITH q AS (
     SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
 ), sims AS (
@@ -74,8 +76,10 @@ SELECT q_id, n_id, round(sim, 6) AS sim,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
 FROM sims
 QUALIFY rn <= {TOP_K}
-""",
-)
+"""
+
+
+@register("knn_cosine_topk", oracle=_KNN_TOPK_ORACLE)
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k: each of the first 100 vectors queries
     the full corpus; unit-norm vectors make dot product == cosine.
@@ -383,4 +387,135 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+@register("knn_gemm_topk", oracle=_KNN_TOPK_ORACLE)
+def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force kNN as a block matrix multiply: the query matrix
+    (nq x d, tiny) is broadcast; each Arrow batch of the streamed corpus
+    does ONE numpy GEMM (block x Q^T) and emits only its block-local top-k
+    per query, so the sole shuffle is the candidate set (<= k x nq x
+    n_blocks rows) for the global top-k window.
+
+    This is the 100-TB brute-force scale path: per-executor work is a
+    dense f64 GEMM (BLAS, ~10-100x the throughput of the expression-tree
+    fold in ``knn_cosine_topk``), memory is one corpus block at a time,
+    and nothing but candidates ever moves. Same oracle as
+    ``knn_cosine_topk`` — d=128 dot products agree far beyond round-6
+    regardless of accumulation order.
+
+    Block-local pruning is tie-safe: blocks rank by (-sim, n_id) via
+    lexsort, the same total order as the global window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q_pdf = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    q_ids = q_pdf["vec_id"].to_numpy()
+    qt = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64).T  # d x nq
+    bq = spark.sparkContext.broadcast((q_ids, qt))
+
+    def block_topk(batches):
+        ids_q, qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = block @ qmat  # n_block x nq — the GEMM
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                col = np.where(ids == qid, -np.inf, sims[:, j])
+                order = np.lexsort((ids, -col))[:TOP_K]
+                keep = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(keep), qid))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        block_topk, schema="q_id long, n_id long, sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+@register(
+    "knn_threshold_gemm",
+    oracle=f"""
+WITH sims AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
+           {_duck_dot('a.embedding', 'b.embedding')} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label_a, label_b, round(sim, 6) AS sim
+FROM sims WHERE sim >= {PAIR_TAU}
+""",
+)
+def knn_threshold_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM form of the exact similarity self-join: the corpus matrix
+    broadcasts once (n x d f32, ~0.5 MB per 1k vectors); each streamed
+    Arrow block computes block @ corpus^T in ONE BLAS call and emits only
+    the (id_a < id_b, sim >= tau) survivors. No join, no shuffle at all —
+    the output is written where it's computed.
+
+    Scale path: when n x d outgrows a broadcast (~10 GB), tile the right
+    side too — crossJoin the corpus with a B-block index, same kernel per
+    (block_i, block_j > i) tile; work is n^2/2 regardless, this kernel
+    just does it at BLAS speed instead of expression-fold speed (~25x
+    here). Same oracle as ``knn_threshold_pairs``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c_pdf = e.select("vec_id", "label", "embedding").toPandas()
+    c_ids = c_pdf["vec_id"].to_numpy()
+    c_labels = c_pdf["label"].to_numpy()
+    ct = np.vstack(c_pdf["embedding"].to_numpy()).astype(np.float64).T  # d x n
+    bc = spark.sparkContext.broadcast((c_ids, c_labels, ct))
+
+    def block_pairs(batches):
+        ids_c, labels_c, cmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = block @ cmat  # n_block x n — the GEMM
+            rows, cols = np.nonzero((sims >= PAIR_TAU) & (ids[:, None] < ids_c[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[rows],
+                    "id_b": ids_c[cols],
+                    "label_a": labels[rows],
+                    "label_b": labels_c[cols],
+                    "sim": sims[rows, cols],
+                }
+            )
+
+    return (
+        e.select("vec_id", "label", "embedding")
+        .mapInPandas(
+            block_pairs,
+            schema="id_a long, id_b long, label_a int, label_b int, sim double",
+        )
+        .select("id_a", "id_b", "label_a", "label_b", F.round("sim", 6).alias("sim"))
     )

@@ -48,6 +48,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_time_rollup", "agg_time_rollup"),
     ("emb_label_purity", "label_purity"),
     ("emb_threshold_pairs", "knn_threshold_pairs"),
+    ("emb_knn_gemm", "knn_gemm_topk"),
+    ("emb_threshold_gemm", "knn_threshold_gemm"),
 ]
 
 RUNS = 3

@@ -65,3 +65,20 @@ def test_ivf_recall_and_exactness(spark, sf_dir):
     hits = sum((r.q_id, r.n_id) in exact for r in approx)
     recall = hits / len(exact)
     assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_gemm_equals_fold_kernel(spark, sf_dir):
+    """The block-GEMM kernel must reproduce the expression-fold kernel
+    exactly (same neighbors, same rank, same round-6 sims) — block-local
+    top-k pruning loses nothing."""
+    cols = ["q_id", "n_id", "sim", "rn"]
+    fold = {tuple(r) for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).select(*cols).collect()}
+    gemm = {tuple(r) for r in REGISTRY["knn_gemm_topk"].fn(spark, sf_dir).select(*cols).collect()}
+    assert gemm == fold
+
+
+def test_threshold_gemm_equals_fold(spark, sf_dir):
+    cols = ["id_a", "id_b", "label_a", "label_b", "sim"]
+    fold = {tuple(r) for r in REGISTRY["knn_threshold_pairs"].fn(spark, sf_dir).select(*cols).collect()}
+    gemm = {tuple(r) for r in REGISTRY["knn_threshold_gemm"].fn(spark, sf_dir).select(*cols).collect()}
+    assert gemm == fold
