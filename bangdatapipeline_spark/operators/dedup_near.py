@@ -178,6 +178,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on band keys (no n² pass), and every emitted pair is
     exact-verified so precision is 1.0; recall is the standard LSH S-curve
     (≈0.996 at j=0.8 with these parameters).
+
+    Shuffle discipline: the band join moves (key, doc_id) pairs ONLY — the
+    shingle arrays (the heavy payload) never enter the ×BANDS-amplified
+    band shuffle; they rejoin once, per verified candidate id.
     """
     sh = _shingled(spark, sf_dir)
     hashed = sh.withColumn(
@@ -186,7 +190,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = hashed.withColumn("sig", F.expr(_minhash_sig_expr()))
     bexp = sig.select(
         "doc_id",
-        "s",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {BANDS - 1}), g -> concat(g, ':', "
@@ -194,14 +197,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("key"),
     )
-    a = bexp.select(F.col("key"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    b = bexp.select(F.col("key"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    cand = (
+    a = bexp.select(F.col("key"), F.col("doc_id").alias("id_a"))
+    b = bexp.select(F.col("key"), F.col("doc_id").alias("id_b"))
+    cand_ids = (
         a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    cand = cand_ids.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
     return (
         cand.withColumn("jaccard_raw", F.expr(_JACCARD_SPARK))
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
