@@ -23,6 +23,7 @@ from __future__ import annotations
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -146,6 +147,49 @@ def stateful_counts(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+class _CounterProcessor(StatefulProcessor):
+    """Spark 4 stateful processor: per-user running counters in a
+    ValueState handle — the ``transformWithState`` twin of
+    ``_count_state`` above. The handle-based API adds what
+    applyInPandasWithState can't express: multiple named state variables,
+    timers, and TTL per state (RocksDB-backed in production)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("counts", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cum = self._state.get() if self._state.exists() else (0, 0.0)
+        batches = 0
+        for pdf in rows:
+            n += len(pdf)
+            cum += float(pdf["value"].sum())
+            batches += 1
+        self._state.update((n, cum))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cum_value": [round(cum, 2)],
+                "n_batches": [batches],
+            }
+        )
+
+
+def stateful_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user counters via Spark 4 ``transformWithStateInPandas``
+    (update mode, processing-time). Requires the RocksDB state store
+    provider — set by the caller/test via
+    ``spark.sql.streaming.stateStore.providerClass`` — and ``protobuf``
+    in the Python env (the TWS state-server wire protocol); the test
+    skips where protobuf is unavailable."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_CounterProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -147,3 +147,62 @@ def test_stream_stream_interval_join(spark, chunks):
     b = set(map(tuple, batch.select(*cols).collect()))
     assert o <= b
     assert len(o) >= 0.8 * len(b), f"stream join emitted {len(o)}/{len(b)} pairs"
+
+
+def test_transform_with_state_counts(spark, chunks):
+    """Spark 4 transformWithStateInPandas twin must reach the same final
+    per-user totals as the batch aggregate (and as applyInPandasWithState).
+
+    The TWS state-server protocol needs protobuf at runtime; skip where
+    the container lacks it (the applyInPandasWithState test above covers
+    the stateful semantics either way)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = replay.read_stream(spark, chunks)
+        out = replay.run_stream(streaming.stateful_counts_tws(stream), mode="update")
+        final = (
+            out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"), F.max("cum_value").alias("cum_value"))
+            .collect()
+        )
+        batch = {
+            r.user_id: (r.n, r.cum)
+            for r in load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("cum"))
+            .collect()
+        }
+        assert len(final) == len(batch)
+        for r in final:
+            n, cum = batch[r.user_id]
+            assert r.n_events == n
+            assert abs(r.cum_value - cum) < 0.05
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_foreach_batch_exactly_once_sink(spark, chunks):
+    """foreachBatch sink: all rows land exactly once across micro-batches,
+    and re-delivering a batch (same batch_id) does not duplicate rows."""
+    from bangdatapipeline_spark.streaming import sinks
+
+    stream = replay.read_stream(spark, chunks)
+    q, target = sinks.exactly_once_parquet_sink(
+        stream.select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    q.awaitTermination()
+    out = sinks.read_sink(spark, target)
+    ev = load_table(spark, SF, "events")
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+    # replay batch 0's content under its original batch_id — idempotent
+    # (materialize before overwriting the directory being read)
+    batch0 = spark.read.parquet(f"{target}/batch_id=0").toPandas()
+    spark.createDataFrame(batch0).write.mode("overwrite").parquet(f"{target}/batch_id=0")
+    out2 = sinks.read_sink(spark, target)
+    assert out2.count() == ev.count()
