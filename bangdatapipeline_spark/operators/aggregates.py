@@ -296,3 +296,43 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "agg_quantiles",
+    # Exact quantiles (linear interpolation) hash-match quantile_cont;
+    # the approx_percentile sketch is bounds-checked like the HLL above:
+    # its value must land within 1% (relative) of the exact median.
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_cont(l_extendedprice, 0.90), 2) AS p90,
+       'ok' AS approx_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile aggregation: exact percentiles (sort-based, interpolated —
+    matches ``quantile_cont``) next to the ``approx_percentile`` KLL-style
+    sketch. At 100 TB the exact form needs a per-group sort; the sketch is
+    the constant-memory mergeable path — the oracle pins its accuracy
+    contract instead of its value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.90D))"
+    )
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5D)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct.getItem(0), 2).alias("p25"),
+        F.round(pct.getItem(1), 2).alias("p50"),
+        F.round(pct.getItem(2), 2).alias("p75"),
+        F.round(pct.getItem(3), 2).alias("p90"),
+        F.when(
+            approx.between(exact_p50 * 0.99, exact_p50 * 1.01), F.lit("ok")
+        )
+        .otherwise(F.lit("out_of_bounds"))
+        .alias("approx_within_1pct"),
+    )

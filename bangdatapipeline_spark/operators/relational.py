@@ -92,3 +92,33 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(seg_nulled, F.lit("(none)")).alias("seg_filled"),
         seg_nulled.isNull().alias("is_building"),
     )
+
+
+_Q10_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN nation n    ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("sql_api_q10", oracle=_Q10_SQL)
+def sql_api_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the same ANSI text runs on spark.sql() and on
+    the DuckDB oracle verbatim (returned-item revenue, TPC-H Q10 shape) —
+    demonstrating that users can drive this engine with plain SQL over
+    registered views, not just the DataFrame API. Catalyst plans it
+    identically to the DataFrame form (broadcast dims, partial aggs,
+    TakeOrderedAndProject for the top-20)."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q10_SQL)
