@@ -81,3 +81,21 @@ def test_flagship_agg_is_codegen_partial_final(spark, sf_dir):
 def test_knn_broadcasts_query_side(spark, sf_dir):
     plan = _plan(REGISTRY["knn_cosine_topk"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_threshold_gemm_has_no_exchange(spark, sf_dir):
+    """The GEMM threshold self-join emits survivors where they're computed:
+    scan → mapInPandas → project, zero shuffles."""
+    plan = _plan(REGISTRY["knn_threshold_gemm"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_gemm_topk_shuffles_candidates_only(spark, sf_dir):
+    """The GEMM top-k's only exchange is the candidate set keyed on q_id
+    (for the global top-k window) — the corpus itself never shuffles."""
+    plan = _plan(REGISTRY["knn_gemm_topk"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    # the exchange must sit ABOVE the mapInPandas (candidates), not below
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas"), plan[:3000]
