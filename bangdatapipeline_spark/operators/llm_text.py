@@ -341,3 +341,57 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "tok", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
     )
+
+
+@register(
+    "pipeline_e2e",
+    oracle="""
+WITH feats AS (
+    SELECT doc_id, lang, n_chars, text,
+           len(string_split(text, ' '))                AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+    FROM documents
+), kept AS (
+    SELECT * FROM feats
+    WHERE n_words BETWEEN 20 AND 90
+      AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+), uniq AS (
+    SELECT * FROM kept
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                         AS n_docs,
+       CAST(sum(n_words) AS BIGINT)                     AS total_tokens,
+       round(avg(n_chars), 2)                           AS avg_chars,
+       round(avg(CAST(n_uniq AS DOUBLE) / n_words), 6)  AS avg_uniq_ratio
+FROM uniq GROUP BY lang
+""",
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end to end: quality filter (length band +
+    lexical diversity) → exact content dedup (md5, keep-lowest-doc_id) →
+    per-language corpus stats. One composed plan: the filter prunes before
+    the dedup shuffle (the only shuffle on raw content hashes), and the
+    final agg is partial→final on `lang`.
+
+    This is the composition story for the §2.10 operators — at 100 TB the
+    near-dup stage (``dedup_near_minhash``) slots in after the exact stage
+    with the same keep-lowest convention.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    n_words = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    kept = d.withColumn("n_words", n_words).withColumn("n_uniq", n_uniq).filter(
+        F.col("n_words").between(20, 90)
+        & (F.col("n_uniq").cast("double") / F.col("n_words") >= 0.3)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return uniq.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.col("n_uniq").cast("double") / F.col("n_words")), 6).alias(
+            "avg_uniq_ratio"
+        ),
+    )

@@ -122,3 +122,25 @@ def sql_api_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q10_SQL)
+
+
+_CORR_SUBQ_SQL = """
+SELECT o.o_custkey,
+       o.o_orderkey,
+       round(o.o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                        FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("subquery_correlated", oracle=_CORR_SUBQ_SQL)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 50% above their customer's own
+    average — same ANSI text on spark.sql() and the oracle. Catalyst
+    decorrelates it into an aggregate + self-join (no per-row re-execution),
+    so the plan is two scans + one shuffle on o_custkey, scale-safe.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SUBQ_SQL)
