@@ -9,6 +9,7 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     reshape,
+    sampling,
     setops,
     similarity,
     streaming_batch,

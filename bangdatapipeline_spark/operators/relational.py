@@ -144,3 +144,91 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+_Q17_SQL = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_qty
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#12', 'Brand#23')
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("sql_api_q17", oracle=_Q17_SQL)
+def sql_api_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    subquery over the FACT table, correlated through the dimension. At
+    scale the decorrelated per-part average is a partial->final agg over
+    lineitem re-joined on l_partkey — Catalyst plans exactly that (one
+    extra fact shuffle, no per-row re-execution); the brand filter
+    broadcasts from part to prune both fact scans.
+    """
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SQL)
+
+
+_Q18_SQL = """
+SELECT c.c_name,
+       o.o_custkey,
+       o.o_orderkey,
+       o.o_orderdate,
+       round(o.o_totalprice, 2) AS totalprice,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l2.l_orderkey
+                       FROM lineitem l2
+                       GROUP BY l2.l_orderkey
+                       HAVING sum(l2.l_quantity) > 300)
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("sql_api_q18", oracle=_Q18_SQL)
+def sql_api_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+    subquery on the fact table. Catalyst rewrites the IN to a left-semi
+    join against the aggregated subquery; both lineitem passes shuffle on
+    l_orderkey so AQE can reuse the exchange. Unique tie-break: o_orderkey.
+    """
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("sql_api_q15", oracle=_Q15_SQL)
+def sql_api_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a CTE referenced twice — once
+    joined, once inside an uncorrelated scalar max() subquery. Catalyst
+    evaluates the scalar subquery as a one-row broadcast; with AQE the
+    grouped `revenue` exchange is computed once and reused for both
+    consumers rather than rescanning lineitem.
+    """
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q15_SQL)

@@ -1,0 +1,104 @@
+"""Deterministic sampling operators (training-data-pipeline surface).
+
+A 100-TB corpus pipeline needs *reproducible* sampling: the same subset
+must come out on every engine, every partitioning, every rerun — for
+held-out eval splits, ablation subsets, and per-stratum rebalancing.
+Spark's ``df.sample``/``sampleBy`` are seeded per-partition and therefore
+NOT stable across partitionings or engines, so the scale-correct recipe
+is content-hash gating: ``md5(key) < threshold`` selects a uniform
+pseudo-random fraction, identically everywhere, with zero shuffle — the
+predicate is a per-row filter evaluated inside the scan's codegen stage.
+
+Lowercase-hex md5 strings compare lexicographically in numeric order
+('0'-'9' < 'a'-'f' in ASCII), so an 8-hex-digit prefix threshold IS the
+sampling fraction in hex (e.g. '80000000' = 50%, '33333333' = 20%).
+DuckDB and Spark both hash the UTF-8 bytes of the key string, so the
+oracle is the very same predicate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+def _hash_gate(key_col):
+    """First 8 hex digits of md5(key) — a uniform draw in ['00000000','ffffffff']."""
+    return F.substring(F.md5(F.encode(key_col.cast("string"), "utf-8")), 1, 8)
+
+
+@register(
+    "sample_hash_det",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '33333333'
+""",
+)
+def sample_hash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform ~20% deterministic sample of orders by content hash.
+
+    Same rows selected on any engine / partitioning / rerun. The gate is
+    a scan-stage filter: no shuffle, no state, trivially scales — and the
+    sample is *consistent* across tables keyed on the same column (e.g.
+    gating lineitem on l_orderkey yields the matching child rows, the
+    classic reproducible-join-sample trick).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(_hash_gate(F.col("o_orderkey")) < "33333333").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH gated AS (
+    SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+           substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS gate,
+           CASE c_mktsegment
+               WHEN 'AUTOMOBILE' THEN '80000000'
+               WHEN 'BUILDING'   THEN '40000000'
+               ELSE                   '1a000000'
+           END AS threshold
+    FROM customer
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT)      AS n_sampled,
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum,
+       round(avg(c_acctbal), 3)      AS avg_bal
+FROM gated
+WHERE gate < threshold
+GROUP BY segment
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (50% AUTOMOBILE,
+    25% BUILDING, ~10% rest) via a CASE-selected hash threshold.
+
+    This is `sampleBy` done reproducibly: the rate table is a tiny CASE
+    expression (at 100 TB: a broadcast map), the gate stays in the scan
+    stage, and only the post-sample aggregation shuffles — on data that is
+    already down-sampled. ``key_checksum`` pins the exact membership of
+    the sample, not just its size.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    threshold = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "80000000")
+        .when(F.col("c_mktsegment") == "BUILDING", "40000000")
+        .otherwise("1a000000")
+    )
+    return (
+        c.filter(_hash_gate(F.col("c_custkey")) < threshold)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("c_custkey").alias("key_checksum"),
+            F.round(F.avg("c_acctbal"), 3).alias("avg_bal"),
+        )
+    )
