@@ -282,3 +282,45 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
         & (c.click_ts <= p.purchase_ts),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+@register(
+    "stream_stream_left_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+""",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: every purchase, with its attributing
+    clicks where they exist and NULLs where none — the batch twin of a
+    watermarked left-outer stream-stream join (unattributed-conversion
+    shape).
+
+    Streaming variant: streaming.interval_left_join_streams — the outer
+    (NULL) rows are emitted only once the watermark passes the purchase's
+    interval, which is exactly the state-expiry bound; join state stays
+    O(watermark + interval) per side at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.click_ts <= p.purchase_ts),
+        "left",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")

@@ -223,3 +223,38 @@ def interval_join_streams(events: DataFrame, watermark: str = WATERMARK_DELAY) -
         & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
         & (c.click_ts <= p.purchase_ts),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+def interval_left_join_streams(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_stream_left_join``: watermarked
+    left-outer interval join. The engine holds a purchase in state until
+    the watermark passes ``purchase_ts`` (its match window has closed),
+    then emits it with NULL click columns if nothing matched — so outer
+    results are late by exactly the watermark delay, and state per side
+    is bounded by watermark + interval."""
+    ev = _event_time(events)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.click_ts <= p.purchase_ts),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")

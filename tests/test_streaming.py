@@ -206,3 +206,23 @@ def test_foreach_batch_exactly_once_sink(spark, chunks):
     spark.createDataFrame(batch0).write.mode("overwrite").parquet(f"{target}/batch_id=0")
     out2 = sinks.read_sink(spark, target)
     assert out2.count() == ev.count()
+
+
+def test_stream_stream_left_outer_join(spark, chunks):
+    """Left-outer interval join: matched pairs and NULL (unattributed)
+    purchases emitted by the stream must each be a subset of the batch
+    twin's; outer rows appear only after the watermark closes a
+    purchase's window, so the stream's tail stays pending."""
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(streaming.interval_left_join_streams(stream), mode="append")
+    batch = REGISTRY["stream_stream_left_join"].fn(spark, SF)
+    o_pairs = {(r.purchase_id, r.click_id) for r in out.collect()}
+    b_pairs = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    o_matched = {p for p in o_pairs if p[1] is not None}
+    b_matched = {p for p in b_pairs if p[1] is not None}
+    o_null = {p[0] for p in o_pairs if p[1] is None}
+    b_null = {p[0] for p in b_pairs if p[1] is None}
+    assert o_matched <= b_matched
+    assert len(o_matched) >= 0.8 * len(b_matched)
+    assert o_null <= b_null, f"{len(o_null - b_null)} spurious outer rows"
+    assert o_null, "no outer (unattributed) rows emitted at all"
