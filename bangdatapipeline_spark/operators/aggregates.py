@@ -336,3 +336,40 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("out_of_bounds"))
         .alias("approx_within_1pct"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT)  AS n_events,
+       round(sum(value), 2)      AS sum_value,
+       round(max(value), 2)      AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-level aggregation: groupBy(key, salt) partial →
+    groupBy(key) combine, algebraically identical to the plain GROUP BY
+    (the oracle IS the plain GROUP BY — this hash-check pins the
+    equivalence that makes salting safe to deploy).
+
+    At 100 TB a hot user would make one reducer the straggler; the salt
+    splits each key across 16 reducers in the first exchange, and the
+    second exchange only carries #keys x 16 pre-aggregated rows. Only
+    algebraic aggregates (count/sum/max) compose this way — that
+    constraint is the point of the pattern.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+        F.round(F.max("pmax"), 2).alias("max_value"),
+    )

@@ -47,9 +47,12 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_langid", "text_langid"),
     ("events_time_rollup", "agg_time_rollup"),
     ("emb_label_purity", "label_purity"),
-    ("emb_threshold_pairs", "knn_threshold_pairs"),
     ("emb_knn_gemm", "knn_gemm_topk"),
+    # threshold self-join is benched through its production kernel (GEMM);
+    # the expression-fold form knn_threshold_pairs stays registered for the
+    # correctness gate but is ~25x slower and not the recommended path.
     ("emb_threshold_gemm", "knn_threshold_gemm"),
+    ("events_salted_agg", "agg_salted_skew"),
 ]
 
 RUNS = 3
