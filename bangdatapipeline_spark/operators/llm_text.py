@@ -395,3 +395,135 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_uniq_ratio"
         ),
     )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, n_toks,
+           coalesce(sum(n_toks) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+    FROM t
+)
+SELECT lang,
+       CAST(floor(prev / 256) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT)          AS n_docs,
+       CAST(sum(n_toks) AS BIGINT)       AS n_tokens,
+       CAST(min(doc_id) AS BIGINT)       AS first_doc
+FROM c GROUP BY lang, bin
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to contiguous ~256-token training bins
+    per language via an exclusive prefix sum over token counts — the
+    shuffle-once, state-free form of greedy packing (a doc may straddle a
+    boundary; bins average the budget, which is what a packer that splits
+    straddlers achieves exactly).
+
+    At 100 TB: one window shuffle per partition key (lang), then the agg
+    reuses the same partitioning — no second exchange. The iterative
+    "never overflow" greedy is inherently sequential; this prefix-sum
+    contract is the one that scales, and the oracle pins it.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_toks"),
+    ).withColumn("prev", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    return c.groupBy(
+        "lang", F.floor(F.col("prev") / 256).alias("bin")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               greatest(0, CAST(ceil((len(toks) - 32) / 16.0) AS INT)))) AS ci
+    FROM t
+)
+SELECT doc_id,
+       CAST(ci AS INT)                                            AS chunk_idx,
+       CAST(len(list_slice(toks, ci*16 + 1, ci*16 + 32)) AS INT)  AS n_chunk_toks,
+       md5(array_to_string(list_slice(toks, ci*16 + 1, ci*16 + 32), ' ')) AS chunk_md5
+FROM s
+""",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each doc into 32-token windows with
+    stride 16 (50% overlap) — the standard pretraining/RAG chunker. Pure
+    narrow ops: tokenize, generate window starts, slice — no shuffle at
+    all; output is verified by per-chunk content hash.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    n_chunks = F.expr("greatest(0, cast(ceil((size(toks) - 32) / 16.0) as int))")
+    return (
+        d.select("doc_id", "toks", F.sequence(F.lit(0), n_chunks).alias("cis"))
+        .select("doc_id", "toks", F.explode("cis").alias("ci"))
+        .select(
+            "doc_id",
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.expr("size(slice(toks, ci*16 + 1, 32))").cast("int").alias("n_chunk_toks"),
+            F.md5(
+                F.encode(F.expr("concat_ws(' ', slice(toks, ci*16 + 1, 32))"), "utf-8")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "text_rep_ngram",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(1, len(toks) - 2)),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT)                AS n_grams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
+FROM g
+""",
+)
+def text_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition scoring (Gopher-style quality signal): fraction of
+    duplicated 3-grams per document. High rep_ratio = boilerplate/spam
+    candidate for the quality filter. Per-row array expressions only — the
+    whole query is one codegen stage over the scan, embarrassingly
+    parallel at any scale.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(1, size(toks) - 2)),"
+        " i -> concat_ws(' ', slice(toks, i, 3)))"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 6
+        ).alias("rep_ratio"),
+    )
