@@ -99,3 +99,33 @@ def test_gemm_topk_shuffles_candidates_only(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     # the exchange must sit ABOVE the mapInPandas (candidates), not below
     assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas"), plan[:3000]
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking is pure narrow ops: no Exchange anywhere."""
+    plan = _plan(REGISTRY["text_chunk_sliding"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_rep_ngram_is_shuffle_free(spark, sf_dir):
+    plan = _plan(REGISTRY["text_rep_ngram"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_hash_sample_is_scan_stage_filter(spark, sf_dir):
+    """The md5-gate sample is a per-row filter fused into the scan's
+    codegen stage — no shuffle, no extra stage."""
+    plan = _plan(REGISTRY["sample_hash_det"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Filter" in plan
+
+
+def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
+    """Packing shuffles once on lang for the prefix-sum window; the
+    following per-(lang,bin) agg must NOT add a second hashpartitioning
+    exchange on the full data (only AQE's final coalesce may appear)."""
+    df = REGISTRY["pack_sequences"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+    assert "Window" in plan

@@ -93,3 +93,35 @@ def test_centroid_purity_bounds(spark, sf_dir):
     assert len(rows) == 10  # labels 0..9
     for r in rows:
         assert -1.0 <= r.min_cos <= r.avg_cos <= r.max_cos <= 1.0
+
+
+def test_hash_sample_stable_across_partitionings(spark, sf_dir):
+    """The md5-gate sample must select the exact same rows regardless of
+    partitioning (the property Spark's seeded df.sample lacks)."""
+    from bangdatapipeline_spark.operators.sampling import _hash_gate
+
+    o = load_table(spark, sf_dir, "orders")
+    base = {r.o_orderkey for r in
+            o.filter(_hash_gate(F.col("o_orderkey")) < "33333333").collect()}
+    reparted = {r.o_orderkey for r in
+                o.repartition(7, "o_custkey")
+                .filter(_hash_gate(F.col("o_orderkey")) < "33333333").collect()}
+    assert base == reparted
+    n = o.count()
+    assert 0.18 <= len(base) / n <= 0.22, f"{len(base)}/{n}"
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Per-stratum realized rates track the configured thresholds."""
+    from bangdatapipeline_spark.registry import load_all
+
+    sampled = {r.segment: r.n_sampled
+               for r in load_all()["sample_stratified"].fn(spark, sf_dir).collect()}
+    totals = {r.c_mktsegment: r.n
+              for r in load_table(spark, sf_dir, "customer")
+              .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    want = {"AUTOMOBILE": 0.5, "BUILDING": 0.25}
+    for seg, n in sampled.items():
+        rate = n / totals[seg]
+        target = want.get(seg, 0.102)
+        assert abs(rate - target) <= 0.06, f"{seg}: {rate:.3f} vs {target}"
