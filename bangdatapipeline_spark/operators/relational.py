@@ -232,3 +232,57 @@ def sql_api_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q15_SQL)
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("sql_api_q4", oracle=_Q4_SQL)
+def sql_api_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS with a
+    non-equi conjunct. Catalyst rewrites it to a left-semi join on
+    l_orderkey with the l_shipdate > o_orderdate residual — one fact
+    shuffle each side, date filter pushed to the orders scan.
+    """
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_SQL)
+
+
+_Q22_SQL = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT)  AS n_cust,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal)
+                     FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c.c_nationkey
+"""
+
+
+@register("sql_api_q22", oracle=_Q22_SQL)
+def sql_api_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity, phone-prefix predicate
+    replaced by the balance filter the testdata supports): above-average
+    balance customers with no high-value order — an uncorrelated scalar
+    subquery (one-row broadcast) plus NOT EXISTS → left-anti join against
+    the filtered orders. The anti join probes on o_custkey only — column
+    pruning cuts the orders scan to a single column.
+    """
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)
