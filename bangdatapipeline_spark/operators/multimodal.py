@@ -140,3 +140,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     features. The oracle re-expresses the deterministic fake decoder's
     arithmetic in SQL over the same source rows."""
     return extract_features(build_assets(spark, sf_dir))
+
+
+MAX_SAMPLED_FRAMES = 16
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+WITH vids AS (
+    SELECT doc_id AS asset_id,
+           CAST(((n_chars * 10) % 60000 + 1000) // {FRAME_EVERY_MS} AS INT) AS n_frames
+    FROM documents
+    WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] = 'video'
+), strided AS (
+    SELECT asset_id, n_frames,
+           CAST(ceil(n_frames / {MAX_SAMPLED_FRAMES}.0) AS INT) AS stride
+    FROM vids WHERE n_frames > 0
+)
+SELECT asset_id,
+       CAST(unnest(generate_series(0, n_frames - 1, stride)) AS INT) AS frame_idx,
+       CAST(unnest(generate_series(0, n_frames - 1, stride)) * {FRAME_EVERY_MS} AS INT) AS ts_ms,
+       n_frames
+FROM strided
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling to rows: each video asset yields ≤16 uniformly
+    strided (frame_idx, ts_ms) rows — the unit of work a frame-level
+    vision encoder consumes. Pure narrow ops (sequence + explode) off the
+    metadata only: the binary payload never leaves the scan stage, so at
+    100 TB the generated frame table shuffles timestamps, not video bytes
+    (the per-frame decode then runs as a mapInPandas stage keyed by
+    (asset_id, ts_ms) against lazily-fetched byte ranges)."""
+    a = build_assets(spark, sf_dir)
+    vids = a.filter(F.col("kind") == "video").select(
+        "asset_id",
+        (F.col("meta.duration_ms") / FRAME_EVERY_MS).cast("int").alias("n_frames"),
+    ).filter(F.col("n_frames") > 0)
+    strided = vids.withColumn(
+        "stride", F.ceil(F.col("n_frames") / float(MAX_SAMPLED_FRAMES)).cast("int")
+    )
+    return strided.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.col("stride"))
+        ).alias("frame_idx"),
+        "n_frames",
+    ).select(
+        "asset_id",
+        F.col("frame_idx").cast("int"),
+        (F.col("frame_idx") * FRAME_EVERY_MS).cast("int").alias("ts_ms"),
+        "n_frames",
+    )
