@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.registry import REGISTRY, register
 from bangdatapipeline_spark.tables import load_table
 
 P = 2147483647  # 2^31 - 1 (Mersenne prime) — modulus for all hashes
@@ -269,4 +269,96 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fp.withColumn(
         "dup_count", F.count("*").over(Window.partitionBy("simhash16")).cast("bigint")
+    )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, {DUCK_SHINGLES} AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+    WHERE len(ws) >= 3
+), hashed AS (
+    SELECT doc_id, s,
+           list_transform(s, sg -> {DUCK_STRHASH.format(s='sg')}) AS hs
+    FROM sh
+), sig AS (
+    SELECT doc_id, s, {_duck_minhash_sig()} AS sig FROM hashed
+), bexp AS (
+    SELECT doc_id, s,
+           unnest(list_transform(generate_series(0, {BANDS - 1}),
+               g -> g || ':' || array_to_string(
+                   list_slice(sig, g * {ROWS_PER_BAND} + 1, g * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ','))) AS key
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+    FROM bexp a JOIN bexp b ON a.key = b.key AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM cand WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT a AS id FROM edges
+), reach(node, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+), lab AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-verified
+    MinHash pair graph, by iterative min-label propagation — the step a
+    real dedup runs after pair detection (keep min doc_id per component,
+    drop the rest).
+
+    Each round is one equi-join + partial-min aggregation; labels only
+    ever decrease, so convergence is checked by the (monotone) label sum
+    and takes O(component diameter) rounds — near-dup components are
+    near-cliques, so 2-3 rounds in practice. At 100 TB the same loop runs
+    with the large-star/small-star optimization (alternate join
+    directions) to bound round count on pathological chains;
+    ``localCheckpoint`` caps lineage growth per round.
+    """
+    pairs = REGISTRY["dedup_near_minhash"].fn(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(50):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
     )

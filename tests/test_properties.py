@@ -125,3 +125,22 @@ def test_stratified_sample_rates(spark, sf_dir):
         rate = n / totals[seg]
         target = want.get(seg, 0.102)
         assert abs(rate - target) <= 0.06, f"{seg}: {rate:.3f} vs {target}"
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair lands in one cluster; each cluster is labeled
+    by its min member (the canonical keep-doc)."""
+    from bangdatapipeline_spark.registry import load_all
+
+    reg = load_all()
+    pairs = [(r.id_a, r.id_b)
+             for r in reg["dedup_near_minhash"].fn(spark, sf_dir).collect()]
+    lab = {r.doc_id: r.cluster_id
+           for r in reg["dedup_clusters"].fn(spark, sf_dir).collect()}
+    for a, b in pairs:
+        assert lab[a] == lab[b], (a, b)
+    by_cluster = {}
+    for doc, c in lab.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
