@@ -324,3 +324,77 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c.click_ts <= p.purchase_ts),
         "left",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purch
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    GROUP BY e.user_id
+)
+SELECT CAST(count(v.user_id) AS BIGINT)  AS n_view,
+       CAST(count(c.user_id) AS BIGINT)  AS n_click,
+       CAST(count(p.user_id) AS BIGINT)  AS n_purchase,
+       round(avg(datediff('second', v.t_view, p.t_purch)), 2) AS avg_secs_to_convert
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → first click at-or-after that view →
+    first purchase at-or-after that click, counted per stage plus mean
+    view→purchase latency for completers — the product-analytics staple.
+
+    Each stage is a groupBy(user_id) min joined to the previous stage, so
+    all three stages and the final join share ONE partitioning key; on a
+    cluster the exchanges after the first are reused. Events with other
+    types are filtered before any shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click").alias("e")
+        .join(v, "user_id")
+        .filter(F.col("e.ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase").alias("e")
+        .join(c, "user_id")
+        .filter(F.col("e.ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purch"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purch").alias("n_purchase"),
+            # truncate to seconds first: DuckDB's datediff('second',...)
+            # counts boundary crossings, not floored exact differences
+            F.round(
+                F.avg(
+                    F.expr(
+                        "timestampdiff(SECOND, date_trunc('SECOND', t_view),"
+                        " date_trunc('SECOND', t_purch))"
+                    )
+                ),
+                2,
+            ).alias("avg_secs_to_convert"),
+        )
+    )

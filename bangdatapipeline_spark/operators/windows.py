@@ -141,3 +141,36 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
     )
+
+
+@register(
+    "win_range_time",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
+       round(sum(value) OVER w, 2)       AS val_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, rolling count/sum over the
+    trailing hour at every event — the per-event sliding aggregate
+    (rate-limiting, burst detection). The frame is defined on event TIME,
+    not row offsets, so ties and gaps behave identically on both engines
+    (RANGE includes peers). One shuffle on user_id; the frame scan is a
+    single sorted pass per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ-safe epoch seconds (no session-timezone dependence, unlike a
+    # cast through TIMESTAMP): integer ordering for the RANGE frame.
+    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("val_last_hour"),
+    )
