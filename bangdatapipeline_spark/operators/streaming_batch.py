@@ -398,3 +398,63 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_secs_to_convert"),
         )
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS cohort_date
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT f.cohort_date,
+           CAST(datediff('day', f.cohort_date, date_trunc('day', e.ts)) AS INT) AS day_offset,
+           e.user_id
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+), sized AS (
+    SELECT cohort_date, day_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_date, day_offset
+)
+SELECT s.cohort_date, s.day_offset, s.n_active,
+       round(CAST(s.n_active AS DOUBLE) / c.n_active, 6) AS retention
+FROM sized s JOIN sized c
+  ON c.cohort_date = s.cohort_date AND c.day_offset = 0
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort, day-offset) the distinct active users and the retention
+    fraction against day 0.
+
+    Shuffle shape: one agg on user_id (firsts), one join back on user_id
+    (same key — exchange reuse), one distinct on (cohort, offset, user) —
+    then the tiny per-cohort table self-joins broadcast-style for the
+    day-0 denominator. No row explosion anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_date")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.date_trunc("day", F.col("ts")),
+                       F.col("cohort_date")).cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sized = activity.groupBy("cohort_date", "day_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    day0 = (
+        sized.filter(F.col("day_offset") == 0)
+        .select("cohort_date", F.col("n_active").alias("n_day0"))
+    )
+    return sized.join(day0, "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / F.col("n_day0"), 6).alias("retention"),
+    )
