@@ -362,3 +362,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register(
+    "fuzzy_match_names",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer-name pairs within edit distance 1,
+    blocked on nation — the classic blocking strategy that turns a global
+    n² string comparison into per-block quadratics. The equi-conjunct
+    (nationkey) makes the join a hash join; levenshtein runs only on
+    within-block pairs. At 100 TB, blocking keys get finer (nation ×
+    name-prefix × length band) so block sizes stay bounded — same plan
+    shape, same one shuffle on the blocking key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int"))
+    )

@@ -53,6 +53,10 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     # correctness gate but is ~25x slower and not the recommended path.
     ("emb_threshold_gemm", "knn_threshold_gemm"),
     ("events_salted_agg", "agg_salted_skew"),
+    ("events_funnel", "events_funnel"),
+    ("events_retention", "events_retention"),
+    ("doc_pack_sequences", "pack_sequences"),
+    ("doc_chunk_sliding", "text_chunk_sliding"),
 ]
 
 RUNS = 3
