@@ -373,3 +373,31 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 2).alias("sum_value"),
         F.round(F.max("pmax"), 2).alias("max_value"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS lo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bucket arithmetic in the
+    projection, then an agg on a bounded key space — the distribution
+    profile every data-quality dashboard starts with. Map-side partials
+    collapse the volume before the (tiny) shuffle; the same plan at 100 TB
+    moves only #buckets x #partitions rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        bucket.alias("bucket"), (bucket * 50000).alias("lo")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
