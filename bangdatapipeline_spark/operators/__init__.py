@@ -13,6 +13,7 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     setops,
     similarity,
     streaming_batch,
+    tpch_sql,
     udfs,
     windows,
 )

@@ -129,3 +129,20 @@ def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
     assert "Window" in plan
+
+
+def test_q8_broadcasts_all_dims_single_exchange(spark, sf_dir):
+    """TPC-H Q8's eight-table join must broadcast every dimension: the
+    only hashpartitioning exchange in the plan is the final (o_year)
+    aggregate. A second exchange would mean a fact-side shuffle join."""
+    plan = _plan(REGISTRY["sql_api_q8"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 7, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS self-correlations must plan as left-semi
+    and left-anti joins (never a per-row subquery re-execution)."""
+    plan = _plan(REGISTRY["sql_api_q21"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
