@@ -327,6 +327,55 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       coalesce(p.user_id, c.user_id) AS user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+""",
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer interval join: attributed (purchase, click) pairs PLUS
+    unattributed purchases PLUS unattributing clicks, in one result — the
+    batch twin of a watermarked full-outer stream-stream join (the
+    "both-sides audit" shape: nothing from either stream is dropped).
+
+    Streaming variant: streaming.interval_full_join_streams — each side's
+    outer rows are emitted when ITS watermark closes the row's match
+    window, so state stays bounded on both sides exactly as in the
+    left-outer case.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.click_ts <= p.purchase_ts),
+        "full",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
 WITH v AS (

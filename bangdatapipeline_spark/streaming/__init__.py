@@ -258,3 +258,44 @@ def interval_left_join_streams(events: DataFrame, watermark: str = WATERMARK_DEL
         & (c.click_ts <= p.purchase_ts),
         "leftOuter",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+def interval_full_join_streams(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming twin of ``stream_stream_full_join``: watermarked
+    full-outer interval join. Purchases are held until the purchase-side
+    watermark closes their window (then emitted with NULL click columns
+    if unmatched); clicks symmetrically on their side. Both states are
+    bounded by watermark + interval — the full-outer case costs no more
+    state than left-outer, it just expires BOTH sides with emission."""
+    ev = _event_time(events)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.click_ts <= p.purchase_ts),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )

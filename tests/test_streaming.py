@@ -226,3 +226,26 @@ def test_stream_stream_left_outer_join(spark, chunks):
     assert len(o_matched) >= 0.8 * len(b_matched)
     assert o_null <= b_null, f"{len(o_null - b_null)} spurious outer rows"
     assert o_null, "no outer (unattributed) rows emitted at all"
+
+
+def test_stream_stream_full_outer_join(spark, chunks):
+    """Full-outer interval join: matched pairs, NULL-click purchases, and
+    NULL-purchase clicks from the stream must each be a subset of the
+    batch twin's sets; both outer directions must actually emit."""
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(streaming.interval_full_join_streams(stream), mode="append")
+    batch = REGISTRY["stream_stream_full_join"].fn(spark, SF)
+    o_rows = [(r.purchase_id, r.click_id) for r in out.collect()]
+    b_rows = [(r.purchase_id, r.click_id) for r in batch.collect()]
+    o_matched = {p for p in o_rows if p[0] is not None and p[1] is not None}
+    b_matched = {p for p in b_rows if p[0] is not None and p[1] is not None}
+    o_null_click = {p[0] for p in o_rows if p[1] is None}
+    b_null_click = {p[0] for p in b_rows if p[1] is None}
+    o_null_purch = {p[1] for p in o_rows if p[0] is None}
+    b_null_purch = {p[1] for p in b_rows if p[0] is None}
+    assert o_matched <= b_matched
+    assert len(o_matched) >= 0.8 * len(b_matched)
+    assert o_null_click <= b_null_click, f"{len(o_null_click - b_null_click)} spurious purchase-side outer rows"
+    assert o_null_purch <= b_null_purch, f"{len(o_null_purch - b_null_purch)} spurious click-side outer rows"
+    assert o_null_click, "no purchase-side outer rows emitted"
+    assert o_null_purch, "no click-side outer rows emitted"
