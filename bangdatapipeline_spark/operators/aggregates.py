@@ -401,3 +401,124 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
     )
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, sum(value) AS val
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT s.user_id, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hr
+  FROM spans s
+),
+j AS (
+  SELECT g.user_id, g.hr, h.val
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+),
+f AS (
+  SELECT user_id, hr, val,
+         last_value(val IGNORE NULLS) OVER w_prev AS prev_val,
+         last_value(CASE WHEN val IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_prev AS prev_hr,
+         first_value(val IGNORE NULLS) OVER w_next AS next_val,
+         first_value(CASE WHEN val IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_next AS next_hr
+  FROM j
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hr,
+       (val IS NOT NULL) AS is_observed,
+       round(prev_val, 2) AS locf,
+       CASE WHEN val IS NOT NULL THEN val
+            WHEN prev_val IS NULL THEN next_val
+            WHEN next_val IS NULL THEN prev_val
+            ELSE prev_val + (next_val - prev_val)
+                 * date_diff('hour', prev_hr, hr)
+                 / date_diff('hour', prev_hr, next_hr) END AS lerp
+FROM f
+"""
+
+
+@register("events_gapfill", oracle=_GAPFILL_ORACLE)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable `time_bucket_gapfill`
+    operation): per-user hourly rollups densified to a continuous hourly
+    grid between each user's first and last observation, with BOTH
+    standard fill policies — locf (last observation carried forward) and
+    linear interpolation between the surrounding observations.
+
+    Plan shape: the rollup and the span bounds are two aggregates over
+    the same shuffle key; the grid is `explode(sequence(lo, hi, 1h))` —
+    rows are GENERATED at the executor, never shuffled in; the fills are
+    two window passes over (user_id, hr), which reuse the rollup's
+    hash-partitioning on user_id. At 100 TB the dense grid never
+    materializes anywhere except streaming through the window operator —
+    there is no grid × fact join blowup, and each user's series is one
+    partition-local sorted run (skew = longest single series, bounded by
+    span/granularity, not by event count).
+
+    lerp is emitted UNROUNDED: the 2-decimal source values put many
+    interpolants exactly on .005 boundaries, where a 1-ulp cross-engine
+    difference flips round(x, 2); the comparator's 12-significant-digit
+    normalization absorbs ulp noise instead (docs/dialect_notes.md).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum("value").alias("val"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_hr = F.when(F.col("val").isNotNull(), F.col("hr"))
+    f = j.select(
+        "user_id",
+        "hr",
+        "val",
+        F.last("val", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(observed_hr, ignorenulls=True).over(w_prev).alias("prev_hr"),
+        F.first("val", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(observed_hr, ignorenulls=True).over(w_next).alias("next_hr"),
+    )
+    hours = lambda a, b: F.expr(f"timestampdiff(HOUR, {a}, {b})")  # noqa: E731
+    lerp = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * hours("prev_hr", "hr")
+            / hours("prev_hr", "next_hr")
+        )
+    )
+    return f.select(
+        "user_id",
+        "hr",
+        F.col("val").isNotNull().alias("is_observed"),
+        F.round("prev_val", 2).alias("locf"),
+        lerp.alias("lerp"),
+    )

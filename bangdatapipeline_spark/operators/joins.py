@@ -264,3 +264,35 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_code"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       round(t.o_totalprice, 2) AS totalprice, t.rn
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice,
+         CAST(row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rn
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — "top-2 orders for each qualifying
+    customer" as a per-row dependent subquery, the SQL-standard spelling
+    of the grouped top-k. The same ANSI text runs on spark.sql() and the
+    oracle. Catalyst plans the lateral as a decorrelated join + windowed
+    rank limit (never a per-customer re-execution), so the shape scales
+    exactly like win_topk_per_group: one shuffle on the correlation key.
+    Unique tie-break (o_orderkey) keeps the per-customer LIMIT
+    deterministic on both engines.
+    """
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

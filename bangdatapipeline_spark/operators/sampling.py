@@ -102,3 +102,45 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 3).alias("avg_bal"),
         )
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       least(1.0, o_totalprice / 500000.0) AS incl_p,
+       1.0 / least(1.0, o_totalprice / 500000.0) AS ht_weight
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+      / 4503599627370496.0
+      < least(1.0, o_totalprice / 500000.0)
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (importance) Bernoulli sampling, fully deterministic:
+    each order is kept with probability proportional to its value, and
+    the emitted Horvitz-Thompson weight (1/p) makes any downstream sum
+    an unbiased estimate of the population total — the standard recipe
+    for value-weighted training-data subsampling at corpus scale.
+
+    Determinism across engines with NO float hazard: the uniform draw is
+    the first 13 hex digits of md5(key) read as a 52-bit integer divided
+    by 2^52 (exact in double), and the inclusion probability is a single
+    correctly-rounded division — both bit-identical on Spark and DuckDB,
+    so `u < p` selects the same rows everywhere, like the uniform gate.
+    Plan: still a pure scan-stage filter — no shuffle, no state.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        / F.lit(4503599627370496.0)
+    )
+    p = F.least(F.lit(1.0), F.col("o_totalprice") / F.lit(500000.0))
+    return o.filter(u < p).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        p.alias("incl_p"),
+        (F.lit(1.0) / p).alias("ht_weight"),
+    )

@@ -144,3 +144,62 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         by_cluster.setdefault(c, []).append(doc)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_weighted_sample_ht_estimator_unbiased(spark, sf_dir):
+    """The Horvitz-Thompson reweighted total of the weighted sample must
+    estimate the true population total (within sampling error), and
+    every emitted weight must be 1/incl_p with incl_p in (0, 1]."""
+    from bangdatapipeline_spark.registry import load_all
+
+    reg = load_all()
+    sample = reg["sample_weighted"].fn(spark, sf_dir).collect()
+    true_total = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum("o_totalprice")).collect()[0][0]
+    )
+    ht_total = sum(r.totalprice * r.ht_weight for r in sample)
+    assert abs(ht_total - true_total) / true_total < 0.05, (ht_total, true_total)
+    for r in sample[:200]:
+        assert 0 < r.incl_p <= 1.0
+        assert abs(r.ht_weight - 1.0 / r.incl_p) < 1e-12
+
+
+def test_weighted_sample_is_scan_stage_filter(spark, sf_dir):
+    """Weighted gate = per-row filter fused into the scan stage: no
+    Exchange in the plan (same property as the uniform hash gate)."""
+    from bangdatapipeline_spark.registry import load_all
+
+    plan = (load_all()["sample_weighted"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_gapfill_invariants(spark, sf_dir):
+    """Gap-filled series: hourly-continuous per user, locf equals the
+    last observed rollup, lerp is bounded by its bracketing observations
+    on gap rows, and observed rows carry their own value in both fills."""
+    from bangdatapipeline_spark.registry import load_all
+
+    rows = load_all()["events_gapfill"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, series in by_user.items():
+        series.sort(key=lambda r: r.hr)
+        for a, b in zip(series, series[1:]):
+            assert (b.hr - a.hr).total_seconds() == 3600, (user, a.hr, b.hr)
+        # forward scan: locf on a gap row == last observed locf
+        last_locf = None
+        for r in series:
+            if r.is_observed:
+                last_locf = r.locf
+            elif last_locf is not None:
+                assert r.locf == last_locf, (user, r.hr)
+        # lerp bounded by bracketing observed values on interior gaps
+        obs = [(i, r.lerp) for i, r in enumerate(series) if r.is_observed]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for r in series[i0 + 1:i1]:
+                assert lo - 1e-9 <= r.lerp <= hi + 1e-9, (user, r.hr, r.lerp)
