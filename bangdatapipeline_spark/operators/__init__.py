@@ -4,6 +4,7 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     aggregates,
     dedup_near,
     functions,
+    graph_analytics,
     joins,
     llm_text,
     multimodal,

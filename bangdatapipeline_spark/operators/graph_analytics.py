@@ -1,0 +1,343 @@
+"""Graph / sequence analytics over the event log and the order graph.
+
+These are the "derived-structure" operators a training-data pipeline runs
+on top of the relational core: Markov transition matrices over event
+sequences, statistical outlier flagging, deterministic mode aggregation,
+n-gram (bigram) vocabularies, and an iterative graph algorithm (PageRank)
+expressed as a fixed number of join+aggregate rounds.
+
+Reference parity: the reference is a pandas ETL library (SURVEY.md §0/§2
+provenance notes) — every operator here is a pandas-expressible table op
+(groupby/shift/merge loops); no reference code is consulted or copied.
+
+Scale notes (100 TB):
+  * `events_transitions` — one window pass partitioned by user (each
+    user's history is one partition-local sorted run) feeding a tiny
+    (#types² keys) aggregation; the shuffle moves only the lag pairs.
+  * `events_anomaly` — two aggregations sharing the user_id hash
+    partitioning; nothing wide materializes.
+  * `graph_pagerank` — each iteration is one shuffle on the edge src key
+    (the classic Pregel round as join+groupBy); the rank table is O(|V|)
+    and AQE broadcast-joins it when it fits, while the edge table keeps a
+    stable hash partitioning that every iteration reuses.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (Markov chain estimation)
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type,
+       event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS p
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("events_transitions", oracle=_TRANSITIONS_ORACLE)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    ordered pair (prev_type, next_type) the transition count and the
+    row-normalized probability.
+
+    Plan: one `lag` window per user (partition-local sorted run, the
+    (ts, event_id) order key makes the sequence deterministic), then an
+    aggregation onto the bounded #types x #types key space — map-side
+    partials collapse the volume before the shuffle. The probability is
+    a window-sum over the (tiny) aggregate, not a second pass over the
+    events. `p` is a single IEEE division of two exact integers, so it is
+    bit-identical across engines — emitted unrounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(w_prev).cast("double")).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical anomaly flagging (z-score per user-day)
+# --------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS val
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, avg(val) AS mu, stddev_samp(val) AS sigma,
+         count(*) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT d.user_id, d.d, round(d.val, 2) AS val,
+       (d.val - s.mu) / s.sigma AS z
+FROM daily d JOIN stats s ON d.user_id = s.user_id
+WHERE s.n_days >= 5 AND s.sigma > 0
+  AND abs((d.val - s.mu) / s.sigma) > 2
+"""
+
+
+@register("events_anomaly", oracle=_ANOMALY_ORACLE)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-total outliers: days where the user's total value
+    is more than 2 sample standard deviations from that user's mean —
+    the standard data-quality screen before a series feeds a model.
+
+    Plan: the daily rollup and the per-user moment aggregation share the
+    user_id hash partitioning (the second groupBy reuses the first's
+    Exchange), and the rejoin of stats onto daily is co-partitioned — at
+    100 TB the only wide data movement is the initial rollup shuffle.
+    `z` is (val-mu)/sigma in doubles on both engines; aggregation-order
+    ulp noise is absorbed by the comparator's 12-significant-digit
+    normalization (docs/dialect_notes.md), so it ships unrounded. The
+    `> 2` cut is safe because no z in the data sits within float noise
+    of the threshold (property-tested).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("val"))
+    stats = daily.groupBy("user_id").agg(
+        F.avg("val").alias("mu"),
+        F.stddev_samp("val").alias("sigma"),
+        F.count("*").alias("n_days"),
+    )
+    z = (F.col("val") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(stats, "user_id")
+        .filter((F.col("n_days") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select("user_id", "d", F.round("val", 2).alias("val"), z.alias("z"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode (most frequent value per group)
+# --------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, n
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type ASC) = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode aggregate with a DETERMINISTIC tie-break (count desc, then
+    value asc) — `F.mode` itself is tie-nondeterministic, which would
+    break the hash check (SURVEY.md §4.4), so the mode is expressed as
+    count + row_number, the same construction the dedup-keep-latest op
+    uses. Two aggregations and a window, all on the user_id key: one
+    shuffle total, and Spark's WindowGroupLimit pushes the rn=1 filter
+    below the full sort at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram vocabulary (top-5 bigrams per language)
+# --------------------------------------------------------------------------
+
+_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, lang, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+  FROM toks
+),
+bg AS (
+  SELECT a.lang, a.tok || ' ' || b.tok AS bigram,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+)
+SELECT lang, bigram, n
+FROM bg
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, bigram ASC) <= 5
+"""
+
+
+@register("text_bigrams", oracle=_BIGRAMS_ORACLE)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language — the vocabulary-building step of an
+    n-gram LM / tokenizer-training pipeline.
+
+    Plan: bigrams are formed INSIDE the row with `zip_with` over the
+    token array and its shift (`slice(toks, 2, ...)`) — no positional
+    self-join, no explode-then-join; the only explode emits the already-
+    paired bigrams straight into a map-side-combined count. The oracle
+    spells the same thing as a positional self-join because DuckDB lacks
+    an array shift-zip, but the Spark plan never pays that join: at
+    100 TB the difference is one shuffle of bigram partial counts vs a
+    doc_id-joined token blowup. Tie-break (n desc, bigram asc) keeps the
+    top-5 deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        bg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank, 3 fixed iterations over the customer<->supplier trade graph
+# --------------------------------------------------------------------------
+
+_PAGERANK_ITERS = 3
+_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (no recursion
+    needed for a FIXED iteration count — each round is one aggregate)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PAGERANK_ITERS + 1):
+        rounds.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node, sum(r.r / d.outdeg) AS s
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT s{i}.node, {1 - _DAMPING} / n.cnt + {_DAMPING} * s{i}.s AS r
+  FROM s{i}, n
+)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM deg),
+r0 AS (SELECT node, 1.0 / n.cnt AS r FROM deg, n),
+{body}
+SELECT node, round(r * 1e6, 4) AS rank_ppm FROM {prev}
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the undirected
+    customer<->supplier trade graph (an edge per distinct customer/
+    supplier pair that shared an order) — the canonical iterative graph
+    algorithm, expressed Pregel-style as join + groupBy rounds.
+
+    Every node has degree >= 1 by construction (no dangling mass) and
+    the undirected doubling means every node also receives mass, so the
+    rank vector stays a proper distribution without a dangling-sink
+    correction term.
+
+    Plan/scale: the edge list is built once, cached, and hash-partitioned
+    by src; each iteration joins the O(|V|) rank table to it (AQE
+    broadcasts the rank side when it fits — on a 1000-executor cluster
+    the edge partitioning is reused every round, so the per-iteration
+    cost is one aggregate shuffle of partial rank mass, the same
+    communication pattern Pregel/GraphX uses). Fixed iteration count
+    keeps the lineage shallow (3 rounds, no checkpoint needed; the
+    label-propagation op shows the localCheckpoint pattern for deeper
+    loops). The oracle unrolls the same 3 rounds as chained CTEs.
+    Ranks are emitted as round(r*1e6, 4) ppm: summation-order noise is
+    ~1e-15 relative, many orders of magnitude inside the rounding step.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    n_nodes = deg.count()  # one action; |V| is a scalar the formula needs
+    ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    contrib_src = edges.join(deg, edges["src"] == deg["node"]).select(
+        "src", "dst", "outdeg"
+    )
+    for _ in range(_PAGERANK_ITERS):
+        ranks = (
+            contrib_src.join(ranks, contrib_src["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit((1 - _DAMPING) / n_nodes)
+                    + F.lit(_DAMPING) * F.col("s")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round(F.col("r") * 1e6, 4).alias("rank_ppm"))

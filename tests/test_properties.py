@@ -203,3 +203,50 @@ def test_gapfill_invariants(spark, sf_dir):
             lo, hi = min(v0, v1), max(v0, v1)
             for r in series[i0 + 1:i1]:
                 assert lo - 1e-9 <= r.lerp <= hi + 1e-9, (user, r.hr, r.lerp)
+
+
+def test_anomaly_z_threshold_margin(spark, sf_dir):
+    """The |z| > 2 cut in events_anomaly is only hash-stable if no z sits
+    within float noise of the threshold. Recompute ALL per-user-day z
+    scores (not just the flagged ones) and assert a real margin."""
+    import pyspark.sql.functions as F
+
+    from bangdatapipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum("value").alias("val"))
+    stats = daily.groupBy("user_id").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma"),
+        F.count("*").alias("n_days"))
+    z = (F.col("val") - F.col("mu")) / F.col("sigma")
+    margin = (daily.join(stats, "user_id")
+              .filter((F.col("n_days") >= 5) & (F.col("sigma") > 0))
+              .select(F.min(F.abs(F.abs(z) - F.lit(2.0))).alias("m"))
+              .collect()[0].m)
+    assert margin is not None and margin > 1e-6, margin
+
+
+def test_pagerank_is_probability_distribution(spark, sf_dir):
+    """Rank mass sums to 1 (no dangling leakage on the undirected graph)
+    and every node's rank respects the (1-d)/N floor."""
+    from bangdatapipeline_spark.registry import load_all
+
+    rows = load_all()["graph_pagerank"].fn(spark, sf_dir).collect()
+    total_ppm = sum(r.rank_ppm for r in rows)
+    assert abs(total_ppm - 1e6) < 1.0, total_ppm
+    floor_ppm = 0.15 / len(rows) * 1e6
+    assert all(r.rank_ppm >= floor_ppm - 1e-3 for r in rows)
+
+
+def test_transitions_probabilities_row_normalized(spark, sf_dir):
+    """Each prev_type's outgoing probabilities sum to exactly 1."""
+    from bangdatapipeline_spark.registry import load_all
+
+    rows = load_all()["events_transitions"].fn(spark, sf_dir).collect()
+    sums = {}
+    for r in rows:
+        sums[r.prev_type] = sums.get(r.prev_type, 0.0) + r.p
+    assert sums
+    for k, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, (k, s)
