@@ -522,3 +522,59 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prev_val", 2).alias("locf"),
         lerp.alias("lerp"),
     )
+
+
+_WINSORIZE_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(q.p05, 4) AS p05,
+       round(q.p95, 4) AS p95,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(greatest(q.p05, least(q.p95, e.value))), 4) AS wins_mean,
+       round(avg(e.value), 4) AS raw_mean
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type, q.p05, q.p95
+"""
+
+
+@register("agg_winsorize", oracle=_WINSORIZE_ORACLE)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clip values to the group's exact
+    [p05, p95] percentile band, then average — the outlier-robust
+    aggregate behind metric dashboards and reward-model score pooling.
+
+    Two passes over the same grouping key: the percentile aggregate
+    (sort-based exact interpolation, matches quantile_cont) produces a
+    #groups-sized table that re-joins the fact BROADCAST — so the
+    second pass is clip + map-side partial avg with no extra wide
+    shuffle beyond the two aggregations' shared key. A 1-ulp
+    cross-engine difference in an interpolated cut only matters for
+    values exactly AT the cut, where clipping returns the value itself
+    either way; the means are rounded to 4 decimals on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("p05"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+    )
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clipped), 4).alias("wins_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "n", "wins_mean", "raw_mean",
+        )
+    )

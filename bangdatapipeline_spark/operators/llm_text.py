@@ -527,3 +527,57 @@ def text_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 6
         ).alias("rep_ratio"),
     )
+
+
+_PII_EMAIL = "[a-z0-9.]+@[a-z.]+[a-z]"
+_PII_PHONE = "555-[0-9]{4}"
+
+_REDACT_ORACLE = f"""
+WITH raw AS (
+  SELECT c_custkey,
+         'contact ' || lower(c_name) || ' at user' || c_custkey
+           || '@example.com or 555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_PHONE}', '[PHONE]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+         AS n_pii
+FROM raw
+"""
+
+
+@register("text_redact_pii", oracle=_REDACT_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — regex redaction of emails and phone numbers, the
+    compliance pass every training corpus goes through before tokenizing.
+    The document corpus is synthetic words, so the query materializes a
+    deterministic contact string per customer (same construction on both
+    engines) and redacts THAT — the machinery under test is the regex
+    rewrite, not the data. Patterns are kept in the Java-regex ∩ RE2
+    common subset (character classes + bounded repetition — no
+    backreferences/lookaround, which RE2 lacks); DuckDB needs the 'g'
+    flag for global replace, Spark's regexp_replace is global by
+    default (docs/dialect_notes.md). Pure scan-stage expressions: no
+    shuffle, whole-stage codegen, linear scaling.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "), F.lower("c_name"),
+        F.lit(" at user"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    raw = c.select("c_custkey", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+    )
+    n_pii = F.regexp_count("text", F.lit(_PII_EMAIL)) + F.regexp_count(
+        "text", F.lit(_PII_PHONE)
+    )
+    return raw.select(
+        "c_custkey", redacted.alias("redacted"), n_pii.cast("long").alias("n_pii")
+    )

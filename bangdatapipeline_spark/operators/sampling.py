@@ -144,3 +144,51 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("incl_p"),
         (F.lit(1.0) / p).alias("ht_weight"),
     )
+
+
+_SPLIT_ORACLE = """
+WITH gated AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+         AS share
+FROM gated GROUP BY 1, 2
+"""
+
+
+@register("sample_split", oracle=_SPLIT_ORACLE)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) — the split
+    every training-data pipeline needs to be REPRODUCIBLE and stable
+    under re-partitioning, re-runs, and engine changes. Same md5-gate
+    recipe as the uniform sampler: the first 8 hex digits of
+    md5(doc_id) are a uniform draw whose lowercase-hex ordering is
+    numeric, so 'cccccccc' (= 0.8 * 2^32) and 'e6666666' (= 0.9 * 2^32)
+    cut exact 80/90 points; a document's split NEVER depends on what
+    partition it landed in. The gate is a scan-stage expression (no
+    shuffle); the summary agg is on the tiny lang x split key space.
+    `share` is one integer division — bit-identical, shipped unrounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(gate < "cccccccc", "train")
+        .when(gate < "e6666666", "val")
+        .otherwise("test")
+    )
+    counts = d.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang", "split", "n",
+        (F.col("n") / F.sum("n").over(w).cast("double")).alias("share"),
+    )

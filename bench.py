@@ -57,6 +57,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_retention", "events_retention"),
     ("doc_pack_sequences", "pack_sequences"),
     ("doc_chunk_sliding", "text_chunk_sliding"),
+    ("events_markov_transitions", "events_transitions"),
+    ("graph_pagerank_3iter", "graph_pagerank"),
 ]
 
 RUNS = 3

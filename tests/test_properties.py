@@ -250,3 +250,22 @@ def test_transitions_probabilities_row_normalized(spark, sf_dir):
     assert sums
     for k, s in sums.items():
         assert abs(s - 1.0) < 1e-9, (k, s)
+
+
+def test_split_shares_and_determinism(spark, sf_dir):
+    """Split shares per lang sum to 1, all three splits are populated,
+    and the assignment is invariant under input repartitioning."""
+    from bangdatapipeline_spark.registry import load_all
+
+    fn = load_all()["sample_split"].fn
+    rows = fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.split] = (r.n, r.share)
+    for lang, splits in by_lang.items():
+        assert set(splits) == {"train", "val", "test"}, (lang, splits)
+        assert abs(sum(s for _, s in splits.values()) - 1.0) < 1e-9
+        n = sum(n for n, _ in splits.values())
+        assert 0.7 < splits["train"][0] / n < 0.9, (lang, splits)
+    again = {(r.lang, r.split): r.n for r in fn(spark, sf_dir).collect()}
+    assert again == {(r.lang, r.split): r.n for r in rows}
