@@ -296,3 +296,86 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH cand AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS click_ts,
+         abs(date_diff('microsecond', c.ts, p.ts)) AS d_us,
+         CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_id, click_id, click_ts, d_us,
+       CASE WHEN fwd = 0 THEN 'back' ELSE 'fwd' END AS direction
+FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY purchase_id
+  ORDER BY d_us ASC, fwd ASC,
+           CASE WHEN fwd = 0 THEN -click_id ELSE click_id END ASC) = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=30min)`` semantics): for
+    each purchase, the temporally closest click by the same user within
+    ±30 minutes, preferring the backward candidate on exact distance
+    ties (and deterministic event_id tie-breaks within equal
+    timestamps: backward keeps the last click in stream order, forward
+    the first).
+
+    Like `join_asof`, this is ONE window pass over the interleaved
+    event stream per direction — O(n log n) per user and a single
+    shuffle on user_id — versus the oracle's quadratic-per-user banded
+    theta join; the 100 TB-safe formulation of `merge_asof`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Clicks sort before purchases on ts ties so `c.ts <= p.ts` candidates
+    # (backward includes equal-ts) precede the purchase row in the stream.
+    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    order = [F.col("ts"), tie, F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    us = lambda a, b: F.expr(f"timestampdiff(MICROSECOND, {a}, {b})")  # noqa: E731
+    tol_us = 30 * 60 * 1_000_000
+    enriched = (
+        ev.withColumn("prev_c", F.last(click, ignorenulls=True).over(w_prev))
+        .withColumn("next_c", F.first(click, ignorenulls=True).over(w_next))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("d_prev", us("prev_c.ts", "ts"))
+        .withColumn("d_next", us("ts", "next_c.ts"))
+    )
+    use_prev = F.col("prev_c").isNotNull() & (
+        F.col("next_c").isNull() | (F.col("d_prev") <= F.col("d_next"))
+    )
+    chosen = enriched.select(
+        F.col("event_id").alias("purchase_id"),
+        F.when(use_prev, F.col("prev_c")).otherwise(F.col("next_c")).alias("c"),
+        F.when(use_prev, F.col("d_prev")).otherwise(F.col("d_next")).alias("d_us"),
+        F.when(use_prev, F.lit("back")).otherwise(F.lit("fwd")).alias("direction"),
+    )
+    return chosen.filter(
+        F.col("c").isNotNull() & (F.col("d_us") <= tol_us)
+    ).select(
+        "purchase_id",
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+        "d_us",
+        "direction",
+    )

@@ -519,3 +519,109 @@ def knn_threshold_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "label_a", "label_b", F.round("sim", 6).alias("sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# k-means, 2 fixed assignment rounds (Lloyd's algorithm on the embeddings)
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 4
+
+
+def _kmeans_oracle() -> str:
+    dot_xc = _duck_dot("e.embedding", "c.c_emb")
+    csq = _duck_dot("c.c_emb", "c.c_emb")
+    assign = """
+a{i} AS (
+  SELECT e.vec_id, c.c_id,
+         1.0 + {csq} - 2 * {dot} AS d2
+  FROM embeddings e CROSS JOIN c{j} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2 ASC, c.c_id ASC) = 1
+)"""
+    update = """
+u{i} AS (
+  SELECT a.c_id, d.i, avg(CAST(d.v AS DOUBLE)) AS v
+  FROM a{i} a
+  JOIN (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) d USING (vec_id)
+  GROUP BY 1, 2
+),
+c{i} AS (SELECT c_id, list(v ORDER BY i) AS c_emb FROM u{i} GROUP BY 1)"""
+    return f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS INT) AS c_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {_KMEANS_K}
+),
+{assign.format(i=1, j=0, csq=csq, dot=dot_xc)},
+{update.format(i=1)},
+{assign.format(i=2, j=1, csq=csq, dot=dot_xc)}
+SELECT vec_id, c_id AS cluster, round(d2, 4) AS d2 FROM a2
+"""
+
+
+@register("ml_kmeans_2iter", oracle=_kmeans_oracle())
+def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, deterministic init = first k vectors, two
+    assignment rounds with one centroid update between) — the iterative
+    ML clustering primitive, expressed as pure DataFrame rounds like the
+    PageRank op: assignment is a broadcast crossJoin against the k-row
+    centroid table + a per-vector argmin window; the centroid update is
+    posexplode + avg keyed on (cluster, dim) — cardinality k x dims,
+    tiny. Nothing is collected to the driver; the oracle unrolls the
+    same two rounds over `unnest WITH ORDINALITY`.
+
+    Distances use d² = |x|² + |c|² - 2x·c with |x|² = 1 (unit-norm
+    corpus), the dot computed by the shared left-to-right double fold —
+    bit-identical across engines on round 1; round-2 centroids carry
+    avg() summation-order ulp noise, absorbed by the argmin margin
+    (property-tested) and the round-4 on d².
+
+    Scale: per round, the broadcast join streams the corpus once (no
+    shuffle) and the update shuffles k x dims partial sums — the classic
+    'map-side heavy, reduce-side trivial' shape; 100 TB of vectors adds
+    executors, not shuffle volume. The argmin window partitions by
+    vec_id (the corpus key), so WindowGroupLimit keeps it one pass.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = (
+            F.lit(1.0)
+            + F.col("csq")
+            - 2 * dot_double(F.col("embedding"), F.col("c_emb"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "c_id", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c_id", "d2")
+        )
+
+    c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("csq"),
+    )
+    a1 = assign(c0)
+    ex = (
+        e.join(a1.select("vec_id", "c_id"), "vec_id")
+        .select("c_id", F.posexplode("embedding").alias("i", "v"))
+    )
+    c1 = (
+        ex.groupBy("c_id", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("v"))
+        .groupBy("c_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+            ).alias("c_emb")
+        )
+        .withColumn("csq", dot_double(F.col("c_emb"), F.col("c_emb")))
+    )
+    a2 = assign(c1)
+    return a2.select(
+        "vec_id", F.col("c_id").alias("cluster"), F.round("d2", 4).alias("d2")
+    )

@@ -146,3 +146,49 @@ def test_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
     plan = _plan(REGISTRY["sql_api_q21"].fn(spark, sf_dir))
     assert "LeftSemi" in plan, plan[:3000]
     assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_bigrams_single_shuffle_no_self_join(spark, sf_dir):
+    """Bigrams are paired in-row (zip_with over the token array), so the
+    plan has NO join and exactly the aggregation/window exchanges — not
+    the oracle's positional self-join."""
+    plan = _plan(REGISTRY["text_bigrams"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_winsorize_percentiles_broadcast_back(spark, sf_dir):
+    """The #groups-sized percentile table must broadcast onto the fact
+    scan — no sort-merge shuffle of the event stream for the clip."""
+    plan = _plan(REGISTRY["agg_winsorize"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_dir):
+    """Every PageRank round joins the O(|V|) rank table by BROADCAST onto
+    the cached edge structure: 3 iterations -> 3 broadcast joins, and the
+    cached graph is never re-shuffled (no SortMergeJoin anywhere)."""
+    plan = _plan(REGISTRY["graph_pagerank"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Both k-means assignment rounds broadcast the k-row centroid table
+    against the streamed corpus (BroadcastNestedLoopJoin for the
+    crossJoin) — the corpus itself is never shuffled for assignment."""
+    plan = _plan(REGISTRY["ml_kmeans_2iter"].fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:3000]
+
+
+def test_split_gate_is_scan_stage_expression(spark, sf_dir):
+    """The train/val/test gate is a projection over the scan; the only
+    exchange is the tiny lang x split aggregation (plus its window)."""
+    plan = _plan(REGISTRY["sample_split"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_redact_is_pure_scan_stage(spark, sf_dir):
+    plan = _plan(REGISTRY["text_redact_pii"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]

@@ -269,3 +269,66 @@ def test_split_shares_and_determinism(spark, sf_dir):
         assert 0.7 < splits["train"][0] / n < 0.9, (lang, splits)
     again = {(r.lang, r.split): r.n for r in fn(spark, sf_dir).collect()}
     assert again == {(r.lang, r.split): r.n for r in rows}
+
+
+def test_kmeans_argmin_margin(spark, sf_dir):
+    """The k-means hash check survives centroid ulp noise only if every
+    vector's best-vs-second-best d2 gap clears float error by orders of
+    magnitude. Recompute round-2 distances for ALL (vector, centroid)
+    pairs and assert the min margin."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from bangdatapipeline_spark.operators.similarity import (
+        _KMEANS_K, dot_double)
+    from bangdatapipeline_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("csq"))
+    d2 = F.lit(1.0) + F.col("csq") - 2 * dot_double(
+        F.col("embedding"), F.col("c_emb"))
+    scored = e.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "c_id", d2.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2")
+    margins = (scored
+               .withColumn("gap", F.lead("d2").over(w) - F.col("d2"))
+               .filter(F.col("gap").isNotNull())
+               .groupBy("vec_id").agg(F.min("gap").alias("gap")))
+    m = margins.agg(F.min("gap")).collect()[0][0]
+    assert m is not None and m > 1e-9, m
+
+
+def test_asof_nearest_invariants(spark, sf_dir):
+    """Nearest-asof results: within tolerance, correct direction sign,
+    and strictly the closest click (cross-checked per purchase against
+    a brute-force pass over collected events)."""
+    from collections import defaultdict
+
+    from bangdatapipeline_spark.registry import load_all
+    from bangdatapipeline_spark.tables import load_table
+
+    got = {r.purchase_id: r
+           for r in load_all()["join_asof_nearest"].fn(spark, sf_dir).collect()}
+    assert got and any(r.direction == "fwd" for r in got.values())
+    assert any(r.direction == "back" for r in got.values())
+    ev = load_table(spark, sf_dir, "events").collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r.event_type == "click":
+            clicks[r.user_id].append(r)
+    tol = 30 * 60 * 1_000_000
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        best = min((abs((c.ts - r.ts).total_seconds()) for c in clicks[r.user_id]),
+                   default=None)
+        have = got.get(r.event_id)
+        if best is not None and best * 1e6 <= tol:
+            assert have is not None and abs(have.d_us - best * 1e6) < 1, (
+                r.event_id, have.d_us if have else None, best * 1e6)
+            assert have.d_us <= tol
+        else:
+            assert have is None, r.event_id
