@@ -85,6 +85,51 @@ def _shingled(spark: SparkSession, sf_dir: str, bound: int | None = None) -> Dat
     )
 
 
+# --- hashed-shingle pipeline (the MinHash scale path) ------------------------
+#
+# Words are char-fold-hashed ONCE each, then a shingle's hash is integer
+# arithmetic over its three word hashes — ~3x fewer interpreted char-fold
+# evaluations than hashing every 3-word string, and the downstream exact
+# verification runs on int sets instead of string sets. The combine keeps
+# every intermediate < 2^51 (word hash < 2^31, multiplier 2^20-ish), exact
+# in BIGINT on both engines.
+
+SH_MIX = 1000003  # shingle-combine multiplier (> max word count, prime)
+
+SPARK_HSHINGLES = (
+    f"array_distinct(transform(sequence(1, size(ws) - 2), "
+    f"i -> ((wh[i-1] * {SH_MIX} + wh[i]) % {P} * {SH_MIX} + wh[i+1]) % {P}))"
+)
+DUCK_HSHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+    f"i -> ((wh[i] * {SH_MIX} + wh[i+1]) % {P} * {SH_MIX} + wh[i+2]) % {P}))"
+)
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 3)
+        .withColumn(
+            "wh", F.expr("transform(ws, w -> " + SPARK_STRHASH.replace("{s}", "w") + ")")
+        )
+        .withColumn("hs", F.expr(SPARK_HSHINGLES))
+        .select("doc_id", "hs")
+    )
+
+
+# DuckDB spelling of the same doc_id -> hs relation.
+DUCK_HASHED_CTE = f"""
+    SELECT doc_id, {DUCK_HSHINGLES} AS hs
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                 list_transform(string_split(text, ' '),
+                                w -> {DUCK_STRHASH.format(s='w')}) AS wh
+          FROM documents) t
+    WHERE len(ws) >= 3
+"""
+
+
 _JACCARD_SPARK = (
     "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_distinct(concat(sa, sb)))"
 )
@@ -145,48 +190,53 @@ def _duck_minhash_sig() -> str:
 @register(
     "dedup_near_minhash",
     oracle=f"""
-WITH sh AS (
-    SELECT doc_id, {DUCK_SHINGLES} AS s
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
-    WHERE len(ws) >= 3
-), hashed AS (
-    SELECT doc_id, s,
-           list_transform(s, sg -> {DUCK_STRHASH.format(s='sg')}) AS hs
-    FROM sh
+WITH hashed AS (
+{DUCK_HASHED_CTE}
 ), sig AS (
-    SELECT doc_id, s, {_duck_minhash_sig()} AS sig FROM hashed
+    SELECT doc_id, hs, {_duck_minhash_sig()} AS sig FROM hashed
 ), bexp AS (
-    SELECT doc_id, s,
+    SELECT doc_id,
            unnest(list_transform(generate_series(0, {BANDS - 1}),
                g -> g || ':' || array_to_string(
                    list_slice(sig, g * {ROWS_PER_BAND} + 1, g * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ','))) AS key
     FROM sig
 ), cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bexp a JOIN bexp b ON a.key = b.key AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT c.id_a, c.id_b, ha.hs AS sa, hb.hs AS sb
+    FROM cand c
+    JOIN hashed ha ON ha.doc_id = c.id_a
+    JOIN hashed hb ON hb.doc_id = c.id_b
 )
 SELECT id_a, id_b, round({_JACCARD_DUCK}, 6) AS jaccard
-FROM cand WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
+FROM pairs WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
 """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup detection, exact-verified:
-    shingle → K=16 universal-hash minima → 4 bands of 4 → equi-join on band
-    buckets → exact Jaccard ≥ τ on the candidates only.
+    """MinHash + banded LSH near-dup detection, exact-verified on the
+    hashed shingle sets: word-hash → arithmetic 3-shingle hash → K=16
+    universal-hash minima → 4 bands of 4 → equi-join on band buckets →
+    exact Jaccard ≥ τ on the candidates only.
 
     This is the operator a 100-TB dedup actually runs: the only join is an
     equi-join on band keys (no n² pass), and every emitted pair is
-    exact-verified so precision is 1.0; recall is the standard LSH S-curve
-    (≈0.996 at j=0.8 with these parameters).
+    exact-verified so precision is 1.0 w.r.t. hashed-shingle Jaccard;
+    recall is the standard LSH S-curve (≈0.996 at j=0.8 with these
+    parameters). Verification runs on the int shingle-hash sets rather
+    than the 3-word strings: with P=2^31-1 and ~200 shingles/doc the
+    within-pair collision odds are ~4e-5 — and a collision perturbs both
+    engines identically (the hashes are engine-portable arithmetic), so
+    the check stays exact. Hashing cost is one char-fold per WORD (each
+    word is reused by 3 shingles), not per shingle — the dominant
+    interpreted-lambda count drops ~3x (higher-order folds don't enter
+    whole-stage codegen).
 
     Shuffle discipline: the band join moves (key, doc_id) pairs ONLY — the
-    shingle arrays (the heavy payload) never enter the ×BANDS-amplified
-    band shuffle; they rejoin once, per verified candidate id.
+    shingle-hash arrays (the heavy payload) never enter the ×BANDS-
+    amplified band shuffle; they rejoin once, per candidate id.
     """
-    sh = _shingled(spark, sf_dir)
-    hashed = sh.withColumn(
-        "hs", F.expr("transform(s, sg -> " + SPARK_STRHASH.replace("{s}", "sg") + ")")
-    )
+    hashed = _hashed_shingles(spark, sf_dir)
     sig = hashed.withColumn("sig", F.expr(_minhash_sig_expr()))
     bexp = sig.select(
         "doc_id",
@@ -206,8 +256,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = cand_ids.join(
-        sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
-    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("sa")), "id_a"
+    ).join(hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("sb")), "id_b")
     return (
         cand.withColumn("jaccard_raw", F.expr(_JACCARD_SPARK))
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
@@ -273,27 +323,26 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE sh AS (
-    SELECT doc_id, {DUCK_SHINGLES} AS s
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
-    WHERE len(ws) >= 3
-), hashed AS (
-    SELECT doc_id, s,
-           list_transform(s, sg -> {DUCK_STRHASH.format(s='sg')}) AS hs
-    FROM sh
+WITH RECURSIVE hashed AS (
+{DUCK_HASHED_CTE}
 ), sig AS (
-    SELECT doc_id, s, {_duck_minhash_sig()} AS sig FROM hashed
+    SELECT doc_id, hs, {_duck_minhash_sig()} AS sig FROM hashed
 ), bexp AS (
-    SELECT doc_id, s,
+    SELECT doc_id,
            unnest(list_transform(generate_series(0, {BANDS - 1}),
                g -> g || ':' || array_to_string(
                    list_slice(sig, g * {ROWS_PER_BAND} + 1, g * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ','))) AS key
     FROM sig
 ), cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bexp a JOIN bexp b ON a.key = b.key AND a.doc_id < b.doc_id
+), vpairs AS (
+    SELECT c.id_a, c.id_b, ha.hs AS sa, hb.hs AS sb
+    FROM cand c
+    JOIN hashed ha ON ha.doc_id = c.id_a
+    JOIN hashed hb ON hb.doc_id = c.id_b
 ), pairs AS (
-    SELECT id_a, id_b FROM cand WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
+    SELECT id_a, id_b FROM vpairs WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
 ), edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION ALL

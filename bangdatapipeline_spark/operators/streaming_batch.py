@@ -507,3 +507,41 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active").cast("double") / F.col("n_day0"), 6).alias("retention"),
     )
+
+
+@register(
+    "stream_topk",
+    oracle="""
+WITH counts AS (
+  SELECT date_trunc('day', ts) AS w_start, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT w_start, event_type, n,
+       CAST(row_number() OVER (PARTITION BY w_start
+                               ORDER BY n DESC, event_type ASC) AS INT) AS rn
+FROM counts
+QUALIFY rn <= 3
+""",
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k leaderboard: the 3 most frequent event types per
+    1-day tumbling window (deterministic tie-break on event_type) — the
+    batch twin of the continuous-leaderboard pattern. Streaming twin:
+    windowed counts maintain the (tiny, bounded) per-window state, and
+    the rank runs OVER THE AGGREGATE per micro-batch in foreachBatch —
+    rank is not an incremental operator, so the stream re-ranks the
+    maintained counts, never the raw events (tests/test_streaming.py).
+    Plan: counts agg + WindowGroupLimit-pruned rank, both keyed on the
+    window start; at 100 TB the rank input is #windows x #types rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    win = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(win).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "rn")
+    )

@@ -249,3 +249,34 @@ def test_stream_stream_full_outer_join(spark, chunks):
     assert o_null_purch <= b_null_purch, f"{len(o_null_purch - b_null_purch)} spurious click-side outer rows"
     assert o_null_click, "no purchase-side outer rows emitted"
     assert o_null_purch, "no click-side outer rows emitted"
+
+
+def test_topk_leaderboard_foreach_batch(spark, chunks, tmp_path):
+    """Continuous leaderboard: windowed counts stream in complete mode;
+    each micro-batch re-ranks the maintained aggregate in foreachBatch
+    (rank itself is not incremental) and overwrites the serving table.
+    The final table equals the batch twin."""
+    from pyspark.sql import Window
+
+    target = str(tmp_path / "leaderboard")
+    stream = replay.read_stream(spark, chunks)
+    counts = (stream
+              .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+              .agg(F.count("*").alias("n")))
+
+    def rerank(batch_df, batch_id):
+        w = Window.partitionBy("w").orderBy(
+            F.col("n").desc(), F.col("event_type").asc())
+        (batch_df.withColumn("rn", F.row_number().over(w).cast("int"))
+         .filter(F.col("rn") <= 3)
+         .select(F.col("w.start").alias("w_start"), "event_type", "n", "rn")
+         .write.mode("overwrite").parquet(target))
+
+    q = (counts.writeStream.outputMode("complete")
+         .foreachBatch(rerank).start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(target)
+    batch = REGISTRY["stream_topk"].fn(spark, SF)
+    cols = ["w_start", "event_type", "n", "rn"]
+    assert _rows(out.withColumn("w_start", F.col("w_start").cast("timestamp_ntz")), cols) == _rows(batch, cols)
