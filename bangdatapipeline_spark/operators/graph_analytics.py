@@ -373,3 +373,62 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         label.alias("node"), F.round(F.col("r") * 1e6, 4).alias("rank_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival (dwell) time statistics per user
+# --------------------------------------------------------------------------
+
+_DWELL_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       round(avg(gap_s), 4) AS mean_gap_s,
+       round(max(gap_s), 4) AS max_gap_s,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("events_dwell", oracle=_DWELL_ORACLE)
+def events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival (dwell) time profile: count, mean, max and
+    exact median of the gaps between consecutive events — the activity-
+    cadence profile behind bot screening and engagement scoring.
+
+    One lag window over each user's (partition-local, (ts, event_id)-
+    ordered) stream feeding a same-key aggregation: the groupBy reuses
+    the window's user_id hash partitioning, so the whole query is ONE
+    shuffle. Gaps are microsecond diffs divided by 1e6 (one exact IEEE
+    division — identical across engines); the aggregates are rounded to
+    4 decimals, and the median is the sort-based exact interpolated
+    percentile (matches quantile_cont, SURVEY.md agg_quantiles recipe).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                   "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+            / 1_000_000.0
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.5D)"), 4).alias("p50_gap_s"),
+        )
+    )

@@ -1,0 +1,146 @@
+"""Fluent pipeline facade — the reference's user-facing workflow, Spark-first.
+
+The reference (SURVEY.md §3.1) is used as an eager call chain:
+``fetch(batch) → flatten → per-column processors → merge metadata → pivot →
+export``. This module gives that exact workflow shape on the lazy engine: a
+``Pipeline`` session facade (ingest/cache/load) and a thin ``Frame`` wrapper
+whose verbs are the registered operators' building blocks. Every verb
+returns a new ``Frame`` over an UNEXECUTED DataFrame — the user writes the
+same eager-looking chain, but the whole chain compiles to ONE Catalyst plan
+and executes once at the terminal verb (``to_parquet`` / ``to_csv`` /
+``df``), so Catalyst sees — and optimizes — the entire pipeline: filters
+written last still push down to the scan, and a recode feeding an export
+never materializes an intermediate.
+
+The wrapper adds NO execution machinery of its own (no collect, no caching
+policy): it is deliberately a naming layer over DataFrame so a reference
+user gets their vocabulary (``recode``, ``merge``, ``widen``, ``dedup``)
+while staying 100% inside the Spark plan. Anything not covered by a verb is
+reachable via ``.df`` — the wrapper is an on-ramp, not a cage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark import sources
+from bangdatapipeline_spark.tables import load_table
+
+
+class Pipeline:
+    """Session facade: ingestion + table access (the reference's
+    ``BangDataPipeline`` object, minus the HTTP client — ingestion starts
+    from fetched JSON files, which is where the offline contract begins)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def ingest_json(self, path: str, cache_parquet: str | None = None,
+                    schema=None) -> "Frame":
+        """JSON batch → (optionally parquet-cached) Frame; the reference's
+        fetch-cache-parse step, minus the HTTP GET."""
+        df = sources.ingest_json(self.spark, path, schema=schema)
+        if cache_parquet is not None:
+            sources.canonicalize_parquet(df, cache_parquet)
+            df = self.spark.read.parquet(cache_parquet)
+        return Frame(df)
+
+    def table(self, name: str) -> "Frame":
+        """One of the ten benchmark tables at the session's sf_dir."""
+        if self.sf_dir is None:
+            raise ValueError("Pipeline(sf_dir=...) required for table()")
+        return Frame(load_table(self.spark, self.sf_dir, name))
+
+
+class Frame:
+    """Lazy DataFrame wrapper with the reference's ETL vocabulary."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- row / column selection -------------------------------------------
+    def filter(self, cond: Column | str) -> "Frame":
+        return Frame(self.df.filter(cond))
+
+    def select(self, *cols) -> "Frame":
+        return Frame(self.df.select(*cols))
+
+    def rename(self, mapping: Mapping[str, str]) -> "Frame":
+        return Frame(self.df.withColumnsRenamed(dict(mapping)))
+
+    def derive(self, **cols: Column) -> "Frame":
+        """Computed columns (reference: derived survey columns)."""
+        return Frame(self.df.withColumns(dict(cols)))
+
+    # -- the reference's "processor" mechanism ----------------------------
+    def recode(self, **procs: Callable[[Column], Column]) -> "Frame":
+        """Per-column processors: each callable maps the existing column
+        expression to its recoded expression — column-level Catalyst
+        expressions, NOT Python row functions, so recodes stay JVM-side
+        (SURVEY.md §2.12: udf_scalar is the escape hatch when a recode
+        genuinely needs Python)."""
+        return Frame(
+            self.df.withColumns({c: fn(F.col(c)) for c, fn in procs.items()})
+        )
+
+    # -- reshaping ---------------------------------------------------------
+    def flatten(self, array_col: str, prefix: str | None = None) -> "Frame":
+        """Explode an array-of-structs column into child rows with the
+        struct fields promoted (the reference's json_normalize step)."""
+        out = self.df.withColumn(array_col, F.explode(array_col))
+        struct_fields = out.select(f"{array_col}.*").columns
+        alias = prefix or array_col
+        cols = [c for c in out.columns if c != array_col] + [
+            F.col(f"{array_col}.{f}").alias(f"{alias}_{f}") for f in struct_fields
+        ]
+        return Frame(out.select(*cols))
+
+    def merge(self, other: "Frame | DataFrame", on, how: str = "inner") -> "Frame":
+        other_df = other.df if isinstance(other, Frame) else other
+        return Frame(self.df.join(other_df, on, how))
+
+    def widen(self, index: list[str], key: str, values: list[str],
+              agg: Column | None = None) -> "Frame":
+        """Long→wide pivot with an EXPLICIT key list (stable columns —
+        SURVEY.md §2.9 pivot_wide)."""
+        return Frame(
+            self.df.groupBy(*index).pivot(key, values)
+            .agg(agg if agg is not None else F.count(F.lit(1)))
+        )
+
+    # -- cleaning ----------------------------------------------------------
+    def dedup(self, keys: list[str], order_by: list[Column]) -> "Frame":
+        """Keep-first dedup with an explicit, DETERMINISTIC ordering (the
+        dropDuplicates keeper is partition-dependent; this one is not)."""
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        return Frame(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def split(self, key: str, frac_train: float = 0.8,
+              frac_val: float = 0.1) -> "Frame":
+        """Deterministic md5-gate train/val/test assignment column
+        (partition-invariant; same recipe as the sample_split operator)."""
+        gate = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+        cut = lambda f: format(int(f * 16**8), "08x")  # noqa: E731
+        return Frame(
+            self.df.withColumn(
+                "split",
+                F.when(gate < cut(frac_train), "train")
+                .when(gate < cut(frac_train + frac_val), "val")
+                .otherwise("test"),
+            )
+        )
+
+    # -- terminal verbs ----------------------------------------------------
+    def to_parquet(self, path: str, partition_by: list[str] | None = None) -> None:
+        sources.canonicalize_parquet(self.df, path, partition_by=partition_by)
+
+    def to_csv(self, out_dir: str) -> None:
+        sources.export_csv(self.df, out_dir)

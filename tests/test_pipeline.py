@@ -1,0 +1,91 @@
+"""Fluent pipeline facade tests: the reference's eager ETL chain shape,
+compiled lazily into one Catalyst plan (pipeline.py docstring)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark.pipeline import Frame, Pipeline
+
+
+def test_survey_style_chain(spark, sf_dir, tmp_path):
+    """filter -> recode -> merge metadata -> widen: the §3.1 survey
+    workflow, checked against a direct SQL equivalent."""
+    p = Pipeline(spark, sf_dir)
+    nations = p.table("nation").select("n_nationkey", "n_name")
+    wide = (
+        p.table("customer")
+        .filter(F.col("c_acctbal") > 0)
+        .recode(c_mktsegment=lambda c: F.lower(c))
+        .merge(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .widen(index=["n_name"], key="c_mktsegment",
+               values=["building", "machinery"])
+    )
+    got = {r.n_name: (r.building, r.machinery) for r in wide.df.collect()}
+    from bangdatapipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    exp = {
+        r.n_name: (r.building, r.machinery)
+        for r in spark.sql(
+            """SELECT n_name,
+                      count(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 END) AS building,
+                      count(CASE WHEN lower(c_mktsegment) = 'machinery' THEN 1 END) AS machinery
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               WHERE c_acctbal > 0 GROUP BY n_name"""
+        ).collect()
+    }
+    assert got == exp and got
+
+
+def test_chain_compiles_to_one_plan_with_pushdown(spark, sf_dir):
+    """A filter applied LAST in the chain still reaches the parquet scan —
+    the wrapper adds no materialization barriers."""
+    p = Pipeline(spark, sf_dir)
+    f = (p.table("customer")
+         .recode(c_mktsegment=lambda c: F.upper(c))
+         .select("c_custkey", "c_mktsegment", "c_acctbal")
+         .filter(F.col("c_acctbal") > 5000))
+    plan = f.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000.0)]" in plan, plan[:2000]
+
+
+def test_flatten_and_ingest_json(spark, tmp_path):
+    """ingest_json -> flatten: the fetch-cache-normalize path on a nested
+    batch document (rounds -> users)."""
+    doc = {"batch_id": 7, "rounds": [
+        {"round": 1, "users": [{"u": 1, "score": 3}, {"u": 2, "score": 5}]},
+        {"round": 2, "users": [{"u": 1, "score": 4}]}]}
+    src = tmp_path / "cache"
+    src.mkdir()
+    (src / "batch7.json").write_text(json.dumps(doc))
+    p = Pipeline(spark)
+    flat = (p.ingest_json(str(src))
+            .flatten("rounds")
+            .flatten("rounds_users", prefix="user"))
+    rows = sorted((r.batch_id, r.rounds_round, r.user_u, r.user_score)
+                  for r in flat.df.collect())
+    assert rows == [(7, 1, 1, 3), (7, 1, 2, 5), (7, 2, 1, 4)]
+
+
+def test_dedup_split_export(spark, sf_dir, tmp_path):
+    """dedup (deterministic keeper) -> split -> partitioned export; split
+    fractions land near 80/10/10 and the export is hive-partitioned."""
+    p = Pipeline(spark, sf_dir)
+    f = (p.table("documents")
+         .dedup(keys=["text"], order_by=[F.col("doc_id")])
+         .split("doc_id"))
+    out = str(tmp_path / "docs")
+    f.to_parquet(out, partition_by=["split"])
+    back = spark.read.parquet(out)
+    counts = {r.split: r.n for r in
+              back.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / n < 0.85
+    # deterministic keeper: re-running the chain yields identical doc_ids
+    ids1 = sorted(r.doc_id for r in f.df.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in f.df.select("doc_id").collect())
+    assert ids1 == ids2
