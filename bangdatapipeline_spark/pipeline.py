@@ -123,6 +123,15 @@ class Frame:
             .drop("__rn")
         )
 
+    def fillna(self, values: Mapping[str, object]) -> "Frame":
+        """Per-column null replacement (pandas ``fillna`` vocabulary)."""
+        return Frame(self.df.fillna(dict(values)))
+
+    def dropna(self, subset: list[str] | None = None,
+               how: str = "any") -> "Frame":
+        """Drop rows with nulls (pandas ``dropna`` vocabulary)."""
+        return Frame(self.df.dropna(how=how, subset=subset))
+
     def split(self, key: str, frac_train: float = 0.8,
               frac_val: float = 0.1) -> "Frame":
         """Deterministic md5-gate train/val/test assignment column

@@ -89,3 +89,14 @@ def test_dedup_split_export(spark, sf_dir, tmp_path):
     ids1 = sorted(r.doc_id for r in f.df.select("doc_id").collect())
     ids2 = sorted(r.doc_id for r in f.df.select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_fillna_dropna(spark, sf_dir):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(a=1, b=None), Row(a=None, b="x"), Row(a=3, b="y")])
+    f = Frame(df)
+    assert f.fillna({"b": "?"}).df.filter(F.col("b") == "?").count() == 1
+    assert f.dropna(subset=["a"]).df.count() == 2
+    assert f.dropna(how="all").df.count() == 3
