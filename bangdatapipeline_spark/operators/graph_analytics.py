@@ -432,3 +432,84 @@ def events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(gap_s, 0.5D)"), 4).alias("p50_gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch marketing attribution
+# --------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH typed AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         ['email', 'search', 'social', 'ads']
+           [CAST(CAST(json_extract_string(props, '$.k') AS INT) % 4 AS INT) + 1]
+           AS channel
+  FROM events
+),
+attributed AS (
+  SELECT p.event_id AS purchase_id, p.value, c.channel
+  FROM typed p
+  JOIN typed c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+  WHERE p.event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY c.ts DESC, c.event_id DESC) = 1
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS revenue,
+       round(avg(value), 2) AS avg_order_value
+FROM attributed
+GROUP BY 1
+"""
+
+
+@register("events_attribution", oracle=_ATTRIBUTION_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value is credited to the
+    channel of the user's most recent click within a 7-day lookback —
+    the standard marketing-analytics join, mixing JSON extraction (the
+    channel is derived from the click's props payload) with as-of
+    matching and a bounded-key revenue rollup.
+
+    Like `join_asof`, the match is ONE window pass over the interleaved
+    per-user event stream (clicks sort before purchases on timestamp
+    ties; among same-ts clicks the stream-order last wins) instead of
+    the oracle's quadratic-per-user theta join; the lookback filter and
+    the #channels-sized aggregation follow. One user-keyed shuffle plus
+    a tiny agg exchange at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    channel = F.element_at(
+        F.array(F.lit("email"), F.lit("search"), F.lit("social"), F.lit("ads")),
+        (F.get_json_object("props", "$.k").cast("int") % 4 + 1).cast("int"),
+    )
+    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), tie, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("ts"), channel.alias("channel")),
+    )
+    lookback_us = 7 * 86400 * 1_000_000
+    attributed = (
+        ev.withColumn("last_click", F.last(click, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (
+                F.expr("timestampdiff(MICROSECOND, last_click.ts, ts)")
+                <= lookback_us
+            )
+        )
+        .select(F.col("last_click.channel").alias("channel"), "value")
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+        F.round(F.avg("value"), 2).alias("avg_order_value"),
+    )

@@ -193,3 +193,66 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("frame_idx") * FRAME_EVERY_MS).cast("int").alias("ts_ms"),
         "n_frames",
     )
+
+
+AUDIO_WIN_MS = 1000  # chunk length
+AUDIO_HOP_MS = 500   # 50% overlap
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+WITH auds AS (
+    SELECT doc_id AS asset_id,
+           CAST((n_chars * 10) % 60000 + 1000 AS INT) AS duration_ms,
+           16000 AS sample_rate
+    FROM documents
+    WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] = 'audio'
+),
+eligible AS (SELECT * FROM auds WHERE duration_ms >= {AUDIO_WIN_MS})
+SELECT asset_id,
+       CAST(unnest(generate_series(0, duration_ms - {AUDIO_WIN_MS}, {AUDIO_HOP_MS})) AS INT)
+         AS start_ms,
+       CAST(unnest(generate_series(0, duration_ms - {AUDIO_WIN_MS}, {AUDIO_HOP_MS}))
+            * sample_rate // 1000 AS BIGINT) AS start_sample,
+       CAST({AUDIO_WIN_MS} * sample_rate // 1000 AS BIGINT) AS n_samples,
+       duration_ms
+FROM eligible
+""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio windowing to rows: each audio asset yields
+    1-second chunks at 50% hop — the unit an audio encoder (or ASR
+    front-end) consumes, addressed by (start_ms, start_sample, n_samples)
+    byte-range coordinates into the payload.
+
+    Same scale posture as `multimodal_frames`: the chunk table is pure
+    metadata arithmetic (sequence + explode off duration/sample_rate) —
+    the waveform bytes never leave the scan stage, so 100 TB of audio
+    shuffles only chunk coordinates; the decode/resample runs afterwards
+    as a mapInPandas stage (`extract_features` shows the plumbing) over
+    lazily-fetched ranges.
+    """
+    a = build_assets(spark, sf_dir)
+    auds = a.filter(F.col("kind") == "audio").select(
+        "asset_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    ).filter(F.col("duration_ms") >= AUDIO_WIN_MS)
+    return auds.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("duration_ms") - AUDIO_WIN_MS, F.lit(AUDIO_HOP_MS)
+            )
+        ).alias("start_ms"),
+        "sample_rate",
+        "duration_ms",
+    ).select(
+        "asset_id",
+        F.col("start_ms").cast("int"),
+        (F.col("start_ms").cast("bigint") * F.col("sample_rate") / 1000)
+        .cast("bigint").alias("start_sample"),
+        F.lit(AUDIO_WIN_MS * 16000 // 1000).cast("bigint").alias("n_samples"),
+        "duration_ms",
+    )

@@ -174,3 +174,41 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("val_last_hour"),
     )
+
+
+_SCD2_ORACLE = """
+SELECT o_custkey AS custkey,
+       CAST(row_number() OVER w AS INT) AS version,
+       o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("scd2_ranges", oracle=_SCD2_ORACLE)
+def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: each customer's
+    ordered change records become versioned rows with [valid_from,
+    valid_to) effectivity ranges and an is_current flag — the standard
+    warehouse pattern for temporal dimensions, as one window pass
+    (row_number + lead share a single (custkey, date, key) sort). The
+    deterministic o_orderkey tie-break keeps same-day changes stable.
+    At 100 TB this is one shuffle on the dimension key; each entity's
+    history is a partition-local sorted run.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
