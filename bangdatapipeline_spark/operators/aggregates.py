@@ -305,10 +305,10 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its value must land within 1% (relative) of the exact median.
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-       round(quantile_cont(l_extendedprice, 0.90), 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
        'ok' AS approx_within_1pct
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -316,7 +316,12 @@ FROM lineitem GROUP BY l_returnflag
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile aggregation: exact percentiles (sort-based, interpolated —
     matches ``quantile_cont``) next to the ``approx_percentile`` KLL-style
-    sketch. At 100 TB the exact form needs a per-group sort; the sketch is
+    sketch. Percentiles round at 6 decimals, NOT 2: interpolating between
+    cent-valued prices yields k/400-grid values (e.g. an even-count median
+    of x.245), which sit EXACTLY ON 2-decimal rounding boundaries where
+    Spark (binary-expansion HALF_UP) and DuckDB disagree by a cent; the
+    6-decimal grid contains every k/400 point, so nothing lands near a
+    boundary (bit found at sf0.001). At 100 TB the exact form needs a per-group sort; the sketch is
     the constant-memory mergeable path — the oracle pins its accuracy
     contract instead of its value."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -326,10 +331,10 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
     exact_p50 = F.expr("percentile(l_extendedprice, 0.5D)")
     return li.groupBy("l_returnflag").agg(
-        F.round(pct.getItem(0), 2).alias("p25"),
-        F.round(pct.getItem(1), 2).alias("p50"),
-        F.round(pct.getItem(2), 2).alias("p75"),
-        F.round(pct.getItem(3), 2).alias("p90"),
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p75"),
+        F.round(pct.getItem(3), 6).alias("p90"),
         F.when(
             approx.between(exact_p50 * 0.99, exact_p50 * 1.01), F.lit("ok")
         )

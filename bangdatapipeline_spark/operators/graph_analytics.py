@@ -391,7 +391,7 @@ SELECT user_id,
        CAST(count(gap_s) AS BIGINT) AS n_gaps,
        round(avg(gap_s), 4) AS mean_gap_s,
        round(max(gap_s), 4) AS max_gap_s,
-       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s
+       round(quantile_cont(gap_s, 0.5), 7) AS p50_gap_s
 FROM gaps
 WHERE gap_s IS NOT NULL
 GROUP BY 1
@@ -410,7 +410,11 @@ def events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Gaps are microsecond diffs divided by 1e6 (one exact IEEE
     division — identical across engines); the aggregates are rounded to
     4 decimals, and the median is the sort-based exact interpolated
-    percentile (matches quantile_cont, SURVEY.md agg_quantiles recipe).
+    percentile (matches quantile_cont). The median rounds at 7 decimals,
+    not 4: gaps are exact microsecond values k/1e6, so even-count medians
+    are k/2e6 — odd multiples of 5e-5 sit EXACTLY on 4-decimal rounding
+    boundaries (the agg_quantiles half-way hazard); every k/2e6 is a
+    7-decimal GRID POINT, never a boundary.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -429,7 +433,7 @@ def events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("gap_s").alias("n_gaps"),
             F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
             F.round(F.max("gap_s"), 4).alias("max_gap_s"),
-            F.round(F.expr("percentile(gap_s, 0.5D)"), 4).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.5D)"), 7).alias("p50_gap_s"),
         )
     )
 

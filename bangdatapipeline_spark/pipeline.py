@@ -137,7 +137,13 @@ class Frame:
         """Deterministic md5-gate train/val/test assignment column
         (partition-invariant; same recipe as the sample_split operator)."""
         gate = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
-        cut = lambda f: format(int(f * 16**8), "08x")  # noqa: E731
+
+        def cut(f: float) -> str:
+            # 'g' sorts above every hex digit: a fraction >= 1 must map to
+            # a cut ABOVE all gates — format(16**8, "08x") would be the
+            # NINE-char "100000000", which sorts lexicographically BELOW
+            # most 8-char gates and silently mis-assigns the bucket.
+            return "g" if f >= 1.0 else format(int(f * 16**8), "08x")
         return Frame(
             self.df.withColumn(
                 "split",

@@ -100,3 +100,22 @@ def test_fillna_dropna(spark, sf_dir):
     assert f.fillna({"b": "?"}).df.filter(F.col("b") == "?").count() == 1
     assert f.dropna(subset=["a"]).df.count() == 2
     assert f.dropna(how="all").df.count() == 3
+
+
+def test_split_boundary_fractions(spark, sf_dir):
+    """frac_train + frac_val = 1.0 must leave test EMPTY and fill val with
+    the full remainder (regression: a 9-hex-char cut string sorted BELOW
+    8-char gates and mis-assigned ~15/16 of the val bucket to test)."""
+    p = Pipeline(spark, sf_dir)
+    f = p.table("documents").split("doc_id", frac_train=0.9, frac_val=0.1)
+    counts = {r.split: r.n for r in
+              f.df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert counts.get("test", 0) == 0
+    assert 0.85 < counts["train"] / n < 0.95
+    assert counts.get("val", 0) > 0
+    # all-train degenerate case
+    f2 = p.table("documents").split("doc_id", frac_train=1.0, frac_val=0.0)
+    c2 = {r.split: r.n for r in
+          f2.df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(c2) == {"train"}
