@@ -119,3 +119,36 @@ def test_split_boundary_fractions(spark, sf_dir):
     c2 = {r.split: r.n for r in
           f2.df.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert set(c2) == {"train"}
+
+
+def test_split_cut_properties():
+    """Hypothesis: the md5-gate cut mapping is monotone in the fraction,
+    always sorts at-or-above 8-hex gates for f>=1, and produces 8-char
+    lowercase hex otherwise — the invariants the split bucketing relies
+    on (no Spark needed: the cut is pure)."""
+    import re
+
+    from hypothesis import given, strategies as st
+
+    # re-derive the cut exactly as Frame.split defines it
+    def cut(f: float) -> str:
+        return "g" if f >= 1.0 else format(int(f * 16**8), "08x")
+
+    @given(st.floats(min_value=0.0, max_value=1.5, allow_nan=False),
+           st.floats(min_value=0.0, max_value=1.5, allow_nan=False))
+    def monotone(f1, f2):
+        if f1 <= f2:
+            assert cut(f1) <= cut(f2)
+
+    @given(st.floats(min_value=0.0, max_value=0.999999, allow_nan=False))
+    def wellformed(f):
+        c = cut(f)
+        assert re.fullmatch(r"[0-9a-f]{8}", c), c
+
+    @given(st.text(alphabet="0123456789abcdef", min_size=8, max_size=8))
+    def one_covers_all(gate):
+        assert gate < cut(1.0)
+
+    monotone()
+    wellformed()
+    one_covers_all()

@@ -76,3 +76,17 @@ def test_csv_export_roundtrip(spark, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 5
     assert sorted(back.columns) == sorted(region.columns)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format Spark ships natively — verify
+    write/read round-trip with schema + values intact (the canonical
+    store stays parquet; this pins the alternate-format path works)."""
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    out = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
