@@ -64,6 +64,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_chunk_sliding", "text_chunk_sliding"),
     ("events_markov_transitions", "events_transitions"),
     ("graph_pagerank_3iter", "graph_pagerank"),
+    ("ml_kmeans_2iter", "ml_kmeans_2iter"),
+    ("events_attribution", "events_attribution"),
 ]
 
 RUNS = 3
