@@ -451,3 +451,54 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup dedup (the fourth mandated detector family)
+# --------------------------------------------------------------------------
+
+def _emb_dedup_oracle() -> str:
+    from bangdatapipeline_spark.operators.similarity import PAIR_TAU, _duck_dot
+
+    return f"""
+WITH dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_duck_dot('a.embedding', 'b.embedding')} >= {PAIR_TAU}
+)
+SELECT d.doc_id, d.lang, e.label
+FROM embeddings e
+JOIN documents d ON e.vec_id = d.doc_id
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
+@register("dedup_near_embedding", oracle=_emb_dedup_oracle())
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: keep each document whose
+    embedding has NO earlier (smaller-id) neighbor with cosine >= tau.
+
+    Deterministic "leader by id" rule: any vector with an earlier
+    tau-neighbor is dropped. This is order-independent and
+    SQL-expressible (NOT EXISTS), unlike greedy streaming dedup whose
+    keep-set depends on scan order; full transitive clustering is
+    ``dedup_clusters``. Candidate pairs come from the BLAS block-GEMM
+    kernel (``knn_threshold_gemm``): corpus broadcast once, zero-shuffle
+    pair generation, then a distinct + anti-join on the dup ids.
+
+    Scale posture (100 TB): swap the all-pairs GEMM for the LSH bucket
+    join (``knn_ann_lsh``) as the candidate generator — the
+    distinct/anti-join tail is unchanged and shuffles only dup ids
+    (<= n rows), never embeddings.
+    """
+    from bangdatapipeline_spark.operators.similarity import knn_threshold_gemm
+
+    pairs = knn_threshold_gemm(spark, sf_dir)
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        e.join(dups, "vec_id", "left_anti")
+        .join(d, F.col("vec_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "label")
+    )

@@ -60,9 +60,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # Depending on the Spark build, parquet TIMESTAMP(NANOS) arrives
+        # either as bigint ns (legacy nanosAsLong path) or natively as
+        # timestamp_ntz truncated to microseconds. Both normalize to the
+        # same us-precision timestamp_ntz DuckDB produces for this file
+        # (verified equal at the microsecond on both paths).
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     _df_cache[key] = df
     return df
 

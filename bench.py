@@ -66,6 +66,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("graph_pagerank_3iter", "graph_pagerank"),
     ("ml_kmeans_2iter", "ml_kmeans_2iter"),
     ("events_attribution", "events_attribution"),
+    ("emb_dedup_survivors", "dedup_near_embedding"),
 ]
 
 RUNS = 3

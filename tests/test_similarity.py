@@ -82,3 +82,21 @@ def test_threshold_gemm_equals_fold(spark, sf_dir):
     fold = {tuple(r) for r in REGISTRY["knn_threshold_pairs"].fn(spark, sf_dir).select(*cols).collect()}
     gemm = {tuple(r) for r in REGISTRY["knn_threshold_gemm"].fn(spark, sf_dir).select(*cols).collect()}
     assert gemm == fold
+
+
+def test_embedding_dedup_invariants(spark, sf_dir):
+    """Survivors have no earlier tau-neighbor; survivors + dropped = all."""
+    from bangdatapipeline_spark.operators.similarity import PAIR_TAU, knn_threshold_gemm
+    from bangdatapipeline_spark.operators.dedup_near import dedup_near_embedding
+    from bangdatapipeline_spark.tables import load_table
+
+    surv = {r.doc_id for r in dedup_near_embedding(spark, sf_dir).collect()}
+    pairs = knn_threshold_gemm(spark, sf_dir).collect()
+    dropped = {r.id_b for r in pairs}
+    # no survivor appears as the later side of a >=tau pair
+    assert not (surv & dropped)
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    n_joined = e.join(d, e.vec_id == d.doc_id).count()
+    assert len(surv) == n_joined - len({i for i in dropped})
+    assert all(p.sim >= PAIR_TAU for p in pairs)
