@@ -581,3 +581,88 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "c_custkey", redacted.alias("redacted"), n_pii.cast("long").alias("n_pii")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary construction + OOV coverage (tokenizer-training statistics)
+# --------------------------------------------------------------------------
+
+VOCAB_V = 500  # top-V adjacent pairs kept (916 distinct exist at sf0.01)
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, lang, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+),
+bg AS (
+  SELECT a.lang, a.tok || ' ' || b.tok AS pair
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY pair
+),
+vocab AS (
+  SELECT pair, CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS token_id
+  FROM counted
+  QUALIFY token_id <= {VOCAB_V}
+)
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS total_pairs,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_pairs,
+       round(CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate,
+       CAST(count(DISTINCT b.pair) AS BIGINT) AS distinct_pairs,
+       CAST(count(DISTINCT v.token_id) AS BIGINT) AS distinct_in_vocab
+FROM bg b LEFT JOIN vocab v ON b.pair = v.pair
+GROUP BY b.lang
+"""
+
+
+@register("text_vocab", oracle=_VOCAB_ORACLE)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction over adjacent-token pairs (the BPE merge
+    statistic) + per-language OOV coverage against the learned vocab.
+
+    Pipeline: in-row pair forming via `zip_with` of the token array and
+    its shift (no positional self-join), one map-side-combined count
+    keyed on pair, global top-V via orderBy+limit — Spark plans this as
+    TakeOrderedAndProject (per-partition partial top-V, no full sort) —
+    then ids from a row_number over only the V surviving rows, and the
+    V-row vocab BROADCASTS back into the coverage join, so the second
+    pass over the corpus is shuffle-free up to the bounded per-lang agg.
+
+    Scale posture (100 TB): this is literally how tokenizer-training
+    collects first-merge pair stats. Both corpus passes are scan+project;
+    the only wide exchanges are the pair-count shuffle (uniform key
+    space) and a |langs|-key final agg. Vocab size V is constant, so the
+    broadcast never grows with the data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = d.select("lang", F.explode(pairs).alias("pair"))
+    counted = bg.groupBy("pair").agg(F.count("*").alias("cnt"))
+    topv = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(VOCAB_V)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    vocab = (
+        topv.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .select("pair", "token_id")
+    )
+    oov = F.when(F.col("token_id").isNull(), 1).otherwise(0)
+    return (
+        bg.join(F.broadcast(vocab), "pair", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_pairs"),
+            F.sum(oov).cast("bigint").alias("oov_pairs"),
+            F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+            F.countDistinct("pair").alias("distinct_pairs"),
+            F.countDistinct("token_id").alias("distinct_in_vocab"),
+        )
+    )

@@ -87,3 +87,40 @@ def partition_files(root: str) -> dict[str, int]:
         if os.path.isdir(p) and "=" in entry:
             out[entry] = sum(f.endswith(".parquet") for f in os.listdir(p))
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed + per-bucket-sorted parquet table (hash-bucketed
+    on ``bucket_cols``).
+
+    Bucketing pre-pays the join/agg shuffle at write time: two tables
+    bucketed on the same key with the same bucket count sort-merge-join
+    with NO Exchange and NO per-query Sort — the layout carries the
+    hash-partitioning + order guarantee. At 100 TB this converts every
+    recurring fact-fact join on the bucket key from a full-data shuffle
+    into a zero-movement merge; the write-side cost is one repartition,
+    paid once. (Plan property asserted in tests/test_plans.py.)
+
+    The leading repartition guarantees exactly ONE file per bucket
+    (repartition's hash partitioning and the bucket-id hash are the same
+    murmur3-pmod), which is the invariant that makes it safe to also set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` and elide
+    the per-query Sorts — Spark stopped trusting bucket sort order by
+    default (Spark 3.0) precisely because multi-file buckets break it.
+    """
+    (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )

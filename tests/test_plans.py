@@ -192,3 +192,52 @@ def test_split_gate_is_scan_stage_expression(spark, sf_dir):
 def test_redact_is_pure_scan_stage(spark, sf_dir):
     plan = _plan(REGISTRY["text_redact_pii"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bucketed_join_has_no_exchange_no_sort(spark, sf_dir, tmp_path):
+    """Co-located sort-merge join: both sides bucketed+sorted on the join
+    key -> the SMJ runs with zero Exchange (always), and with zero
+    per-query Sort once the scan is allowed to trust the per-bucket sort
+    order (`spark.sql.legacy.bucketedTableScan.outputOrdering` — safe
+    here because write_bucketed repartitions to exactly one file per
+    bucket, the invariant whose violation made Spark 3.0 stop trusting
+    it by default). This is the pre-paid-shuffle pattern that makes
+    recurring 100 TB fact-fact joins cheap."""
+    from bangdatapipeline_spark.sources import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed(o, "b_orders", str(tmp_path / "bo"), ["o_custkey"])
+    write_bucketed(c, "b_customer", str(tmp_path / "bc"), ["c_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+
+        # opt in to sorted-bucket scans -> the Sorts disappear too
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try:
+            plan2 = _plan(
+                spark.table("b_orders").join(
+                    spark.table("b_customer"),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+            )
+            assert "Exchange" not in plan2, plan2[:2000]
+            assert "Sort " not in plan2.replace("SortMergeJoin", "SMJ"), plan2[:2000]
+        finally:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
+        # same rows as the plain (shuffled) join
+        assert j.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
