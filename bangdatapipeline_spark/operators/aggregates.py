@@ -583,3 +583,191 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "wins_mean", "raw_mean",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (bounded-memory frequency estimation)
+# --------------------------------------------------------------------------
+
+_CMS_P = 2147483647  # 2^31 - 1, same Mersenne modulus as the minhash family
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # counters per row
+
+
+def _cms_coef(n: int) -> int:
+    return (1103515245 * n + 12345) % _CMS_P
+
+
+_CMS_A = [_cms_coef(2 * i) | 1 for i in range(_CMS_D)]
+_CMS_B = [_cms_coef(2 * i + 1) for i in range(_CMS_D)]
+
+
+def _cms_oracle() -> str:
+    a = ", ".join(str(x) for x in _CMS_A)
+    b = ", ".join(str(x) for x in _CMS_B)
+    return f"""
+WITH hashes AS (
+  SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i
+),
+counters AS (
+  SELECT h.i,
+         ((([{a}])[h.i + 1] * e.user_id + ([{b}])[h.i + 1]) % {_CMS_P}) % {_CMS_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN hashes h
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM events GROUP BY 1
+),
+est AS (
+  SELECT x.user_id, min(c.cnt) AS cms_n
+  FROM exact x CROSS JOIN hashes h
+  JOIN counters c
+    ON c.i = h.i
+   AND c.bucket = ((([{a}])[h.i + 1] * x.user_id + ([{b}])[h.i + 1]) % {_CMS_P}) % {_CMS_W}
+  GROUP BY 1
+)
+SELECT x.user_id, x.exact_n, s.cms_n, s.cms_n - x.exact_n AS overcount
+FROM exact x JOIN est s USING (user_id)
+ORDER BY x.exact_n DESC, x.user_id ASC
+LIMIT 10
+"""
+
+
+@register("agg_cms_heavy_hitters", oracle=_cms_oracle())
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch, exact-verified.
+
+    The sketch is a 4x64 integer counter grid: each event
+    increments one counter per hash row; a key's frequency estimate is the
+    MIN of its 4 counters — an upper bound on the true count
+    (overcount >= 0 always, checked by the oracle's subtraction). Hashes
+    are explicit LCG universal hashes, so both engines compute the
+    identical sketch and the whole query hash-checks.
+
+    Scale posture (100 TB): the counter grid is d*w cells REGARDLESS of
+    key cardinality — the groupBy on (i, bucket) has a bounded key space
+    (256 cells) so partial aggregation collapses each executor's
+    contribution to at most 256 rows before the shuffle; the estimate
+    lookup joins against 256 broadcast rows. This is the pattern for
+    frequency estimation when exact per-key counts don't fit: the sketch
+    state is O(1), and only the (small) candidate heavy-hitter set gets
+    exact verification, here the driver-side top-10.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            (((F.lit(_CMS_A[i]) * F.col("user_id") + F.lit(_CMS_B[i])) % _CMS_P) % _CMS_W)
+            .alias("bucket"),
+        )
+        for i in range(_CMS_D)
+    ])
+    counters = (
+        ev.select(F.explode(rows).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probes = exact.select("user_id", F.explode(rows).alias("h")).select(
+        "user_id", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .withColumn("overcount", F.col("cms_n") - F.col("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# One-pass column profiler (data-quality audit)
+# --------------------------------------------------------------------------
+
+# (column, min/max formatter kind) for the profiled table
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "double":
+            mn, mx = f"printf('%.2f', min({c}))", f"printf('%.2f', max({c}))"
+        elif kind == "ts":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S.%f')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_val, {mx} AS max_val
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over ``orders``: per column, row/null/
+    distinct counts and formatted min/max — the schema-audit step a
+    pipeline runs before trusting a new 100 TB drop (deequ/great-
+    expectations shape).
+
+    Plan: ONE aggregate computes all 6 columns' metrics in a single scan
+    (count-distinct over multiple columns becomes one Expand + partial
+    agg — still one pass over the file), then the 1-row result unpivots
+    to one row per column with `stack`. The oracle spells it as 6
+    UNION ALL scans because SQL has no multi-column unpivot-agg; Spark
+    pays 1 scan where the naive form pays 6 — at 100 TB that IS the
+    optimization. Min/max are rendered with C-style printf/strftime so
+    both engines format doubles and timestamps identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("__n")]
+    for c, kind in _PROFILE_COLS:
+        if kind == "double":
+            mn = F.format_string("%.2f", F.min(c))
+            mx = F.format_string("%.2f", F.max(c))
+        elif kind == "ts":
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, nn, n_distinct, min_val, max_val)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )

@@ -379,3 +379,56 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_us",
         "direction",
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join (hot-key splitting; oracle = the plain join)
+# --------------------------------------------------------------------------
+
+_JOIN_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT c.c_nationkey, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: the fact side gets a deterministic salt
+    in [0, 8); the other side is replicated once per salt value; the join
+    runs on (key, salt) so a hot key's rows spread across 8 reducers
+    instead of pinning one straggler. Result is row-identical to the
+    plain join — the oracle IS the plain join, pinning the equivalence
+    that makes salting safe to deploy.
+
+    At 100 TB: this is the manual fallback when AQE's runtime skew split
+    can't help (e.g. the skew is in the build side of a shuffled hash
+    join, or state must stay bounded in streaming). Cost model: replicas
+    multiply the small side by S (bounded, choose S ~ hottest-key
+    skew factor); the big side's shuffle is unchanged in volume, just
+    spread evenly. The SHUFFLE_HASH hint avoids both a broadcast (which
+    would hide the demonstration) and an unnecessary sort.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALT))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALT)]))
+        )
+    )
+    j = ev.join(
+        c.hint("shuffle_hash"),
+        (ev.user_id == c.c_custkey) & (ev._salt == c._salt),
+    )
+    return j.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -241,3 +241,13 @@ def test_bucketed_join_has_no_exchange_no_sort(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must shuffle on (key, salt) — not key alone — and
+    run as a shuffled hash join (no broadcast, which would hide the
+    skew-splitting demonstration)."""
+    plan = _plan(REGISTRY["join_salted_skew"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "_salt" in plan[plan.index("Exchange"):], plan[:3000]
