@@ -517,3 +517,67 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("revenue"),
         F.round(F.avg("value"), 2).alias("avg_order_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the part co-purchase graph
+# --------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT pa AS x FROM edges UNION SELECT pb FROM edges)) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.pa = e1.pb
+JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph (parts are adjacent
+    when some order contains both). Edges are id-oriented (pa < pb) so
+    each triangle is enumerated exactly once as (a<b)⋈(b<c)⋈(a<c):
+    wedge-build join on the middle node, then a closing equi-join.
+
+    Scale posture (100 TB): both joins are equi-joins Catalyst shuffles
+    on node keys; the classic refinement is DEGREE orientation (point
+    each edge at its higher-degree endpoint) which bounds per-node wedge
+    fan-out by sqrt(|E|) and tames hub skew — same plan shape, one extra
+    degree join to orient; AQE skew-split covers moderate hubs before
+    that's needed. The edge list is derived once (distinct on a
+    (order, part) projection) and reused three times — worth a .cache()
+    in a long session; at cluster scale, bucket the edge table by pa
+    so wedge-build and closing joins co-locate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, "o").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("x"))
+        .union(edges.select(F.col("pb").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

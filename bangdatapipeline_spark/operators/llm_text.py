@@ -666,3 +666,139 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("token_id").alias("distinct_in_vocab"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full training-data prep pipeline (quality -> exact dedup -> semantic
+# dedup -> packing), reported as a per-language funnel
+# --------------------------------------------------------------------------
+
+_PREP_LO, _PREP_HI = 200, 2000
+_PREP_BIN = 256
+
+
+def _train_prep_oracle() -> str:
+    from bangdatapipeline_spark.operators.similarity import PAIR_TAU, _duck_dot
+
+    return f"""
+WITH raw AS (SELECT doc_id, lang, text, n_chars FROM documents),
+q AS (SELECT * FROM raw WHERE n_chars BETWEEN {_PREP_LO} AND {_PREP_HI}),
+ex AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT q.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1
+),
+joined AS (
+  SELECT e.doc_id, e.lang, e.text, emb.embedding
+  FROM ex e JOIN embeddings emb ON emb.vec_id = e.doc_id
+),
+dups AS (
+  SELECT DISTINCT j2.doc_id
+  FROM joined j1 JOIN joined j2 ON j1.doc_id < j2.doc_id
+  WHERE {_duck_dot('j1.embedding', 'j2.embedding')} >= {PAIR_TAU}
+),
+near AS (
+  SELECT doc_id, lang, text FROM joined
+  WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+),
+t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks FROM near),
+c AS (
+  SELECT lang, n_toks,
+         coalesce(sum(n_toks) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+),
+s0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw FROM raw GROUP BY 1),
+s1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM q GROUP BY 1),
+s2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+s3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM near GROUP BY 1),
+s4 AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+              CAST(count(DISTINCT floor(prev / {_PREP_BIN})) AS BIGINT) AS n_bins
+       FROM c GROUP BY 1)
+SELECT s0.lang, s0.n_raw,
+       coalesce(s1.n_quality, 0) AS n_quality,
+       coalesce(s2.n_exact, 0) AS n_exact,
+       coalesce(s3.n_dedup, 0) AS n_dedup,
+       coalesce(s4.total_tokens, 0) AS total_tokens,
+       coalesce(s4.n_bins, 0) AS n_bins
+FROM s0
+LEFT JOIN s1 USING (lang) LEFT JOIN s2 USING (lang)
+LEFT JOIN s3 USING (lang) LEFT JOIN s4 USING (lang)
+"""
+
+
+@register("pipeline_train_prep", oracle=_train_prep_oracle())
+def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-data prep pipeline as ONE lazy Catalyst plan,
+    reported as a per-language funnel: raw -> length-band quality gate ->
+    exact dedup (md5 keep-first) -> semantic dedup (embedding leader
+    rule, inner-joined to the embedding table) -> token counting ->
+    256-token bin packing (prefix-sum form). Columns: doc counts
+    surviving each stage + packed token/bin totals.
+
+    Scale posture (100 TB): the gate is a pushed-down scan filter; exact
+    dedup shuffles once on the md5 key; semantic dedup's pair generation
+    is the quadratic baseline here and swaps for the LSH/GEMM candidate
+    path (``knn_ann_lsh``/``knn_threshold_gemm``) at scale with the same
+    anti-join tail; packing reuses the per-lang window partitioning for
+    its aggregate. Each stage's count is a side aggregate off the shared
+    lineage — Spark computes the funnel without re-reading the input.
+    """
+    from bangdatapipeline_spark.operators.similarity import PAIR_TAU, dot_double
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    q = raw.filter(F.col("n_chars").between(_PREP_LO, _PREP_HI))
+    wmd5 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ex = (
+        q.withColumn("rn", F.row_number().over(wmd5))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = ex.join(emb, ex.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "text", "embedding"
+    )
+    a = joined.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = joined.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    dups = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot_double(F.col("emb_a"), F.col("emb_b")) >= PAIR_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    near = joined.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "text")
+    t = near.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    wpack = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = t.withColumn("prev", F.coalesce(F.sum("n_toks").over(wpack), F.lit(0)))
+
+    s0 = raw.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    s1 = q.groupBy("lang").agg(F.count("*").alias("n_quality"))
+    s2 = ex.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    s3 = near.groupBy("lang").agg(F.count("*").alias("n_dedup"))
+    s4 = c.groupBy("lang").agg(
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct(F.floor(F.col("prev") / _PREP_BIN)).alias("n_bins"),
+    )
+    out = (
+        s0.join(s1, "lang", "left")
+        .join(s2, "lang", "left")
+        .join(s3, "lang", "left")
+        .join(s4, "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_raw",
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+        F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+        F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+    )

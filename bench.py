@@ -67,6 +67,12 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("ml_kmeans_2iter", "ml_kmeans_2iter"),
     ("events_attribution", "events_attribution"),
     ("emb_dedup_survivors", "dedup_near_embedding"),
+    ("doc_vocab_oov", "text_vocab"),
+    ("events_cms_heavy_hitters", "agg_cms_heavy_hitters"),
+    ("orders_profile_columns", "profile_columns"),
+    ("events_salted_join", "join_salted_skew"),
+    ("graph_triangles", "graph_triangles"),
+    ("doc_train_prep_funnel", "pipeline_train_prep"),
 ]
 
 RUNS = 3
