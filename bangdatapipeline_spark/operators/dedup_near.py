@@ -235,8 +235,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle discipline: the band join moves (key, doc_id) pairs ONLY — the
     shingle-hash arrays (the heavy payload) never enter the ×BANDS-
     amplified band shuffle; they rejoin once, per candidate id.
+
+    The hashed-shingle table is .cache()d: it feeds THREE consumers (the
+    signature path and both verification rejoins), and the word-fold
+    hashing is the dominant cost — caching computes it once per session
+    instead of per consumer (measured 2.9 s -> 1.4 s at sf0.1; Spark's
+    CacheManager dedupes repeated calls by canonicalized plan). At
+    100 TB the same holds with a disk-backed storage level, or
+    checkpoint the hashed table to parquet once.
     """
-    hashed = _hashed_shingles(spark, sf_dir)
+    hashed = _hashed_shingles(spark, sf_dir).cache()
     sig = hashed.withColumn("sig", F.expr(_minhash_sig_expr()))
     bexp = sig.select(
         "doc_id",

@@ -432,3 +432,81 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time temporal join against an SCD2 history
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_temporal_pit",
+    oracle="""
+WITH ranges AS (
+  SELECT o_custkey AS custkey,
+         CAST(row_number() OVER w AS INT) AS version,
+         round(o_totalprice, 2) AS totalprice,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM orders WHERE o_custkey < 300
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+f AS (
+  SELECT o.o_custkey AS custkey, l.l_orderkey, l.l_linenumber, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey < 300
+)
+SELECT f.custkey, f.l_orderkey, f.l_linenumber, f.l_shipdate,
+       r.version, r.totalprice
+FROM f JOIN ranges r
+  ON r.custkey = f.custkey
+ AND f.l_shipdate >= r.valid_from
+ AND (r.valid_to IS NULL OR f.l_shipdate < r.valid_to)
+""",
+)
+def join_temporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each shipment event is enriched with the SCD2
+    dimension version that was valid AT ship time ([valid_from, valid_to)
+    half-open ranges, NULL valid_to = current) — the feature-store
+    correctness pattern that prevents training-time leakage of
+    future dimension state.
+
+    Plan: the history table is dimension-sized, so it BROADCASTS and the
+    range predicate rides as a residual on the custkey hash join — each
+    fact row probes only its own entity's versions. Ranges are disjoint
+    by construction (lead() of the version sort), so exactly one version
+    matches and the join never amplifies. At 100 TB with long histories,
+    the same semantics restate as the union+window as-of form
+    (``join_asof``) to keep per-entity state a sorted partition-local
+    run; bucket both sides by entity key to kill the shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranges = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+    )
+    r = F.broadcast(ranges).alias("r")
+    return (
+        f.alias("f")
+        .join(
+            r,
+            (F.col("r.custkey") == F.col("f.custkey"))
+            & (F.col("f.l_shipdate") >= F.col("r.valid_from"))
+            & (F.col("r.valid_to").isNull() | (F.col("f.l_shipdate") < F.col("r.valid_to"))),
+        )
+        .select(
+            "f.custkey", "l_orderkey", "l_linenumber", "l_shipdate",
+            "version", "totalprice",
+        )
+    )

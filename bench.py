@@ -73,6 +73,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_salted_join", "join_salted_skew"),
     ("graph_triangles", "graph_triangles"),
     ("doc_train_prep_funnel", "pipeline_train_prep"),
+    ("orders_pit_join", "join_temporal_pit"),
 ]
 
 RUNS = 3

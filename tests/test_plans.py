@@ -251,3 +251,11 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan[:3000]
     assert "BroadcastHashJoin" not in plan, plan[:3000]
     assert "_salt" in plan[plan.index("Exchange"):], plan[:3000]
+
+
+def test_pit_join_broadcasts_history(spark, sf_dir):
+    """The SCD2 history is dimension-sized: it must broadcast with the
+    range residual on the hash join — no fact-side sort-merge."""
+    plan = _plan(REGISTRY["join_temporal_pit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]

@@ -332,3 +332,70 @@ def test_asof_nearest_invariants(spark, sf_dir):
             assert have.d_us <= tol
         else:
             assert have is None, r.event_id
+
+
+def test_cms_estimate_upper_bounds_exact(spark, sf_dir):
+    """Count-min property: every reported estimate >= the exact count
+    (min over hash rows can only overcount), and the heavy-hitter list
+    is the true exact-count top-10."""
+    rows = REGISTRY["agg_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.cms_n >= r.exact_n for r in rows)
+    assert all(r.overcount == r.cms_n - r.exact_n for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    true_top = (
+        ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10).collect()
+    )
+    assert [r.user_id for r in rows] == [r.user_id for r in true_top]
+
+
+def test_vocab_coverage_accounting(spark, sf_dir):
+    """OOV accounting closes: oov <= total, in-vocab distinct <= V, and
+    oov_rate is exactly oov/total (rounded)."""
+    from bangdatapipeline_spark.operators.llm_text import VOCAB_V
+
+    for r in REGISTRY["text_vocab"].fn(spark, sf_dir).collect():
+        assert 0 <= r.oov_pairs <= r.total_pairs
+        assert r.distinct_in_vocab <= VOCAB_V
+        assert r.distinct_in_vocab <= r.distinct_pairs
+        assert abs(r.oov_rate - round(r.oov_pairs / r.total_pairs, 6)) < 1e-9
+
+
+def test_train_prep_funnel_monotone(spark, sf_dir):
+    """Each prep stage can only drop documents: n_raw >= n_quality >=
+    n_exact >= n_dedup; packed bins exist iff docs survived."""
+    for r in REGISTRY["pipeline_train_prep"].fn(spark, sf_dir).collect():
+        assert r.n_raw >= r.n_quality >= r.n_exact >= r.n_dedup >= 0
+        assert (r.n_bins > 0) == (r.n_dedup > 0)
+        assert (r.total_tokens > 0) == (r.n_dedup > 0)
+
+
+def test_triangle_count_sanity(spark, sf_dir):
+    """Triangle count bounds: 0 <= triangles <= C(nodes,3); edges within
+    C(nodes,2)."""
+    r = REGISTRY["graph_triangles"].fn(spark, sf_dir).collect()[0]
+    n = r.n_nodes
+    assert 0 < r.n_edges <= n * (n - 1) // 2
+    assert 0 <= r.n_triangles <= n * (n - 1) * (n - 2) // 6
+
+
+def test_pit_join_exactly_one_version_per_event(spark, sf_dir):
+    """Disjoint half-open ranges -> every fact row at-or-after its
+    entity's first version matches EXACTLY one version: output row count
+    equals the in-range fact row count (no amplification, no drops).
+    ((l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    so the check counts rows, not keys.)"""
+    out = REGISTRY["join_temporal_pit"].fn(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    li = load_table(spark, sf_dir, "lineitem")
+    first = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min("o_orderdate").alias("first_from")
+    )
+    expected = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(first, o.o_custkey == first.custkey)
+        .filter(F.col("l_shipdate") >= F.col("first_from"))
+        .count()
+    )
+    assert out.count() == expected
