@@ -825,3 +825,67 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
         F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated n-gram spans (exact-substring dedup statistic)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 5  # words per span
+_SPAN_TOP = 20
+
+
+@register(
+    "text_repeated_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {_SPAN_N - 1}),
+                               i -> array_to_string(t[i:i+{_SPAN_N - 1}], ' '))) AS span
+  FROM t WHERE len(t) >= {_SPAN_N}
+),
+agg AS (
+  SELECT span,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM g GROUP BY 1
+)
+SELECT span, n_docs, n_occ FROM agg
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occ DESC, span ASC
+LIMIT {_SPAN_TOP}
+""",
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated word-5-gram spans: the detection statistic
+    behind exact-substring deduplication (spans shared verbatim by >= 2
+    documents are memorization/boilerplate candidates to cut or down-
+    weight). Top spans by (distinct docs, occurrences, span).
+
+    Plan: spans form IN-ROW (transform over the token array + slice — no
+    positional self-join), one explode feeds a map-side-combined count
+    keyed on span, and the top-k is TakeOrderedAndProject. At 100 TB the
+    span key space is huge but uniform (suffix-hash it to 64-bit to
+    shrink shuffle payload; collisions only merge counts, and candidates
+    are re-verified downstream exactly like the MinHash verify pass).
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= _SPAN_N
+    )
+    spans = F.expr(
+        f"transform(sequence(1, size(toks) - {_SPAN_N - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
+    )
+    g = d.select("doc_id", F.explode(spans).alias("span"))
+    agg = (
+        g.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return agg.orderBy(
+        F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span").asc()
+    ).limit(_SPAN_TOP)

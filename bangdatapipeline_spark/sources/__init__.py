@@ -124,3 +124,24 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+
+
+def upsert_partitions(df: DataFrame, out_dir: str, partition_by: list[str]) -> None:
+    """Idempotent partition-level upsert: overwrite ONLY the hive
+    partitions present in ``df``, leaving sibling partitions untouched
+    (``partitionOverwriteMode=dynamic`` scoped to this write).
+
+    This is the batch backfill/re-run primitive at 100 TB: recompute one
+    day (or one (day, lang) cell) and land it atomically per partition —
+    re-running the same job replaces the same partitions instead of
+    duplicating or truncating the table. The mode is set per-write via
+    DataFrameWriter option, not session-wide, so concurrent static
+    overwrites keep their semantics.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(out_dir)
+    )

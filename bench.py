@@ -74,6 +74,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("graph_triangles", "graph_triangles"),
     ("doc_train_prep_funnel", "pipeline_train_prep"),
     ("orders_pit_join", "join_temporal_pit"),
+    ("doc_repeated_spans", "text_repeated_spans"),
 ]
 
 RUNS = 3
