@@ -625,3 +625,99 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.select(
         "vec_id", F.col("c_id").alias("cluster"), F.round("d2", 4).alias("d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8-quantized top-k similarity (memory-bound serving path)
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                             (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+  FROM scaled
+),
+sims AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         list_reduce(list_transform(generate_series(1, len(a.qv)),
+                                    i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)
+           / (a.scale * b.scale) AS sim
+  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+)
+SELECT q_id, n_id, round(sim, 6) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
+FROM sims
+QUALIFY rn <= {TOP_K}
+"""
+
+
+@register("knn_quantized_topk", oracle=_QUANT_ORACLE)
+def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine search over INT8-quantized vectors: symmetric per-
+    vector quantization (scale = 127/max|x|, q = floor(x*scale + 0.5)),
+    integer dot products, de-scaled at the end — 4x less vector memory
+    and integer SIMD kernels at serving time, with the approximation
+    error bounded by the quantization step. The arithmetic is exact
+    integer + deterministic double ops, so the whole approximate
+    pipeline hash-checks against the oracle (floor(x+0.5) is used on
+    both sides — engine round() halfway conventions differ).
+
+    Scale posture (100 TB): quantize ONCE at ingest (per-row projection,
+    no shuffle), store qv+scale alongside the fp vector; the search
+    plan is identical to ``knn_cosine_topk`` (broadcast query side,
+    streamed corpus, top-k window on candidates) at 1/4 the scan bytes —
+    or the GEMM kernel with int8 BLAS where available.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.lit(127.0) / F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = e.select("vec_id", "embedding", scale.alias("scale"))
+    q = scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    a = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("qa"),
+        F.col("scale").alias("sa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("qv").alias("qb"),
+        F.col("scale").alias("sb"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (idot.cast("double") / (F.col("sa") * F.col("sb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
+    )

@@ -153,9 +153,43 @@ class Frame:
             )
         )
 
+    def profile(self, cols: list[str] | None = None) -> "Frame":
+        """One-pass data-quality profile: per column, row/null/distinct
+        counts and stringified min/max (one scan for ALL columns — the
+        audit step before trusting a new data drop)."""
+        cols = cols or self.df.columns
+        aggs: list[Column] = [F.count("*").alias("__n")]
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.min(c).cast("string").alias(f"{c}__mn"),
+                F.max(c).cast("string").alias(f"{c}__mx"),
+            ]
+        one = self.df.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
+        )
+        out = one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (col_name, nn, n_distinct, min_val, max_val)"
+            ),
+            F.col("__n").alias("n_rows"),
+        ).select(
+            "col_name", "n_rows",
+            (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+            "n_distinct", "min_val", "max_val",
+        )
+        return Frame(out)
+
     # -- terminal verbs ----------------------------------------------------
     def to_parquet(self, path: str, partition_by: list[str] | None = None) -> None:
         sources.canonicalize_parquet(self.df, path, partition_by=partition_by)
+
+    def to_parquet_upsert(self, path: str, partition_by: list[str]) -> None:
+        """Partition-level idempotent upsert (dynamic partition overwrite):
+        re-running a backfill replaces only the partitions it writes."""
+        sources.upsert_partitions(self.df, path, partition_by)
 
     def to_csv(self, out_dir: str) -> None:
         sources.export_csv(self.df, out_dir)

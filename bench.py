@@ -75,6 +75,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_train_prep_funnel", "pipeline_train_prep"),
     ("orders_pit_join", "join_temporal_pit"),
     ("doc_repeated_spans", "text_repeated_spans"),
+    ("emb_knn_quantized", "knn_quantized_topk"),
 ]
 
 RUNS = 3

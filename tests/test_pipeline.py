@@ -152,3 +152,27 @@ def test_split_cut_properties():
     monotone()
     wellformed()
     one_covers_all()
+
+
+def test_profile_verb_one_row_per_column(spark, sf_dir):
+    p = Pipeline(spark, sf_dir)
+    prof = p.table("orders").profile(["o_orderkey", "o_orderstatus"]).df.collect()
+    by_col = {r.col_name: r for r in prof}
+    assert set(by_col) == {"o_orderkey", "o_orderstatus"}
+    o = p.table("orders").df
+    assert by_col["o_orderkey"].n_rows == o.count()
+    assert by_col["o_orderkey"].n_nulls == 0
+    assert by_col["o_orderstatus"].n_distinct == o.select("o_orderstatus").distinct().count()
+
+
+def test_upsert_verb_partition_replace(spark, sf_dir, tmp_path):
+    p = Pipeline(spark, sf_dir)
+    out = str(tmp_path / "up")
+    f = p.table("documents").derive(ln=F.col("lang"))
+    f.to_parquet_upsert(out, ["ln"])
+    n_en = spark.read.parquet(out).filter("ln = 'en'").count()
+    # backfill ONLY 'en' with a subset; other langs stay
+    Frame(f.df.filter("ln = 'en'").limit(5)).to_parquet_upsert(out, ["ln"])
+    got = spark.read.parquet(out)
+    assert got.filter("ln = 'en'").count() == 5 != n_en
+    assert got.filter("ln = 'de'").count() > 0
