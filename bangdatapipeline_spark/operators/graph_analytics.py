@@ -596,3 +596,98 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.crossJoin(n_edges).crossJoin(tri).select(
         "n_nodes", "n_edges", "n_triangles"
     )
+
+
+# --------------------------------------------------------------------------
+# Top session paths (ordered event-type sequences per session)
+# --------------------------------------------------------------------------
+
+_PATHS_TOP = 15
+_PATHS_GAP_MIN = 30
+
+
+_PATHS_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL {_PATHS_GAP_MIN} MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM o
+), sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+), paths AS (
+    SELECT user_id, sess_id,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+    FROM sess GROUP BY user_id, sess_id
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {_PATHS_TOP}
+"""
+
+
+@register("events_session_paths", oracle=_PATHS_ORACLE)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (30-min gap, the lag-gap-cumsum
+    kernel), concatenate each session's ordered event types into a path
+    string, count sessions and distinct users per path — the
+    path-analysis staple behind funnel discovery.
+
+    Ordering inside a session is pinned by (ts, event_id): Spark sorts
+    (ts, event_id, event_type) structs in-row with sort_array after
+    collect_list (aggregation order is nondeterministic — the sort makes
+    it total), matching the oracle's `list(... ORDER BY ts, event_id)`.
+    One user_id shuffle for sessionize + collect (same partitioning
+    reused), one bounded-key shuffle on path for the count, TakeOrdered
+    for the top-15. Path cardinality is |event_types|^len — the group
+    key stays stringy but uniform; at 100 TB hash it to 64-bit for the
+    shuffle and rejoin the string for the survivors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts") - F.col("prev_ts")
+                > F.expr(f"INTERVAL {_PATHS_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(_PATHS_TOP)
+    )

@@ -212,3 +212,155 @@ def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+feat AS (
+  SELECT b.custkey, b.n_orders, b.monetary, b.last_order,
+         CAST(date_diff('day', b.last_order, mx.maxd) AS BIGINT) AS recency_days
+  FROM base b, mx
+),
+scored AS (
+  SELECT *,
+    CAST(ntile(5) OVER (ORDER BY last_order ASC, custkey ASC) AS INT) AS r_score,
+    CAST(ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) AS INT) AS f_score,
+    CAST(ntile(5) OVER (ORDER BY monetary ASC, custkey ASC) AS INT) AS m_score
+  FROM feat
+)
+SELECT custkey, recency_days, n_orders, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal'
+            ELSE 'other' END AS segment
+FROM scored
+"""
+
+
+@register("win_rfm_segments", oracle=_RFM_ORACLE)
+def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order at
+    corpus max date), frequency, monetary total; quintile scores via
+    ntile with a custkey tie-break (ntile over ties is otherwise
+    nondeterministic) and a rule-based segment label.
+
+    Scale note: the three ntiles are GLOBAL windows over the per-customer
+    aggregate — fine while |customers| fits one partition's sort (memory
+    ~ rows x 40B). At 100 TB-with-100M-customers the quintile cuts come
+    from approx_percentile (broadcast five cut points, score by CASE)
+    — same output contract, no global sort; the per-customer aggregate
+    (the expensive part) is identical either way.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    feat = base.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.datediff("maxd", "last_order").cast("bigint")
+    )
+    wr = Window.orderBy(F.col("last_order").asc(), F.col("custkey").asc())
+    wf = Window.orderBy(F.col("n_orders").asc(), F.col("custkey").asc())
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc())
+    scored = (
+        feat.withColumn("r_score", F.ntile(5).over(wr).cast("int"))
+        .withColumn("f_score", F.ntile(5).over(wf).cast("int"))
+        .withColumn("m_score", F.ntile(5).over(wm).cast("int"))
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal")
+        .otherwise("other")
+    )
+    return scored.select(
+        "custkey", "recency_days", "n_orders", "monetary",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto classification by cumulative revenue share
+# --------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM rev
+),
+tot AS (SELECT *, max(cum_rev) OVER () AS total_rev FROM ranked)
+SELECT partkey, revenue,
+       round(cum_rev / total_rev, 6) AS cum_share,
+       CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
+            WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc
+FROM tot
+"""
+
+
+@register("win_abc_pareto", oracle=_ABC_ORACLE)
+def win_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts ranked by revenue, running
+    cumulative share, A = first 50% of revenue, B = to 80%, C = tail —
+    the inventory-analysis classic.
+
+    Determinism: the running sum uses an ORDERED ROWS frame (sequential
+    accumulation, bit-identical across engines given the same total
+    order), and the grand total is taken as max(cum_rev) OVER () — the
+    last value of that same deterministic running sum — instead of an
+    unordered sum(revenue) OVER (), whose float accumulation order is
+    engine-dependent. Scale note: one shuffle for the per-part agg; the
+    global ordered window is |parts|-sized (dimension scale); with a
+    fact-sized key, replace with range-partitioned prefix sums
+    (two-pass: per-partition totals broadcast, then local cumsum).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # revenue is rounded on its DECIMAL LATTICE (price x discount
+    # products have exactly 4 decimals): round(, 2) would sit exactly on
+    # half-cent boundaries where engine ulp differences flip the cent —
+    # the round-half hazard documented in docs/dialect_notes.md. At 4dp
+    # the computed sums (+-1e-9 of the lattice point) always snap to the
+    # same value in both engines.
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    wo = (
+        Window.orderBy(F.col("revenue").desc(), F.col("partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.withColumn("cum_rev", F.sum("revenue").over(wo))
+    tot = ranked.withColumn(
+        "total_rev",
+        F.max("cum_rev").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return tot.select(
+        "partkey",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc"),
+    )

@@ -76,6 +76,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_pit_join", "join_temporal_pit"),
     ("doc_repeated_spans", "text_repeated_spans"),
     ("emb_knn_quantized", "knn_quantized_topk"),
+    ("orders_rfm_segments", "win_rfm_segments"),
+    ("events_session_paths", "events_session_paths"),
+    ("parts_abc_pareto", "win_abc_pareto"),
 ]
 
 RUNS = 3
