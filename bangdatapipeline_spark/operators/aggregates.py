@@ -771,3 +771,67 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / stickiness (rolling distinct-user windows)
+# --------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+wau AS (
+  SELECT g.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+  FROM days g JOIN pairs p ON p.day BETWEEN g.day - 6 AND g.day
+  GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+@register("events_dau_wau", oracle=_DAU_ORACLE)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) per day — the
+    engagement dashboard staple. COUNT(DISTINCT) does not compose over
+    sliding windows (a user active twice in the week counts once), so
+    WAU joins the day grid to the DEDUPED (day, user) pair table over a
+    7-day band and re-counts distinct — the standard exact rollup.
+
+    Scale posture (100 TB): the pair table collapses the event stream to
+    |days| x |active users| before any windowing (one distinct shuffle);
+    the band join expands it exactly 7x keyed on day (bounded), and the
+    distinct count shuffles (day, user) pairs once more. For wider
+    windows or real-time, swap exact distinct for mergeable HLL sketches
+    per day and union the 7 daily sketches (approx_count_distinct /
+    datasketches) — noted, not needed at this scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    g = days.select(F.col("day").alias("gday"))
+    wau = (
+        g.join(
+            pairs,
+            F.col("day").between(F.date_sub(F.col("gday"), 6), F.col("gday")),
+        )
+        .groupBy("gday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("gday", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

@@ -79,6 +79,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_rfm_segments", "win_rfm_segments"),
     ("events_session_paths", "events_session_paths"),
     ("parts_abc_pareto", "win_abc_pareto"),
+    ("events_dau_wau", "events_dau_wau"),
 ]
 
 RUNS = 3
