@@ -835,3 +835,55 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user behavioral entropy (event-type distribution)
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, sum(n) AS total, CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY 1
+)
+SELECT c.user_id,
+       CAST(t.total AS BIGINT) AS n_events,
+       t.n_types,
+       round(-sum((c.n / t.total) * ln(c.n / t.total)), 4) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.total, t.n_types
+"""
+
+
+@register("events_entropy", oracle=_ENTROPY_ORACLE)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (0 = single-type bots, ln(5) = uniform
+    over all types). Two aggregations share the user_id partitioning:
+    (user, type) counts, per-user totals via a second bounded agg, then
+    the entropy sum folds <= |types| terms per user. The ln() terms sum
+    over at most 5 values so float order is engine-stable at 4 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_types")
+    )
+    j = c.join(t, "user_id")
+    p = F.col("n") / F.col("total")
+    return (
+        j.groupBy("user_id", "total", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+        .select(
+            "user_id",
+            F.col("total").cast("bigint").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )

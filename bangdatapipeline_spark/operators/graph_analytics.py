@@ -691,3 +691,88 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(_PATHS_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity (support / confidence / lift on co-purchases)
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 3  # min orders containing the pair
+_BASKET_TOP = 20
+
+
+_BASKET_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM op),
+part_cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY 1),
+pair_cnt AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT pc.pa, pc.pb, pc.n_pair, ca.n_p AS n_a, cb.n_p AS n_b,
+       round(pc.n_pair / n.n_orders, 6) AS support,
+       round(CAST(pc.n_pair AS DOUBLE) / ca.n_p, 6) AS confidence,
+       round(pc.n_pair * n.n_orders / (ca.n_p * CAST(cb.n_p AS DOUBLE)), 6) AS lift
+FROM pair_cnt pc
+JOIN part_cnt ca ON ca.p = pc.pa
+JOIN part_cnt cb ON cb.p = pc.pb
+CROSS JOIN n
+WHERE pc.n_pair >= {_BASKET_MIN_PAIR}
+ORDER BY lift DESC, pc.pa ASC, pc.pb ASC
+LIMIT {_BASKET_TOP}
+"""
+
+
+@register("graph_basket_lift", oracle=_BASKET_ORACLE)
+def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: support / confidence / lift for
+    part pairs co-occurring in orders (min support floor, top pairs by
+    lift). Lift > 1 = bought together more than chance — the batch
+    association-rules kernel.
+
+    Plan shape: the (order, part) projection deduped once; pair counts
+    come from the same per-order self-join as the co-purchase graph
+    (equi-join on orderkey — per-order quadratic, bounded by basket
+    size, never corpus-quadratic); part marginals broadcast into the
+    pair table; TakeOrderedAndProject for the top-k. At 100 TB, baskets
+    stay small (the blow-up is sum of basket^2) and the pair count
+    shuffle is the only big exchange — identical to the triangle
+    pipeline's edge build, so the same bucketing reuse applies.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = op.select("o").distinct().count()  # scalar; dimension-sized
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pair_cnt = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    part_cnt = op.groupBy("p").agg(F.count("*").alias("n_p"))
+    ca = part_cnt.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
+    cb = part_cnt.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
+    out = (
+        pair_cnt.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa", "pb", "n_pair", "n_a", "n_b",
+            F.round(F.col("n_pair") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair") * F.lit(float(n_orders))
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(_BASKET_TOP)

@@ -889,3 +889,53 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(
         F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span").asc()
     ).limit(_SPAN_TOP)
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus health statistic)
+# --------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS DOUBLE) AS rk
+  FROM counted
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       round(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rk)), 4) AS zipf_intercept,
+       round(regr_r2(ln(cnt), ln(rk)), 4) AS r2
+FROM ranked
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: log-log OLS slope of token frequency vs
+    rank (natural text ~ -1; a badly skewed or synthetic corpus shows
+    up immediately) — a one-number corpus-health statistic computed with
+    the SQL regression aggregates (regr_slope/intercept/r2), which
+    partial-aggregate like any sum (the sufficient statistics are five
+    running sums). One token-count shuffle + a |types|-row global rank
+    window (vocabulary-sized, not corpus-sized).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = counted.withColumn("rk", F.row_number().over(w).cast("double"))
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rk"))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+    )
