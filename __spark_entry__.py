@@ -37,9 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every hash-checked key in ``queries()``.
-
-    Keys absent here (rows-only) are genuinely non-SQL-expressible:
-    seeded LSH candidate generation, streaming replays, approx sketches.
+    """DuckDB oracle SQL for every key in ``queries()`` — the full
+    registry is hash-checked (the LSH/IVF approximate-NN pipelines use
+    deterministic arithmetic codebooks, replicated in SQL).
     """
     return {key: q.oracle for key, q in load_all().items() if q.oracle is not None}

@@ -277,7 +277,53 @@ def _signature(emb: Column, table: int) -> Column:
     return acc
 
 
-@register("knn_ann_lsh", oracle=None)  # rows-only: approximate by design
+def _lsh_plane_dot_duck(plane: list[float]) -> str:
+    lits = ", ".join(repr(w) for w in plane)
+    return (
+        "list_reduce(list_transform(generate_series(1, len(embedding)), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]), (x, y) -> x + y)"
+    )
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replica of the full LSH pipeline. The hyperplanes are
+    deterministic arithmetic constants (not JVM-seeded randomness), so the
+    'approximate' detector is exactly reproducible: the oracle recomputes
+    every signature with the same constants and the same fold dot product,
+    bit-for-bit. ~74 KB of generated SQL (48 constant hyperplanes x 64
+    dims), ~4 s at sf0.01.
+    """
+    def bkt_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_lsh_plane_dot_duck(_hyperplane(t, bit))} > 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+            for bit in range(LSH_BITS)
+        )
+
+    sigs = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bkt_expr(t)} AS bkt FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH sigs AS ({sigs}),
+q AS (SELECT vec_id AS q_id, t, bkt FROM sigs WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.q_id, s.vec_id AS n_id
+  FROM q JOIN sigs s USING (t, bkt) WHERE s.vec_id <> q.q_id
+),
+sims AS (
+  SELECT c.q_id, c.n_id, {_duck_dot('a.embedding', 'b.embedding')} AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.q_id
+  JOIN embeddings b ON b.vec_id = c.n_id
+)
+SELECT q_id, n_id, round(sim, 6) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
+FROM sims QUALIFY rn <= {TOP_K}
+"""
+
+
+@register("knn_ann_lsh", oracle=_lsh_oracle())
 def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH: vectors hash into
     L×2^b buckets; candidates are corpus vectors sharing any bucket with the
@@ -286,7 +332,9 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale path for ``knn_cosine_topk``: the crossJoin is
     replaced by L equi-joins on (table, bucket) — shuffle-bounded by bucket
     occupancy instead of |Q|×|corpus|. Hyperplanes are deterministic
-    (LCG-seeded) so results are stable run-to-run.
+    (LCG-seeded) so results are stable run-to-run — deterministic enough
+    that the whole approximate pipeline HASH-CHECKS against a DuckDB
+    replica of the signature computation (see ``_lsh_oracle``).
     """
     e = load_table(spark, sf_dir, "embeddings")
     # signature per table, exploded to (vec_id, table, bucket)
@@ -337,7 +385,53 @@ def _cell_scores(x: DataFrame, cent: DataFrame, cn: DataFrame) -> DataFrame:
     )
 
 
-@register("knn_ivf_topk", oracle=None)  # rows-only: approximate by design
+def _ivf_oracle() -> str:
+    """DuckDB replica of the IVF pipeline. The label-centroid codebook is
+    data-derived (per-dim averages), so centroid doubles differ from
+    Spark's in the last ulp — but cell-score margins (best vs next cell
+    per vector) are ~1e-3..1e-4 on this data, 9+ orders above ulp noise,
+    so cell assignment and probe sets agree exactly and the rerank uses
+    the bit-identical fold dot. Verified row-identical at sf0.001/0.01.
+    """
+    return f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (
+  SELECT e.label AS cell, i - 1 AS dim, avg(CAST(e.embedding[i] AS DOUBLE)) AS c
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS g(i)
+  GROUP BY 1, 2
+),
+cn AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
+dots AS (
+  SELECT x.vec_id, ct.cell, sum(x.val * ct.c) AS dot
+  FROM x JOIN cent ct USING (dim) GROUP BY 1, 2
+),
+sc AS (SELECT d.vec_id, d.cell, d.dot / cn.cnorm AS score FROM dots d JOIN cn USING (cell)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS cr
+  FROM sc
+),
+corpus_cells AS (SELECT vec_id AS n_id, cell FROM ranked WHERE cr = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE cr <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT p.q_id, c.n_id FROM probes p JOIN corpus_cells c USING (cell)
+  WHERE p.q_id <> c.n_id
+),
+sims AS (
+  SELECT c.q_id, c.n_id, {_duck_dot('a.embedding', 'b.embedding')} AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.q_id
+  JOIN embeddings b ON b.vec_id = c.n_id
+)
+SELECT q_id, n_id, round(sim, 6) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
+FROM sims QUALIFY rn <= {TOP_K}
+"""
+
+
+@register("knn_ivf_topk", oracle=_ivf_oracle())
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate kNN: label centroids act as the coarse
     quantizer (a pretrained codebook — deterministic, unlike in-query

@@ -80,6 +80,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_session_paths", "events_session_paths"),
     ("parts_abc_pareto", "win_abc_pareto"),
     ("events_dau_wau", "events_dau_wau"),
+    ("parts_basket_lift", "graph_basket_lift"),
+    ("events_user_entropy", "events_entropy"),
 ]
 
 RUNS = 3
