@@ -887,3 +887,77 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test (two-sample experiment comparison)
+# --------------------------------------------------------------------------
+
+_TTEST_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         avg(value) AS m,
+         var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+w AS (
+  SELECT
+    (SELECT n FROM s WHERE event_type = 'click') AS n1,
+    (SELECT m FROM s WHERE event_type = 'click') AS m1,
+    (SELECT v FROM s WHERE event_type = 'click') AS v1,
+    (SELECT n FROM s WHERE event_type = 'purchase') AS n2,
+    (SELECT m FROM s WHERE event_type = 'purchase') AS m2,
+    (SELECT v FROM s WHERE event_type = 'purchase') AS v2
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       round(m1, 4) AS mean_click, round(m2, 4) AS mean_purchase,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2) AS df_welch
+FROM w
+"""
+
+
+@register("agg_welch_ttest", oracle=_TTEST_ORACLE)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between 'click' and 'purchase' event
+    values: group means/variances in ONE aggregation pass, then the
+    t-statistic and Welch-Satterthwaite degrees of freedom in a scalar
+    projection — the experiment-comparison primitive the reference's
+    analysis notebooks run on survey scores (condition A vs B).
+
+    The sufficient statistics (n, mean, var) are partial-aggregatable,
+    so at 100 TB this is one map-side-combined shuffle of 2 groups;
+    the test math runs on a 2-row table. Variance accumulation order
+    perturbs the last ulp only — rounding at 4 dp is 10 orders above it.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda col, et: F.first(F.when(F.col("event_type") == et, F.col(col)), True)
+    w = s.agg(
+        pick("n", "click").alias("n1"), pick("m", "click").alias("m1"),
+        pick("v", "click").alias("v1"),
+        pick("n", "purchase").alias("n2"), pick("m", "purchase").alias("m2"),
+        pick("v", "purchase").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        F.round("m1", 4).alias("mean_click"),
+        F.round("m2", 4).alias("mean_purchase"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(df_w, 2).alias("df_welch"),
+    )

@@ -364,3 +364,78 @@ def win_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("cum_share"),
         F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (per-user activity drift)
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT user_id, avg(cnt) AS mu FROM daily GROUP BY 1),
+c AS (
+  SELECT d.user_id, d.day,
+         sum(d.cnt - m.mu) OVER (PARTITION BY d.user_id ORDER BY d.day
+                                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM daily d JOIN m USING (user_id)
+),
+r AS (
+  SELECT *, round(abs(cusum), 6) AS mag,
+         count(*) OVER (PARTITION BY user_id) AS n_days
+  FROM c
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY mag DESC, day ASC) AS rn
+  FROM r
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       round(mag, 4) AS max_cusum,
+       strftime(day, '%Y-%m-%d') AS changepoint_day
+FROM rk WHERE rn = 1
+"""
+
+
+@register("win_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user: cumulative sum of daily
+    activity deviations from the user's mean; the day of maximum |CUSUM|
+    is the most-likely level-shift point (classic offline CUSUM argmax).
+
+    Determinism care: the per-user mean is an unordered float avg (ulp
+    differs across engines), so the ranking magnitude is ROUNDED to 6 dp
+    BEFORE the argmax ordering — near-tied |CUSUM| days would otherwise
+    rank by engine noise; ties after rounding break by earliest day.
+    One user_id shuffle shared by the daily agg, the mean, the ordered
+    cumsum window, and the argmax window — state per user is its day
+    count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    m = daily.groupBy("user_id").agg(F.avg("cnt").alias("mu"))
+    wc = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.join(m, "user_id").withColumn(
+        "cusum", F.sum(F.col("cnt") - F.col("mu")).over(wc)
+    )
+    r = c.withColumn("mag", F.round(F.abs("cusum"), 6)).withColumn(
+        "n_days", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("mag").desc(), F.col("day").asc())
+    return (
+        r.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round("mag", 4).alias("max_cusum"),
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        )
+    )

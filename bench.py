@@ -82,6 +82,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_dau_wau", "events_dau_wau"),
     ("parts_basket_lift", "graph_basket_lift"),
     ("events_user_entropy", "events_entropy"),
+    ("events_welch_ttest", "agg_welch_ttest"),
+    ("events_cusum_changepoint", "win_cusum_changepoint"),
 ]
 
 RUNS = 3
