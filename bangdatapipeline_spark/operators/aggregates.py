@@ -16,7 +16,7 @@ aggregation is the documented path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
@@ -960,4 +960,57 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m2", 4).alias("mean_purchase"),
         F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
         F.round(df_w, 2).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend (inequality measure)
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS x
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS DOUBLE) AS i,
+         CAST(count(*) OVER () AS DOUBLE) AS n
+  FROM spend
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+       round(sum(x), 2) AS total_spend,
+       round(2.0 * sum(i * x) / (any_value(n) * sum(x))
+             - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+FROM ranked
+"""
+
+
+@register("agg_gini", oracle=_GINI_ORACLE)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the inequality summary
+    (0 = equal, →1 = concentrated), via the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over spend sorted ascending with a
+    custkey tie-break. Per-customer totals round on the cent lattice at
+    4 dp (see docs/dialect_notes.md) before ranking, so the ordering is
+    engine-stable. One shuffle for the per-customer agg; the rank window
+    is |customers|-sized (dimension scale — at fact-scale keys use the
+    two-pass range-partitioned rank).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("double")).withColumn(
+        "n", F.count("*").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).cast("double")
+    )
+    return ranked.agg(
+        F.any_value("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.any_value("n") * F.sum("x"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
     )

@@ -510,3 +510,65 @@ def join_temporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version", "totalprice",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap self-join (temporal conflict detection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok, o_orderdate AS s,
+         o_orderdate + INTERVAL 7 DAY AS e
+  FROM orders WHERE o_custkey < 300
+)
+SELECT a.ck, a.ok AS ok_a, b.ok AS ok_b,
+       CAST(date_diff('day',
+                      CASE WHEN a.s >= b.s THEN a.s ELSE b.s END,
+                      CASE WHEN a.e <= b.e THEN a.e ELSE b.e END) AS BIGINT)
+         AS overlap_days
+FROM w a JOIN w b ON a.ck = b.ck AND a.ok < b.ok
+WHERE a.s < b.e AND b.s < a.e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each order spans a 7-day activity
+    window; emit same-customer order pairs whose windows overlap, with
+    the overlap length — the temporal-conflict / concurrent-session
+    detection pattern (two bookings colliding, two deployments
+    overlapping).
+
+    The equi-conjunct (customer) makes this a hash join with the
+    overlap inequalities as residuals — per-customer quadratic bounded
+    by orders-per-customer, never corpus-quadratic; the classic interval
+    join trap (pure theta → broadcast-nested-loop over everything) is
+    avoided by ALWAYS blocking on an entity or coarse time-bucket key.
+    At 100 TB with no natural entity key, bucket time into window-sized
+    epochs and join on epoch ± 1 — same plan shape.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+    )
+    a = w.select(F.col("ck"), F.col("ok").alias("ok_a"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = w.select(F.col("ck"), F.col("ok").alias("ok_b"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    return (
+        a.join(b, "ck")
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select(
+            "ck", "ok_a", "ok_b",
+            F.datediff(
+                F.least("ea", "eb"), F.greatest("sa", "sb")
+            ).cast("bigint").alias("overlap_days"),
+        )
+    )
