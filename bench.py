@@ -84,6 +84,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_user_entropy", "events_entropy"),
     ("events_welch_ttest", "agg_welch_ttest"),
     ("events_cusum_changepoint", "win_cusum_changepoint"),
+    ("customers_gini", "agg_gini"),
+    ("events_cuped", "events_cuped"),
 ]
 
 RUNS = 3
