@@ -259,3 +259,35 @@ def test_pit_join_broadcasts_history(spark, sf_dir):
     plan = _plan(REGISTRY["join_temporal_pit"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_basket_lift_broadcasts_marginals(spark, sf_dir):
+    """Part marginal counts are dimension-sized: both rejoin onto the
+    pair table as broadcasts, and the top-k is TakeOrderedAndProject."""
+    plan = _plan(REGISTRY["graph_basket_lift"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_repeated_spans_no_join_take_ordered(spark, sf_dir):
+    """Spans form in-row: no join anywhere; global top-k avoids a full
+    sort via TakeOrderedAndProject."""
+    plan = _plan(REGISTRY["text_repeated_spans"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_cms_sketch_partial_aggregates(spark, sf_dir):
+    """The 256-cell counter grid must partial-aggregate (map-side combine
+    before its shuffle) — the property that makes sketch state O(1)."""
+    df = REGISTRY["agg_cms_heavy_hitters"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_triangles_orientation_broadcasts(spark, sf_dir):
+    """Degree table and closing-edge probe both broadcast; the wedge
+    self-join is the only fact-scale exchange."""
+    plan = _plan(REGISTRY["graph_triangles"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
