@@ -32,3 +32,15 @@ def test_registry_contract():
         assert key.replace("_", "").isalnum()
         if q.oracle is not None:
             assert "select" in q.oracle.lower()
+
+
+def test_bench_keys_all_registered():
+    """Every bench entry must point at a registered query (guards key
+    drift between bench.py and the registry) and metric names are
+    unique."""
+    import bench
+
+    metrics = [m for m, _ in bench.BENCH_QUERIES]
+    assert len(metrics) == len(set(metrics))
+    missing = [k for _, k in bench.BENCH_QUERIES if k not in REGISTRY]
+    assert not missing, missing
