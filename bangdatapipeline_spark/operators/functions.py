@@ -167,8 +167,8 @@ def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT)                      AS n_tokens,
        list_contains(string_split(text, ' '), 'data')                 AS has_data,
-       (string_split(text, ' '))[1:3]                                 AS head3,
-       list_sort((string_split(text, ' '))[1:5])                      AS head5_sorted,
+       array_to_string((string_split(text, ' '))[1:3], ',')           AS head3,
+       array_to_string(list_sort((string_split(text, ' '))[1:5]), ',') AS head5_sorted,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT)       AS n_uniq
 FROM documents
 WHERE doc_id < 200
@@ -176,15 +176,20 @@ WHERE doc_id < 200
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family on tokenized text: size, contains, slice, sort,
-    distinct-count. All narrow ops — no shuffle."""
+    distinct-count. All narrow ops — no shuffle.
+
+    Array-valued intermediates are projected to CSV strings (concat_ws /
+    array_to_string) so the output schema is all-scalar: the external
+    comparator canonicalizes via pandas sort_values, which cannot hash
+    array cells."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.slice(toks, 1, 3).alias("head3"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("head5_sorted"),
+        F.concat_ws(",", F.slice(toks, 1, 3)).alias("head3"),
+        F.concat_ws(",", F.sort_array(F.slice(toks, 1, 5))).alias("head5_sorted"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_uniq"),
     )
 

@@ -66,6 +66,21 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _non_scalar_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns holding array/struct cells. The external driver's comparator
+    canonicalizes via pandas ``sort_values``, which raises on unhashable
+    cells — any such column would pass locally but ERR in the driver, so we
+    reject it here (project arrays to CSV strings on both sides instead)."""
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype == object and any(
+            isinstance(v, (list, tuple, dict, np.ndarray)) for v in col.head(50)
+        ):
+            bad.append(c)
+    return bad
+
+
 def compare_query(spark, query, sf_dir: str) -> tuple[bool, str]:
     """Run query.fn on Spark and query.oracle on DuckDB; compare results."""
     spark_pdf = query.fn(spark, sf_dir).toPandas()
@@ -73,6 +88,9 @@ def compare_query(spark, query, sf_dir: str) -> tuple[bool, str]:
     if query.oracle is None:
         n = len(spark_pdf)
         return True, f"rows-only: {n} rows"
+    bad = _non_scalar_cols(spark_pdf)
+    if bad:
+        return False, f"non-scalar output columns (driver comparator would ERR): {bad}"
 
     con = duck_con(sf_dir)
     try:
