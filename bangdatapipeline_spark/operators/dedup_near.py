@@ -490,14 +490,19 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau-neighbor is dropped. This is order-independent and
     SQL-expressible (NOT EXISTS), unlike greedy streaming dedup whose
     keep-set depends on scan order; full transitive clustering is
-    ``dedup_clusters``. Candidate pairs come from the BLAS block-GEMM
-    kernel (``knn_threshold_gemm``): corpus broadcast once, zero-shuffle
-    pair generation, then a distinct + anti-join on the dup ids.
+    ``dedup_clusters``. Candidate pairs come from the DISTRIBUTED tiled
+    block-GEMM kernel (``knn_threshold_gemm`` ->
+    ``similarity.gemm_pairs_tiled``): no driver collect, no cartesian
+    product — blocks meet in tiles, one BLAS matmul each, then a
+    distinct + anti-join on the dup ids.
 
-    Scale posture (100 TB): swap the all-pairs GEMM for the LSH bucket
-    join (``knn_ann_lsh``) as the candidate generator — the
-    distinct/anti-join tail is unchanged and shuffles only dup ids
-    (<= n rows), never embeddings.
+    Scale posture (100 TB): the tile kernel is exact and distributed
+    (raise B so a block fits a task); the LSH bucket join
+    (``knn_ann_lsh``) would cut candidates below n^2 but is approximate
+    (~0.5 pair recall at this tau with 8x6-bit tables), so it cannot
+    reproduce the exact oracle — it's the documented recall-traded
+    alternative, not the default. The distinct/anti-join tail shuffles
+    only dup ids (<= n rows), never embeddings.
     """
     from bangdatapipeline_spark.operators.similarity import knn_threshold_gemm
 

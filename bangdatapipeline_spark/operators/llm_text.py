@@ -739,13 +739,14 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (100 TB): the gate is a pushed-down scan filter; exact
     dedup shuffles once on the md5 key; semantic dedup's pair stage runs
-    through the block-GEMM kernel (broadcast matrix, zero-shuffle pair
-    emission) and swaps its broadcast for the LSH bucket-join candidate
-    generator (``knn_ann_lsh``) when the corpus outgrows one; packing
-    reuses the per-lang window partitioning for its aggregate. Each stage's count is a side aggregate off the shared
-    lineage — Spark computes the funnel without re-reading the input.
+    through the DISTRIBUTED tiled block-GEMM kernel
+    (``similarity.gemm_pairs_tiled`` — one BLAS matmul per block-pair
+    tile, nothing collected to the driver); packing reuses the per-lang
+    window partitioning for its aggregate. The whole funnel is ONE lazy
+    Catalyst plan — each stage's count is a side aggregate off the
+    shared lineage, and no stage materializes eagerly at construction.
     """
-    from bangdatapipeline_spark.operators.similarity import PAIR_TAU
+    from bangdatapipeline_spark.operators.similarity import gemm_pairs_tiled
 
     raw = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
@@ -761,36 +762,14 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ex.join(emb, ex.doc_id == emb.vec_id).select(
         "doc_id", "lang", "text", "embedding"
     )
-    # semantic-dedup candidate stage as block GEMM (same kernel shape as
-    # knn_threshold_gemm): the deduped subset's embedding matrix
-    # broadcasts once; each Arrow batch emits only the LATER id of every
-    # >= tau pair. ~25x faster than the expression-fold crossJoin at
-    # sf0.1 (the fold form remains the hash-checked baseline in
-    # dedup_near_embedding's oracle).
-    import numpy as np
-    import pandas as pd
-
-    c_pdf = joined.select("doc_id", "embedding").toPandas()
-    c_ids = c_pdf["doc_id"].to_numpy()
-    ct = np.vstack(c_pdf["embedding"].to_numpy()).astype(np.float64).T
-    bc = spark.sparkContext.broadcast((c_ids, ct))
-
-    def later_dups(batches):
-        ids_c, cmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["doc_id"].to_numpy()
-            block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = block @ cmat
-            rows, cols = np.nonzero(
-                (sims >= PAIR_TAU) & (ids[:, None] < ids_c[None, :])
-            )
-            yield pd.DataFrame({"doc_id": np.unique(ids_c[cols])})
-
+    # semantic-dedup: every >= tau pair's LATER id is a dup to drop.
+    # Pairs come from the tiled GEMM self-join — lazy, distributed,
+    # ~25x faster than the expression-fold crossJoin at sf0.1 (the fold
+    # form remains the hash-checked baseline in dedup_near_embedding's
+    # oracle).
     dups = (
-        joined.select("doc_id", "embedding")
-        .mapInPandas(later_dups, schema="doc_id long")
+        gemm_pairs_tiled(joined.select("doc_id", "embedding"), id_col="doc_id")
+        .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
     near = joined.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "text")

@@ -375,23 +375,34 @@ IVF_NPROBE = 3  # cells probed per query (of the 10 label-centroid cells)
 
 
 def _cell_scores(x: DataFrame, cent: DataFrame, cn: DataFrame) -> DataFrame:
-    """Cosine of every vector to every cell centroid (long-form join)."""
+    """Cosine of every vector to every cell centroid (long-form join).
+
+    Scores are rounded to a 6-dp lattice BEFORE the argmin/probe ranking:
+    the codebook is data-derived (per-dim averages), so raw doubles carry
+    summation-order ulp noise that differs between engines/partitionings;
+    on the lattice, assignment flips only if two cells truly tie at 6 dp,
+    and that tie breaks deterministically on cell id (both sides)."""
     return (
         x.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "cell")
         .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
         .join(F.broadcast(cn), "cell")
-        .select("vec_id", "cell", (F.col("dot") / F.col("cnorm")).alias("score"))
+        .select(
+            "vec_id", "cell", F.round(F.col("dot") / F.col("cnorm"), 6).alias("score")
+        )
     )
 
 
 def _ivf_oracle() -> str:
     """DuckDB replica of the IVF pipeline. The label-centroid codebook is
     data-derived (per-dim averages), so centroid doubles differ from
-    Spark's in the last ulp — but cell-score margins (best vs next cell
-    per vector) are ~1e-3..1e-4 on this data, 9+ orders above ulp noise,
-    so cell assignment and probe sets agree exactly and the rerank uses
-    the bit-identical fold dot. Verified row-identical at sf0.001/0.01.
+    Spark's in the last ulp. Cell scores are therefore rounded to the
+    same 6-dp lattice on BOTH sides before the row_number ranking (see
+    ``_cell_scores``): assignment no longer depends on a data-dependent
+    margin dwarfing ulp noise — a near-equidistant vector ties exactly at
+    6 dp and the tie breaks on cell id identically in both engines.
+    Rerank sims use the bit-identical fold dot. Verified row-identical at
+    sf0.001/0.01.
     """
     return f"""
 WITH x AS (
@@ -408,7 +419,7 @@ dots AS (
   SELECT x.vec_id, ct.cell, sum(x.val * ct.c) AS dot
   FROM x JOIN cent ct USING (dim) GROUP BY 1, 2
 ),
-sc AS (SELECT d.vec_id, d.cell, d.dot / cn.cnorm AS score FROM dots d JOIN cn USING (cell)),
+sc AS (SELECT d.vec_id, d.cell, round(d.dot / cn.cnorm, 6) AS score FROM dots d JOIN cn USING (cell)),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS cr
   FROM sc
@@ -550,6 +561,104 @@ def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEMM_TILE_BLOCKS = 8  # B: corpus splits into B row-blocks -> B(B+1)/2 tiles
+
+
+def gemm_pairs_tiled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    attr_col: str | None = None,
+    attr_type: str = "int",
+    tau: float = PAIR_TAU,
+    n_blocks: int = GEMM_TILE_BLOCKS,
+) -> DataFrame:
+    """Exact all-pairs similarity self-join as a DISTRIBUTED tiled GEMM —
+    no driver-side corpus materialization anywhere.
+
+    Every row lands in block ``pid % B``; each unordered block pair
+    (i <= j) is one tile. A row of block b is shipped to tiles (b, j>=b)
+    as the left side and (i<=b, b) as the right side — one explode, so
+    shuffle volume is n x (B+1) rows into a groupBy on the tile key. Each
+    tile then runs ONE BLAS matmul (A @ B^T) over its two blocks and
+    emits only the (id_a < id_b, sim >= tau) survivors.
+
+    Scale posture (100 TB): pick B so one block (~n/B x d doubles) fits a
+    task — the kernel's memory is two blocks regardless of n, work is the
+    unavoidable n^2/2 at BLAS speed, and nothing is ever collected to the
+    driver (the broadcast-corpus variant of this kernel OOMs the driver
+    once n x d outgrows ~10 GB; this form replaces it). An LSH bucket
+    join (``knn_ann_lsh``) cuts candidates below n^2 but is approximate —
+    at tau = {tau} its pair recall is ~0.5 with the 8x6-bit tables, so
+    the exact tile kernel is the form that hash-matches the n^2 oracle.
+
+    Returns pairs ``(id_a, id_b[, attr_a, attr_b], sim)`` with
+    ``id_a < id_b`` and raw (unrounded) double sims.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = [F.col(id_col).alias("pid"), F.col(emb_col).alias("emb")]
+    if attr_col is not None:
+        cols.append(F.col(attr_col).alias("attr"))
+    base = df.select(*cols).withColumn(
+        "blk", F.pmod(F.col("pid"), F.lit(n_blocks)).cast("int")
+    )
+    left = (
+        base.withColumn("tj", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))))
+        .withColumn("ti", F.col("blk"))
+        .withColumn("side", F.lit(0))
+    )
+    right = (
+        base.withColumn("ti", F.explode(F.sequence(F.lit(0), F.col("blk"))))
+        .withColumn("tj", F.col("blk"))
+        .withColumn("side", F.lit(1))
+    )
+    tiles = left.unionByName(right).drop("blk")
+
+    has_attr = attr_col is not None
+    schema = (
+        f"id_a long, id_b long, attr_a {attr_type}, attr_b {attr_type}, sim double"
+        if has_attr
+        else "id_a long, id_b long, sim double"
+    )
+    empty_cols = ["id_a", "id_b", "attr_a", "attr_b", "sim"] if has_attr else [
+        "id_a", "id_b", "sim"
+    ]
+
+    def tile_pairs(key, pdf):
+        ti, tj = key
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({c: [] for c in empty_cols})
+        ids_a = a["pid"].to_numpy()
+        ids_b = b["pid"].to_numpy()
+        amat = np.vstack(a["emb"].to_numpy()).astype(np.float64)
+        bmat = np.vstack(b["emb"].to_numpy()).astype(np.float64)
+        sims = amat @ bmat.T  # the GEMM — one BLAS call per tile
+        mask = sims >= tau
+        if ti == tj:
+            # both sides are the same block: strict < dedupes + drops self
+            mask &= ids_a[:, None] < ids_b[None, :]
+        rows, cols_ = np.nonzero(mask)
+        ia, ib = ids_a[rows], ids_b[cols_]
+        swap = ia > ib  # cross tiles carry both orders; canonicalize
+        out = {
+            "id_a": np.where(swap, ib, ia),
+            "id_b": np.where(swap, ia, ib),
+            "sim": sims[rows, cols_],
+        }
+        if has_attr:
+            at_a = a["attr"].to_numpy()[rows]
+            at_b = b["attr"].to_numpy()[cols_]
+            out["attr_a"] = np.where(swap, at_b, at_a)
+            out["attr_b"] = np.where(swap, at_a, at_b)
+        return pd.DataFrame(out)[empty_cols]
+
+    return tiles.groupBy("ti", "tj").applyInPandas(tile_pairs, schema=schema)
+
+
 @register(
     "knn_threshold_gemm",
     oracle=f"""
@@ -563,55 +672,24 @@ FROM sims WHERE sim >= {PAIR_TAU}
 """,
 )
 def knn_threshold_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GEMM form of the exact similarity self-join: the corpus matrix
-    broadcasts once (n x d f32, ~0.5 MB per 1k vectors); each streamed
-    Arrow block computes block @ corpus^T in ONE BLAS call and emits only
-    the (id_a < id_b, sim >= tau) survivors. No join, no shuffle at all —
-    the output is written where it's computed.
-
-    Scale path: when n x d outgrows a broadcast (~10 GB), tile the right
-    side too — crossJoin the corpus with a B-block index, same kernel per
-    (block_i, block_j > i) tile; work is n^2/2 regardless, this kernel
-    just does it at BLAS speed instead of expression-fold speed (~25x
-    here). Same oracle as ``knn_threshold_pairs``.
+    """Exact similarity self-join through the distributed tiled GEMM
+    kernel (``gemm_pairs_tiled``): corpus blocks meet in B(B+1)/2 tiles,
+    one BLAS matmul per tile, only the (id_a < id_b, sim >= tau)
+    survivors are emitted. Unlike the earlier broadcast-corpus form,
+    NOTHING is collected to the driver — the kernel scales to corpora far
+    beyond broadcast size by raising B. Same oracle as
+    ``knn_threshold_pairs`` (~25x faster than the expression fold).
     """
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "embeddings")
-    c_pdf = e.select("vec_id", "label", "embedding").toPandas()
-    c_ids = c_pdf["vec_id"].to_numpy()
-    c_labels = c_pdf["label"].to_numpy()
-    ct = np.vstack(c_pdf["embedding"].to_numpy()).astype(np.float64).T  # d x n
-    bc = spark.sparkContext.broadcast((c_ids, c_labels, ct))
-
-    def block_pairs(batches):
-        ids_c, labels_c, cmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            labels = pdf["label"].to_numpy()
-            block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = block @ cmat  # n_block x n — the GEMM
-            rows, cols = np.nonzero((sims >= PAIR_TAU) & (ids[:, None] < ids_c[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[rows],
-                    "id_b": ids_c[cols],
-                    "label_a": labels[rows],
-                    "label_b": labels_c[cols],
-                    "sim": sims[rows, cols],
-                }
-            )
-
-    return (
-        e.select("vec_id", "label", "embedding")
-        .mapInPandas(
-            block_pairs,
-            schema="id_a long, id_b long, label_a int, label_b int, sim double",
-        )
-        .select("id_a", "id_b", "label_a", "label_b", F.round("sim", 6).alias("sim"))
+    pairs = gemm_pairs_tiled(
+        e.select("vec_id", "label", "embedding"), attr_col="label"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("attr_a").alias("label_a"),
+        F.col("attr_b").alias("label_b"),
+        F.round("sim", 6).alias("sim"),
     )
 
 

@@ -83,12 +83,37 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
 
 
-def test_threshold_gemm_has_no_exchange(spark, sf_dir):
-    """The GEMM threshold self-join emits survivors where they're computed:
-    scan → mapInPandas → project, zero shuffles."""
+def test_threshold_gemm_tiled_no_cartesian_no_collect(spark, sf_dir):
+    """The tiled GEMM self-join is fully distributed: one grouped-map
+    kernel per block-pair tile, a single exchange on the tile key, and no
+    cartesian product / driver-side corpus materialization anywhere."""
     plan = _plan(REGISTRY["knn_threshold_gemm"].fn(spark, sf_dir))
-    assert "MapInPandas" in plan, plan[:2000]
-    assert "Exchange" not in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_train_prep_and_basket_lift_construct_lazily(spark, sf_dir):
+    """Constructing these plans must trigger NO Spark job (the round-1
+    forms eagerly ran toPandas()/count() at construction time): the
+    GEMM dedup stage appears as an in-plan grouped-map kernel and the
+    basket scalar as a lazy broadcast aggregate."""
+    # warm the table-loader cache: first-touch parquet footer reads are
+    # legitimate metadata jobs, not operator eagerness
+    REGISTRY["pipeline_train_prep"].fn(spark, sf_dir)
+    REGISTRY["graph_basket_lift"].fn(spark, sf_dir)
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "lazy-construct-check")
+    try:
+        prep = REGISTRY["pipeline_train_prep"].fn(spark, sf_dir)
+        basket = REGISTRY["graph_basket_lift"].fn(spark, sf_dir)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("lazy-construct-check")
+    assert list(jobs) == [], f"construction ran Spark jobs: {jobs}"
+    assert "FlatMapGroupsInPandas" in _plan(prep)
+    assert "BroadcastHashJoin" in _plan(basket)
 
 
 def test_gemm_topk_shuffles_candidates_only(spark, sf_dir):
@@ -250,6 +275,7 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     plan = _plan(REGISTRY["join_salted_skew"].fn(spark, sf_dir))
     assert "ShuffledHashJoin" in plan, plan[:3000]
     assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "Exchange" in plan, plan[:3000]
     assert "_salt" in plan[plan.index("Exchange"):], plan[:3000]
 
 
