@@ -753,7 +753,10 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    n_orders = op.select("o").distinct().count()  # scalar; dimension-sized
+    # n_orders as a lazy 1-row aggregate crossJoined (broadcast) into the
+    # output — like graph_triangles' n_nodes/n_edges — so constructing
+    # the plan never triggers an eager Spark job.
+    n = op.agg(F.countDistinct("o").cast("double").alias("n_orders"))
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
     pair_cnt = (
@@ -769,14 +772,15 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pair_cnt.join(F.broadcast(ca), "pa")
         .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n))
         .select(
             "pa", "pb", "n_pair", "n_a", "n_b",
-            F.round(F.col("n_pair") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
                 "confidence"
             ),
             F.round(
-                F.col("n_pair") * F.lit(float(n_orders))
+                F.col("n_pair") * F.col("n_orders")
                 / (F.col("n_a") * F.col("n_b").cast("double")),
                 6,
             ).alias("lift"),
