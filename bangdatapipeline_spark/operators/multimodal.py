@@ -5,9 +5,10 @@ columns plus a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
 The actual codec step is STUBBED (this container has no image/audio
-libraries): ``_decode_payload`` tries Pillow and falls back to a
-DETERMINISTIC FAKE (utf-8 round-trip + codepoint arithmetic). Everything
-around the stub — the binary schema, the mapInPandas batch iteration, the
+libraries): ``_decode_payload`` defaults to a DETERMINISTIC FAKE (utf-8
+round-trip + codepoint arithmetic) and upgrades to a real Pillow decode
+only under the explicit ``BDP_REAL_DECODE=1`` opt-in. Everything around
+the stub — the binary schema, the mapInPandas batch iteration, the
 metadata plumbing, the partitioning — is real, tested, and hash-checked
 against an oracle that re-expresses the fake decoder's arithmetic in SQL.
 
@@ -61,18 +62,30 @@ def build_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decode_payload(payload: bytes) -> str:
     """Decode a media payload to its analysable form.
 
-    STUB: real codecs (Pillow / soundfile / pyav) are not available in
-    this environment; the deterministic fallback treats the payload as
-    utf-8 text, which keeps the downstream feature arithmetic real and
-    oracle-checkable. Swap this single function for real decoders on a
-    cluster with codec libraries installed.
-    """
-    try:  # pragma: no cover - codec libs absent in this container
-        import PIL.Image  # noqa: F401
+    Default: the DETERMINISTIC FAKE (payload is utf-8 text in the synthetic
+    corpus) — this is the arithmetic the hash-checked oracle models.
 
-        raise NotImplementedError("real image decode not wired in this container")
-    except ImportError:
-        return payload.decode("utf-8")
+    Real decode is an explicit opt-in: set ``BDP_REAL_DECODE=1`` on a
+    cluster whose payloads are actual media bytes and whose Python workers
+    have Pillow — the image is then truly decoded (format + dimensions).
+    The flag is read per call so executors honor the env they run under;
+    a present codec library is USED, never an error (the round-1 form
+    inverted this and raised when Pillow existed).
+    """
+    import os
+
+    if os.environ.get("BDP_REAL_DECODE", "0") == "1":
+        try:
+            import io
+
+            import PIL.Image
+        except ImportError as exc:  # pragma: no cover - Pillow absent here
+            raise RuntimeError(
+                "BDP_REAL_DECODE=1 requires Pillow in the executor environment"
+            ) from exc
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            return f"{img.format}:{img.size[0]}x{img.size[1]}"
+    return payload.decode("utf-8")
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

@@ -156,25 +156,57 @@ class Frame:
     def profile(self, cols: list[str] | None = None) -> "Frame":
         """One-pass data-quality profile: per column, row/null/distinct
         counts and stringified min/max (one scan for ALL columns — the
-        audit step before trusting a new data drop)."""
+        audit step before trusting a new data drop).
+
+        Supported column types: atomic (numeric / string / boolean /
+        date / timestamp / binary) and arrays of atomics. Map-typed
+        columns are rejected up front (countDistinct cannot hash them).
+        Column names are never interpolated into SQL text — the unpivot
+        is built from typed ``F.stack``/``F.lit`` expressions, so names
+        containing backticks, quotes, or dots are safe.
+        """
+        from pyspark.sql.types import MapType
+
         cols = cols or self.df.columns
+        dtypes = {f.name: f.dataType for f in self.df.schema.fields}
+        unknown = [c for c in cols if c not in dtypes]
+        if unknown:
+            raise ValueError(f"profile(): unknown columns {unknown}")
+        unsupported = [c for c in cols if isinstance(dtypes[c], MapType)]
+        if unsupported:
+            raise ValueError(
+                f"profile(): map-typed columns not profilable {unsupported}; "
+                "project map_keys/map_values first"
+            )
+        def _ref(name: str) -> Column:
+            # exact-name reference via standard identifier escaping
+            # (double embedded backticks, wrap in backticks)
+            return F.col("`" + name.replace("`", "``") + "`")
+
         aggs: list[Column] = [F.count("*").alias("__n")]
-        for c in cols:
+        for i, c in enumerate(cols):
+            src = _ref(c)
             aggs += [
-                F.count(c).alias(f"{c}__nn"),
-                F.countDistinct(c).alias(f"{c}__nd"),
-                F.min(c).cast("string").alias(f"{c}__mn"),
-                F.max(c).cast("string").alias(f"{c}__mx"),
+                F.count(src).alias(f"__c{i}_nn"),
+                F.countDistinct(src).alias(f"__c{i}_nd"),
+                F.min(src).cast("string").alias(f"__c{i}_mn"),
+                F.max(src).cast("string").alias(f"__c{i}_mx"),
             ]
         one = self.df.agg(*aggs)
-        stack = ", ".join(
-            f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
-        )
+        stack_args: list[Column] = [F.lit(len(cols))]
+        for i, c in enumerate(cols):
+            stack_args += [
+                F.lit(c),
+                F.col(f"__c{i}_nn"),
+                F.col(f"__c{i}_nd"),
+                F.col(f"__c{i}_mn"),
+                F.col(f"__c{i}_mx"),
+            ]
         out = one.select(
-            F.expr(
-                f"stack({len(cols)}, {stack}) AS (col_name, nn, n_distinct, min_val, max_val)"
+            F.stack(*stack_args).alias(
+                "col_name", "nn", "n_distinct", "min_val", "max_val"
             ),
-            F.col("__n").alias("n_rows"),
+            one["__n"].alias("n_rows"),
         ).select(
             "col_name", "n_rows",
             (F.col("n_rows") - F.col("nn")).alias("n_nulls"),

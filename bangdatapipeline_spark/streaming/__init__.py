@@ -178,13 +178,26 @@ class _CounterProcessor(StatefulProcessor):
         )
 
 
+def tws_available() -> bool:
+    """True iff ``transformWithStateInPandas`` can run here: its state-
+    server wire protocol needs ``protobuf`` in the Python env. When
+    False, ``stateful_counts`` (applyInPandasWithState) is the documented
+    same-semantics fallback — identical output schema and final state."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def stateful_counts_tws(events: DataFrame) -> DataFrame:
     """Per-user counters via Spark 4 ``transformWithStateInPandas``
     (update mode, processing-time). Requires the RocksDB state store
     provider — set by the caller/test via
     ``spark.sql.streaming.stateStore.providerClass`` — and ``protobuf``
-    in the Python env (the TWS state-server wire protocol); the test
-    skips where protobuf is unavailable."""
+    in the Python env (``tws_available``); without it, use the
+    ``stateful_counts`` twin."""
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_CounterProcessor(),
         outputStructType=_OUT_SCHEMA,

