@@ -550,14 +550,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why orientation matters: the naive wedge join keys on the middle
     node and blows up as sum(degree^2) — 288M wedge rows at sf0.1 (avg
-    degree 120). Orientation bounds out-degree by ~sqrt(2|E|), cutting
-    wedges ~8x (measured 12 s -> 6 s here; the ratio grows with skew —
-    hub nodes are exactly what it caps). The oriented edge list is
-    cached (reused by both wedge sides and the closing probe), the
-    degree table broadcasts into the orientation, and the closing join
-    broadcasts the edge list; the only big shuffle left is the wedge
-    self-join keyed on src. At 100 TB the closing broadcast becomes a
-    bucketed co-located join on (v, w) instead.
+    degree 120). Orientation bounds out-degree by ~sqrt(2|E|); triangles
+    for an oriented edge (u,v) are |N+(u) ∩ N+(v)|, computed IN-ROW via
+    array_intersect over per-node sorted out-neighbor arrays — wedge
+    rows never materialize at all (the wedge self-join form measured
+    6.2 s cold vs 5.3 s for this; more importantly the wedge shuffle
+    disappears). The oriented edge list is cached (reused by the
+    adjacency build and the probe side); the adjacency table is |V| rows
+    with ≤ sqrt(2|E|)-length arrays and broadcasts twice. At 100 TB the
+    two adjacency joins become bucketed co-located joins on u / v
+    instead of broadcasts — same plan shape, no new shuffle class.
     """
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
@@ -580,26 +582,25 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
     )
-    # dst's orientation rank rides along so wedges can be generated
-    # ordered (v before w in the same (deg, id) total order that
-    # oriented the edges) — each unordered out-pair appears ONCE and the
-    # closing edge (v, w) is the only direction that can exist, halving
-    # the wedge join output (measured 6.0 s -> 3.7 s at sf0.1).
     oriented = ed.select(
         F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        F.when(fwd, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
     ).cache()
-    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("d_dst").alias("dv"))
-    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("d_dst").alias("dw"))
-    wedges = w1.join(w2, "src").filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    # per-node sorted out-neighbor arrays; each oriented edge (u,v)
+    # closes |N+(u) ∩ N+(v)| triangles, each counted exactly once (the
+    # DAG triangle x→y, x→z, y→z is counted at edge x→y with w=z).
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    ).hint("broadcast")
-    tri = wedges.join(closing, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    tri = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(F.broadcast(au), "u")
+        .join(F.broadcast(av), "v")
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("k"))
+        .agg(F.sum("k").alias("n_triangles"))
+    )
     nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return nodes.crossJoin(n_edges).crossJoin(tri).select(

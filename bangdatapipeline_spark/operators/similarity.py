@@ -842,11 +842,18 @@ def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides — engine round() halfway conventions differ).
 
     Scale posture (100 TB): quantize ONCE at ingest (per-row projection,
-    no shuffle), store qv+scale alongside the fp vector; the search
-    plan is identical to ``knn_cosine_topk`` (broadcast query side,
-    streamed corpus, top-k window on candidates) at 1/4 the scan bytes —
-    or the GEMM kernel with int8 BLAS where available.
+    no shuffle), store qv+scale alongside the fp vector; the search runs
+    as the integer GEMM kernel below — the bounded query matrix (int64)
+    broadcasts, each streamed Arrow block of the corpus does ONE integer
+    matmul and emits only its block-local top-k, so the sole shuffle is
+    the candidate set. Integer dots are exact in int64 (|dot| <=
+    d*127^2) and the de-scaling division uses the same IEEE double
+    operands as the expression-fold form, so the kernel is bit-identical
+    to it (and to the SQL oracle).
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
     scale = F.lit(127.0) / F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
@@ -862,34 +869,45 @@ def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qv"),
     )
-    a = q.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("qv").alias("qa"),
-        F.col("scale").alias("sa"),
-    )
-    b = q.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("qv").alias("qb"),
-        F.col("scale").alias("sb"),
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    sims = (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            (idot.cast("double") / (F.col("sa") * F.col("sb"))).alias("sim"),
-        )
+    # bounded query side (N_QUERIES rows) — the one legitimate collect
+    q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    q_scales = q_pdf["scale"].to_numpy(dtype=np.float64)
+    qt = np.vstack(q_pdf["qv"].to_numpy()).astype(np.int64).T  # d x nq
+    bq = spark.sparkContext.broadcast((q_ids, q_scales, qt))
+
+    def block_topk(batches):
+        ids_q, sc_q, qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            sc_b = pdf["scale"].to_numpy(dtype=np.float64)
+            block = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            idots = block @ qmat  # exact int64 GEMM
+            sims = idots.astype(np.float64) / (sc_b[:, None] * sc_q[None, :])
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                col = np.where(ids == qid, -np.inf, sims[:, j])
+                order = np.lexsort((ids, -col))[:TOP_K]
+                keep = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(keep), qid))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = q.select("vec_id", "scale", "qv").mapInPandas(
+        block_topk, schema="q_id long, n_id long, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
-        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
     )
