@@ -790,3 +790,106 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
     ).limit(_BASKET_TOP)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed peel rounds on the trade graph)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev_edges = "edges"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM {prev_edges} GROUP BY 1),
+alive{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev_edges} e
+  JOIN alive{i} a ON a.node = e.src
+  JOIN alive{i} b ON b.node = e.dst
+)""")
+        prev_edges = f"e{i}"
+    body = ",".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+),{body},
+dfinal AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM {prev_edges} GROUP BY 1)
+SELECT CASE WHEN d1.node % 2 = 0 THEN 'c' || CAST(d1.node // 2 AS VARCHAR)
+            ELSE 's' || CAST((d1.node - 1) // 2 AS VARCHAR) END AS node,
+       d1.deg AS deg0,
+       coalesce(dfinal.deg, 0) AS deg{_KCORE_ROUNDS},
+       coalesce(dfinal.deg, 0) >= {_KCORE_K} AS in_core
+FROM d1 LEFT JOIN dfinal ON dfinal.node = d1.node
+"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} fixed peel
+    rounds) on the undirected customer<->supplier trade graph: each round
+    drops nodes with degree < k and recomputes degrees on the induced
+    subgraph. Output per original node: initial degree, degree after the
+    final round (0 if peeled), and the in-core verdict — the standard
+    subgraph-density primitive (spam/bot rings, core community sizing)
+    next to PageRank and triangle counting.
+
+    Plan/scale: nodes are integer-encoded like ``graph_pagerank``; each
+    round is (degree aggregate -> broadcast the O(|V|) survivor set onto
+    the edge list twice) — edges are filtered in place, never
+    re-shuffled; degree aggregation reuses the same src key. Fixed round
+    count keeps the lineage shallow (full peeling iterates to a fixpoint
+    — checkpoint every ~5 rounds at depth). The oracle unrolls the same
+    rounds as chained CTEs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+
+    d1 = degrees(edges)
+    cur = edges
+    dcur = d1
+    for _ in range(_KCORE_ROUNDS):
+        alive = dcur.filter(F.col("deg") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(
+                F.broadcast(alive.withColumnRenamed("node", "src")), "src", "left_semi"
+            )
+            .join(
+                F.broadcast(alive.withColumnRenamed("node", "dst")), "dst", "left_semi"
+            )
+        )
+        dcur = degrees(cur)
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    dfinal = dcur.withColumnRenamed("deg", "deg_f")
+    out = d1.join(dfinal.withColumnRenamed("node", "node_f"),
+                  d1["node"] == F.col("node_f"), "left")
+    return out.select(
+        label.alias("node"),
+        F.col("deg").alias("deg0"),
+        F.coalesce("deg_f", F.lit(0)).alias(f"deg{_KCORE_ROUNDS}"),
+        (F.coalesce("deg_f", F.lit(0)) >= _KCORE_K).alias("in_core"),
+    )

@@ -918,3 +918,165 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 4).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (the lexical IR primitive next to the vector kNN)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents
+),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / st.avgdl))
+            ) AS s
+  FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM sc
+ORDER BY round(s, 6) DESC, doc_id ASC
+LIMIT {_BM25_TOP}
+"""
+
+
+@register("text_bm25", oracle=_BM25_ORACLE)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set ({_BM25_TERMS}): the
+    lexical relevance kernel (Robertson/Lucene form, k1={_BM25_K1},
+    b={_BM25_B}) — the sparse-retrieval half of a retrieval pipeline
+    whose dense half is the kNN family.
+
+    Plan: term postings (tf) come from one explode+filter+groupBy keyed
+    on (doc, term) — the IN-list prunes the token stream before the
+    shuffle; document lengths are a narrow projection joined back; the
+    3-row idf table and the 1-row corpus stats broadcast. Scores are
+    rounded to 6 dp BEFORE the top-k ordering (pre-rounded ranking keys
+    — ln/division ulp skew across engines must not flip ranks) with
+    doc_id as the unique tie-break; TakeOrderedAndProject handles the
+    global top-{_BM25_TOP}. At 100 TB the posting shuffle is bounded by
+    matches (query terms prune at the scan), the classic term-at-a-time
+    sharded-postings shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    st = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    sc = (
+        tf.join(F.broadcast(dft), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    return sc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(_BM25_TOP)
+
+
+# --------------------------------------------------------------------------
+# Paragraph-hash dedup (CCNet-style shared-chunk removal statistic)
+# --------------------------------------------------------------------------
+
+_PARA_TOKENS = 10  # non-overlapping chunk length
+
+
+_PARA_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+paras AS (
+  SELECT doc_id,
+         i - 1 AS pos,
+         md5(array_to_string(toks[(i - 1) * {_PARA_TOKENS} + 1 : i * {_PARA_TOKENS}], ' ')) AS h
+  FROM t, unnest(generate_series(1, CAST(ceil(len(toks) / {_PARA_TOKENS}.0) AS INT))) AS g(i)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_frac
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("dedup_paragraph_hash", oracle=_PARA_ORACLE)
+def dedup_paragraph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup statistic (CCNet-style): documents split
+    into non-overlapping {_PARA_TOKENS}-token chunks; a chunk is a
+    duplicate if the same md5 appeared at a lexicographically earlier
+    (doc_id, pos) — keep-first, fully deterministic. Per document:
+    chunk count, duplicated-chunk count, duplicated fraction (the score
+    CCNet thresholds to drop boilerplate-heavy documents).
+
+    Plan: chunks form IN-ROW (transform over the token array — no
+    positional self-join), one explode feeds a window keyed on the
+    16-byte hash (uniform keys, no skew) and a per-doc re-aggregation
+    that reuses nothing wider than (doc_id, pos, rn). At 100 TB this is
+    the exact shape of cross-shard paragraph dedup: hash-partition the
+    chunk stream, keep-first inside each hash partition, aggregate back
+    by document.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / float(_PARA_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("toks"), (i - 1) * _PARA_TOKENS + 1, _PARA_TOKENS)
+        ),
+    )
+    paras = t.select("doc_id", F.posexplode(chunks).alias("pos", "para")).select(
+        "doc_id", "pos", F.md5("para").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = paras.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_paras"),
+        F.round(
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

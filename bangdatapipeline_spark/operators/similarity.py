@@ -911,3 +911,120 @@ def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (ADC scoring over per-subspace codebooks)
+# --------------------------------------------------------------------------
+
+_PQ_SUBS = 4
+_PQ_SUBDIM = EMB_DIM // _PQ_SUBS
+
+
+_PQ_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, label,
+         (i - 1) // {_PQ_SUBDIM} AS s, (i - 1) % {_PQ_SUBDIM} AS j,
+         CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT label AS code, s, j, avg(val) AS c FROM x GROUP BY 1, 2, 3),
+c2 AS (SELECT code, s, sum(c * c) AS c2 FROM cent GROUP BY 1, 2),
+dots AS (
+  SELECT x.vec_id, x.s, ct.code, sum(x.val * ct.c) AS dot
+  FROM x JOIN cent ct ON x.s = ct.s AND x.j = ct.j
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.vec_id, d.s, d.code, d.dot,
+         round(d.dot - c2.c2 / 2, 6) AS score
+  FROM dots d JOIN c2 ON c2.code = d.code AND c2.s = d.s
+),
+codes AS (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code ASC) AS r
+  FROM scored
+),
+corpus_codes AS (SELECT vec_id AS n_id, s, code FROM codes WHERE r = 1),
+qd AS (SELECT vec_id AS q_id, s, code, dot FROM scored WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT qd.q_id, cc.n_id, round(sum(qd.dot), 6) AS sim
+  FROM corpus_codes cc JOIN qd ON qd.s = cc.s AND qd.code = cc.code
+  WHERE qd.q_id <> cc.n_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
+FROM sims QUALIFY rn <= {TOP_K}
+"""
+
+
+@register("knn_pq_topk", oracle=_PQ_ORACLE)
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the embedding splits into {_PQ_SUBS}
+    subspaces of {_PQ_SUBDIM} dims; per subspace the label centroids act
+    as a 10-entry codebook (pretrained coarse codebook, like
+    ``knn_ivf_topk``); each corpus vector stores only its per-subspace
+    code ids (4 bytes vs 256 — the PQ memory win), and queries score by
+    ASYMMETRIC DISTANCE: exact query subvector · assigned centroid,
+    summed over subspaces. Completes the ANN family: LSH (random
+    projection), IVF (coarse partition), int8 (scalar quantization), PQ
+    (vector quantization).
+
+    Determinism/oracle: code assignment ranks round(dot - |c|²/2, 6)
+    (the argmin-L2 equivalent) on a 6-dp lattice with code-id tie-break,
+    and ADC sims rank pre-rounded — the same data-derived-codebook
+    recipe as IVF, so the whole approximate pipeline hash-checks.
+
+    Scale posture (100 TB): codebooks are {_PQ_SUBS}x10x{_PQ_SUBDIM}
+    constants (broadcast); encoding is one scan; the search touches only
+    (n_id, s, code) — 4 small ints per corpus vector instead of the
+    vector itself, the entire point of PQ — and the per-query LUT join
+    replaces any vector math at query time.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("i", "val"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("i") / _PQ_SUBDIM).cast("int").alias("s"),
+            (F.col("i") % _PQ_SUBDIM).alias("j"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    cent = x.groupBy(F.col("label").alias("code"), "s", "j").agg(
+        F.avg("val").alias("c")
+    )
+    c2 = cent.groupBy("code", "s").agg(F.sum(F.col("c") * F.col("c")).alias("c2"))
+    dots = (
+        x.join(F.broadcast(cent), ["s", "j"])
+        .groupBy("vec_id", "s", "code")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    scored = dots.join(F.broadcast(c2), ["code", "s"]).select(
+        "vec_id", "s", "code", "dot",
+        F.round(F.col("dot") - F.col("c2") / 2, 6).alias("score"),
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("score").desc(), F.col("code").asc()
+    )
+    codes = scored.withColumn("r", F.row_number().over(w_code))
+    corpus_codes = codes.filter(F.col("r") == 1).select(
+        F.col("vec_id").alias("n_id"), "s", "code"
+    )
+    qd = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "s", "code", "dot"
+    )
+    sims = (
+        corpus_codes.join(F.broadcast(qd), ["s", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum("dot"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "sim", "rn")
+    )

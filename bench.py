@@ -96,6 +96,10 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_cusum_changepoint", "win_cusum_changepoint"),
     ("customers_gini", "agg_gini"),
     ("events_cuped", "events_cuped"),
+    ("doc_bm25_top10", "text_bm25"),
+    ("doc_paragraph_dedup", "dedup_paragraph_hash"),
+    ("graph_kcore", "graph_kcore"),
+    ("emb_knn_pq", "knn_pq_topk"),
 ]
 
 RUNS = 3

@@ -119,3 +119,23 @@ def test_quantized_topk_recall_and_error(spark, sf_dir):
     # per-element error <= 0.5/127 per product term, 64 terms, unit norms:
     # loose bound 64 * (0.5/127) * max|x| terms ~ 0.06; assert 0.05 seen
     assert all(abs(exact[k] - quant[k]) < 0.05 for k in inter)
+
+def test_pq_recall_and_shape(spark, sf_dir):
+    """PQ ADC scores are approximations (10-code codebooks per subspace),
+    so only shape + a recall floor are asserted: every query returns
+    TOP_K distinct non-self neighbors and recall@5 vs exact stays above
+    the floor (measured ~0.2+ at sf0.01 with the coarse label codebook —
+    PQ here demonstrates the encode/LUT machinery, not tuned recall)."""
+    exact = {
+        (r.q_id, r.n_id)
+        for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = REGISTRY["knn_pq_topk"].fn(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in approx:
+        assert r.q_id != r.n_id
+        per_q.setdefault(r.q_id, []).append(r)
+    assert len(per_q) == 100
+    assert all(len(v) == 5 for v in per_q.values())
+    recall = sum((r.q_id, r.n_id) in exact for r in approx) / len(exact)
+    assert recall >= 0.05, f"PQ recall collapsed: {recall:.3f}"
