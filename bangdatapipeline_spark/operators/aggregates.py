@@ -1141,3 +1141,62 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.any_value("var_reduction"), 4).alias("var_reduction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap distinct aggregation (fixed-width distinct state, OR-mergeable)
+# --------------------------------------------------------------------------
+
+_BITMAP_WORD = 64
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle=f"""
+WITH words AS (
+  SELECT event_type,
+         user_id // {_BITMAP_WORD} AS bucket,
+         bit_or(CAST(1 AS UBIGINT) << CAST(user_id % {_BITMAP_WORD} AS INT)) AS w
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bit_count(w)) AS BIGINT) AS n_users
+FROM words
+GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via bitmap aggregation: the
+    dense-id distinct-count pattern (ClickHouse/Doris bitmap aggs,
+    roaring-bitmap state). user_id maps to (word = id div 64,
+    bit = id mod 64); ``bit_or`` merges words associatively, so the
+    shuffle carries at most |types| x |id-space|/64 fixed 8-byte words —
+    NOT one row per distinct value like count-distinct's Expand, and
+    partial aggregation collapses each executor to its local bitmap
+    first. ``sum(bit_count(word))`` finishes exactly.
+
+    Against the repo's cardinality policy this is the third option:
+    exact Expand distinct (bounded domains), HLL sketch (unbounded,
+    ±rsd), bitmap (unbounded count but DENSE bounded id space — exact at
+    1/64 the shuffle rows). At 100 TB with 10^9 users the per-type state
+    is 125 MB of words, spread across the (type, bucket) key space;
+    roaring compression (RLE chunks) is the production refinement.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") / _BITMAP_WORD).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(user_id % {_BITMAP_WORD} as int))")
+            ).alias("w")
+        )
+    )
+    return words.groupBy("event_type").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.bit_count("w")).alias("n_users"),
+    )

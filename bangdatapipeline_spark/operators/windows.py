@@ -439,3 +439,100 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window EWMA (time-series smoothing primitive)
+# --------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.75  # 1 - alpha; 3/4 so every pow(0.75, d<=7) is an EXACT double
+_EWMA_SPAN = 8  # trailing events in the normalized window
+
+
+_EWMA_ORACLE = f"""
+WITH arr AS (
+  SELECT user_id,
+         list(struct_pack(ts := ts, event_id := event_id, value := value)
+              ORDER BY ts, event_id) AS a
+  FROM events GROUP BY user_id
+),
+x AS (
+  SELECT user_id,
+         unnest(list_transform(generate_series(1, len(a)), i -> struct_pack(
+            ts := a[i].ts, event_id := a[i].event_id, value := a[i].value,
+            ewma := round(
+              list_reduce(list_transform(generate_series(0, least(i - 1, {_EWMA_SPAN - 1})),
+                          d -> a[i - d].value * pow({_EWMA_DECAY}, d)), (x, y) -> x + y)
+              / list_reduce(list_transform(generate_series(0, least(i - 1, {_EWMA_SPAN - 1})),
+                          d -> pow({_EWMA_DECAY}, d)), (x, y) -> x + y), 6)
+         ))) AS s
+  FROM arr
+)
+SELECT user_id, s.ts AS ts, s.event_id AS event_id, s.value AS value, s.ewma AS ewma
+FROM x
+"""
+
+
+@register("win_ewma", oracle=_EWMA_ORACLE)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized trailing-window EWMA of event values per user (span
+    {_EWMA_SPAN}, decay {_EWMA_DECAY}): ewma_i = Σ_d v_(i-d)·decay^d /
+    Σ_d decay^d over the last {_EWMA_SPAN} events — pandas
+    ``ewm(adjust=True)`` over a bounded window, the smoothing primitive
+    for metric dashboards and anomaly baselines.
+
+    Plain window frames cannot weight BY DISTANCE inside the frame, so
+    the per-user history collects into ONE sorted array (deterministic
+    total order (ts, event_id) — the text_bigrams in-row pattern) and a
+    nested higher-order fold computes each position's weighted sum
+    in-row; positions re-explode to rows. One user-keyed shuffle total.
+    Decay 3/4 makes every pow(decay, d<=7) an exactly-representable
+    double, so both engines' folds are bit-identical before the round.
+
+    Scale: state per user is its event history (bounded per key like the
+    sessionize ops); for monster keys switch to the two-pass recurrence
+    (running numerator/denominator via exponent renormalization) — same
+    output contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("a")
+    )
+
+    def ewma_at(i):
+        span = F.sequence(F.lit(0), F.least(i - 1, F.lit(_EWMA_SPAN - 1)))
+        num = F.aggregate(
+            span,
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(F.col("a"), (i - d).cast("int"))["value"]
+            * F.pow(F.lit(_EWMA_DECAY), d),
+        )
+        den = F.aggregate(
+            span, F.lit(0.0), lambda acc, d: acc + F.pow(F.lit(_EWMA_DECAY), d)
+        )
+        return F.round(num / den, 6)
+
+    rows = arr.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a")),
+                lambda i: F.struct(
+                    F.element_at(F.col("a"), i.cast("int"))["ts"].alias("ts"),
+                    F.element_at(F.col("a"), i.cast("int"))["event_id"].alias("event_id"),
+                    F.element_at(F.col("a"), i.cast("int"))["value"].alias("value"),
+                    ewma_at(i).alias("ewma"),
+                ),
+            )
+        ).alias("s"),
+    )
+    return rows.select(
+        "user_id",
+        F.col("s.ts").alias("ts"),
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.value").alias("value"),
+        F.col("s.ewma").alias("ewma"),
+    )

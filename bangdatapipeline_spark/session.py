@@ -36,6 +36,15 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Scan-split size tracks the data scale, not the cluster default: the
+    # test-scale tables are single ~1-10 MB parquet files, which at the
+    # 128 MB default scan as 1-3 tasks — a nearly serial scan on a 32-core
+    # machine (measured: the flagship Q1 drops 0.33 s -> 0.21 s at sf0.1
+    # with 4 MB splits). On a real cluster with 100 TB of >=128 MB files
+    # this setting goes back up; the principle (split so the scan fills
+    # the cores) is what the engine encodes. Row-group boundaries still
+    # cap the effective split granularity.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     # AQE is on by default in Spark 4; keep it that way (runtime coalescing,
     # skew-join splitting — both essential at scale, harmless locally).
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -100,6 +100,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_paragraph_dedup", "dedup_paragraph_hash"),
     ("graph_kcore", "graph_kcore"),
     ("emb_knn_pq", "knn_pq_topk"),
+    ("events_bitmap_distinct", "agg_bitmap_distinct"),
+    ("events_ewma", "win_ewma"),
 ]
 
 RUNS = 3
