@@ -248,6 +248,52 @@ _DAMPING = 0.85
 _graph_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame, int]] = {}
 
 
+def _trade_contrib(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """Build-once-per-(session, sf_dir) cached trade graph: the doubled
+    (src, dst, w=1/outdeg(src)) edge list of the customer<->supplier
+    graph, its initial uniform rank vector, and |V|. Shared by
+    ``graph_pagerank`` and ``graph_kcore`` — the edge build (join +
+    distinct over the fact table) is the expensive part and is paid once
+    per session, the memo pattern of ``tables.load_table``."""
+    key = (id(spark), sf_dir)
+    cached = _graph_cache.get(key)
+    if cached is not None:
+        return cached
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        (1.0 / F.count("*")).alias("w")
+    )
+    # One cached structure for every iterative consumer:
+    # (src, dst, 1/outdeg(src)), packed into partitions of ~150k edges —
+    # every iteration re-scans this cache, so its partition count should
+    # track |E| (edges-per-partition budget), not the upstream scan's
+    # file splits.
+    n_edge_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    contrib_src = (
+        edges.join(F.broadcast(deg), edges["src"] == deg["node"])
+        .select("src", "dst", "w")
+        .repartition(n_edge_parts)
+        .cache()
+    )
+    n_nodes = deg.count()  # one action; |V| is a scalar the formulas need
+    init = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    cached = (contrib_src, init, n_nodes)
+    _graph_cache[key] = cached
+    return cached
+
+
 def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank as chained CTEs (no recursion
     needed for a FIXED iteration count — each round is one aggregate)."""
@@ -318,42 +364,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise is ~1e-15 relative, many orders of magnitude inside the
     rounding step.
     """
-    key = (id(spark), sf_dir)
-    cached = _graph_cache.get(key)
-    if cached is None:
-        o = load_table(spark, sf_dir, "orders")
-        li = load_table(spark, sf_dir, "lineitem")
-        e0 = (
-            o.join(li, o["o_orderkey"] == li["l_orderkey"])
-            .select(
-                (F.col("o_custkey") * 2).alias("src"),
-                (F.col("l_suppkey") * 2 + 1).alias("dst"),
-            )
-            .distinct()
-        )
-        edges = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        deg = edges.groupBy(F.col("src").alias("node")).agg(
-            (1.0 / F.count("*")).alias("w")
-        )
-        # One cached structure for the whole loop: (src, dst, 1/outdeg(src)),
-        # packed into partitions of ~150k edges: every iteration re-scans
-        # this cache, so its partition count should track |E| (edges per
-        # partition budget), not the upstream scan's file splits — with
-        # tiny partitions the per-task overhead of 3 rounds dominates.
-        n_edge_parts = max(8, spark.sparkContext.defaultParallelism // 4)
-        contrib_src = (
-            edges.join(F.broadcast(deg), edges["src"] == deg["node"])
-            .select("src", "dst", "w")
-            .repartition(n_edge_parts)
-            .cache()
-        )
-        n_nodes = deg.count()  # one action; |V| is a scalar the formula needs
-        init = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
-        cached = (contrib_src, init, n_nodes)
-        _graph_cache[key] = cached
-    contrib_src, ranks, n_nodes = cached
+    contrib_src, ranks, n_nodes = _trade_contrib(spark, sf_dir)
     for _ in range(_PAGERANK_ITERS):
         ranks = (
             contrib_src.join(F.broadcast(ranks), contrib_src["src"] == ranks["node"])
@@ -842,27 +853,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     subgraph-density primitive (spam/bot rings, core community sizing)
     next to PageRank and triangle counting.
 
-    Plan/scale: nodes are integer-encoded like ``graph_pagerank``; each
-    round is (degree aggregate -> broadcast the O(|V|) survivor set onto
-    the edge list twice) — edges are filtered in place, never
+    Plan/scale: nodes are integer-encoded like ``graph_pagerank``, and
+    the doubled edge list comes from the SAME per-session cached trade
+    graph (``_trade_contrib``) PageRank iterates over — the expensive
+    join+distinct edge build is paid once for the whole graph family.
+    Each round is (degree aggregate -> broadcast the O(|V|) survivor set
+    onto the edge list twice) — edges are filtered in place, never
     re-shuffled; degree aggregation reuses the same src key. Fixed round
     count keeps the lineage shallow (full peeling iterates to a fixpoint
     — checkpoint every ~5 rounds at depth). The oracle unrolls the same
     rounds as chained CTEs.
     """
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    contrib_src, _, _ = _trade_contrib(spark, sf_dir)
+    edges = contrib_src.select("src", "dst")
 
     def degrees(e: DataFrame) -> DataFrame:
         return e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
