@@ -399,3 +399,90 @@ def test_pit_join_exactly_one_version_per_event(spark, sf_dir):
         .count()
     )
     assert out.count() == expected
+
+
+def test_tiled_gemm_block_count_invariant(spark, sf_dir):
+    """The tiled all-pairs kernel must return the SAME pair set for any
+    block count — tiling is a physical choice, not a semantic one (the
+    invariant that lets B scale with corpus size at 100 TB)."""
+    from bangdatapipeline_spark.operators.similarity import gemm_pairs_tiled
+    from bangdatapipeline_spark.tables import load_table as lt
+
+    e = lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def pairs(n_blocks):
+        df = gemm_pairs_tiled(e, n_blocks=n_blocks).select("id_a", "id_b")
+        return sorted(map(tuple, df.collect()))
+
+    assert pairs(2) == pairs(8) == pairs(13)
+
+
+def test_ewma_partition_invariant_and_bounded(spark, sf_dir):
+    """EWMA output must not depend on the input's partitioning (the
+    per-user array sort gives a total order), and every smoothed value
+    lies within [min, max] of that user's trailing window inputs — here
+    checked against the user's global min/max envelope."""
+    base = REGISTRY["win_ewma"].fn(spark, sf_dir)
+    a = sorted(map(tuple, base.collect()))
+    shuffled = load_table(spark, sf_dir, "events").repartition(13, "event_type")
+    import bangdatapipeline_spark.tables as T
+
+    key = (id(spark), sf_dir, "events")
+    orig = T._df_cache.get(key)
+    T._df_cache[key] = shuffled
+    try:
+        b = sorted(map(tuple, REGISTRY["win_ewma"].fn(spark, sf_dir).collect()))
+    finally:
+        T._df_cache[key] = orig
+    assert a == b
+    env = {
+        r.user_id: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in base.collect():
+        lo, hi = env[r.user_id]
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
+
+
+def test_paragraph_dedup_accounting(spark, sf_dir):
+    """Chunk accounting: across the corpus, every md5-distinct chunk is
+    counted exactly once as an original — total chunks == distinct
+    chunks + duplicated chunks."""
+    out = REGISTRY["dedup_paragraph_hash"].fn(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_paras").alias("total"), F.sum("n_dup_paras").alias("dups")
+    ).collect()[0]
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / 10.0).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 10 + 1, 10)),
+    )
+    distinct_chunks = (
+        d.filter(F.size(toks) > 0)
+        .select(F.explode(chunks).alias("para"))
+        .select(F.md5("para"))
+        .distinct()
+        .count()
+    )
+    assert agg.total == distinct_chunks + agg.dups
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """The OR-merged bitmap count must equal plain countDistinct."""
+    bm = {
+        r.event_type: r.n_users
+        for r in REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert bm == exact
