@@ -534,6 +534,26 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting on the part co-purchase graph
 # --------------------------------------------------------------------------
 
+# (session id, sf_dir) -> cached distinct (order, part) projection —
+# shared by graph_triangles and graph_basket_lift (same memo pattern as
+# _trade_contrib; the fact-table scan + distinct is the shared cost).
+_op_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cached = _op_cache.get(key)
+    if cached is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        cached = (
+            li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+            .cache()
+        )
+        _op_cache[key] = cached
+    return cached
+
+
 _TRIANGLES_ORACLE = """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 edges AS (
@@ -572,10 +592,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     two adjacency joins become bucketed co-located joins on u / v
     instead of broadcasts — same plan shape, no new shuffle class.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    op = _order_part(spark, sf_dir)
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
     edges = (
@@ -761,10 +778,7 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the only big exchange — identical to the triangle
     pipeline's edge build, so the same bucketing reuse applies.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    op = _order_part(spark, sf_dir)
     # n_orders as a lazy 1-row aggregate crossJoined (broadcast) into the
     # output — like graph_triangles' n_nodes/n_edges — so constructing
     # the plan never triggers an eager Spark job.
