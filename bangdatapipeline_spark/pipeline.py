@@ -153,6 +153,72 @@ class Frame:
             )
         )
 
+    def value_counts(self, col: str, normalize: bool = False) -> "Frame":
+        """Per-value frequency table (pandas ``value_counts``): count per
+        distinct value, descending with the value as tie-break; optional
+        relative frequencies. One map-side-combined aggregation."""
+        out = self.df.groupBy(col).agg(F.count("*").alias("count"))
+        if normalize:
+            total = out.agg(F.sum("count").alias("__t"))
+            out = out.crossJoin(F.broadcast(total)).select(
+                col,
+                "count",
+                F.round(F.col("count") / F.col("__t"), 6).alias("frac"),
+            )
+        return Frame(out.orderBy(F.col("count").desc(), F.col(col).asc()))
+
+    def melt(self, ids: list[str], values: list[str],
+             var_name: str = "variable", value_name: str = "value") -> "Frame":
+        """Wide→long unpivot (pandas ``melt`` vocabulary)."""
+        return Frame(self.df.unpivot(ids, values, var_name, value_name))
+
+    def describe(self, cols: list[str] | None = None) -> "Frame":
+        """Numeric summary (pandas ``describe`` shape): one row per column
+        with count / mean / stddev / min / max — computed for ALL columns
+        in one scan + one tiny stack, the same plan shape as ``profile``."""
+        from pyspark.sql.types import NumericType
+
+        numeric = [
+            f.name for f in self.df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        ]
+        cols = cols or numeric
+        bad = [c for c in cols if c not in numeric]
+        if bad:
+            raise ValueError(f"describe(): non-numeric columns {bad}")
+
+        def _ref(name: str) -> Column:
+            return F.col("`" + name.replace("`", "``") + "`")
+
+        aggs: list[Column] = []
+        for i, c in enumerate(cols):
+            src = _ref(c).cast("double")
+            aggs += [
+                F.count(src).alias(f"__d{i}_n"),
+                F.round(F.avg(src), 6).alias(f"__d{i}_mean"),
+                F.round(F.stddev_samp(src), 6).alias(f"__d{i}_sd"),
+                F.round(F.min(src), 6).alias(f"__d{i}_min"),
+                F.round(F.max(src), 6).alias(f"__d{i}_max"),
+            ]
+        one = self.df.agg(*aggs)
+        stack_args: list[Column] = [F.lit(len(cols))]
+        for i, c in enumerate(cols):
+            stack_args += [
+                F.lit(c),
+                F.col(f"__d{i}_n"),
+                F.col(f"__d{i}_mean"),
+                F.col(f"__d{i}_sd"),
+                F.col(f"__d{i}_min"),
+                F.col(f"__d{i}_max"),
+            ]
+        return Frame(
+            one.select(
+                F.stack(*stack_args).alias(
+                    "col_name", "count", "mean", "stddev", "min", "max"
+                )
+            )
+        )
+
     def profile(self, cols: list[str] | None = None) -> "Frame":
         """One-pass data-quality profile: per column, row/null/distinct
         counts and stringified min/max (one scan for ALL columns — the

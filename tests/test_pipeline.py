@@ -199,3 +199,32 @@ def test_upsert_verb_partition_replace(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.filter("ln = 'en'").count() == 5 != n_en
     assert got.filter("ln = 'de'").count() > 0
+
+
+def test_value_counts_melt_describe_verbs(spark, sf_dir):
+    """pandas-parity verbs: value_counts matches a plain groupBy (with
+    normalized fractions summing to 1), melt round-trips shape, describe
+    gives one row per numeric column with consistent stats."""
+    p = Pipeline(spark, sf_dir)
+    o = p.table("orders")
+
+    vc = o.value_counts("o_orderstatus", normalize=True).df.collect()
+    total = o.df.count()
+    assert sum(r["count"] for r in vc) == total
+    assert abs(sum(r.frac for r in vc) - 1.0) < 1e-4
+    assert vc == sorted(vc, key=lambda r: (-r["count"], r.o_orderstatus))
+
+    m = o.select("o_orderkey", "o_totalprice").melt(
+        ["o_orderkey"], ["o_totalprice"], "var", "val"
+    ).df
+    assert m.columns == ["o_orderkey", "var", "val"]
+    assert m.count() == total
+
+    d = {r.col_name: r for r in o.describe(["o_totalprice", "o_custkey"]).df.collect()}
+    assert set(d) == {"o_totalprice", "o_custkey"}
+    assert d["o_totalprice"]["count"] == total
+    assert d["o_totalprice"].min <= d["o_totalprice"].mean <= d["o_totalprice"].max
+    import pytest
+
+    with pytest.raises(ValueError, match="non-numeric"):
+        o.describe(["o_orderstatus"])
