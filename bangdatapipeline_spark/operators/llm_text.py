@@ -1080,3 +1080,139 @@ def dedup_paragraph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of BM25 (sparse) + cosine (dense)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOP = 10
+_RRF_QVEC = 0  # dense query = embedding of vec_id 0
+
+
+def _rrf_oracle() -> str:
+    from bangdatapipeline_spark.operators.similarity import _duck_dot
+
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents
+),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sparse AS (
+  SELECT tf.doc_id,
+         round(sum(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / st.avgdl))
+            ), 6) AS s
+  FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+sparse_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM sparse
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         round({_duck_dot('q.q_emb', 'e.embedding')}, 6) AS s
+  FROM embeddings e CROSS JOIN q
+),
+dense_rank_ AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM dense
+),
+fused AS (
+  SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + sp.r), 0)
+               + coalesce(1.0 / ({_RRF_K} + de.r), 0), 6) AS rrf,
+         sp.r AS sparse_rank, de.r AS dense_rank
+  FROM sparse_rank sp FULL OUTER JOIN dense_rank_ de USING (doc_id)
+)
+SELECT doc_id, rrf,
+       CAST(sparse_rank AS INT) AS sparse_rank,
+       CAST(dense_rank AS INT) AS dense_rank
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_TOP}
+"""
+
+
+@register("retrieval_rrf_hybrid", oracle=_rrf_oracle())
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion (k={_RRF_K}) of the BM25
+    lexical ranking (terms {_BM25_TERMS}) and the dense cosine ranking
+    (query = embedding {_RRF_QVEC}) — rrf = Σ 1/(k + rank) over the two
+    lists, the standard zero-tuning fusion for sparse+dense retrieval
+    stacks. Completes the IR family: postings (text_bm25) + vector kNN +
+    fusion.
+
+    Determinism: both component rankings order by PRE-ROUNDED scores
+    with doc_id tie-breaks, so the integer ranks agree across engines;
+    the fused score is a two-term sum of exact reciprocals of identical
+    operands, rounded before the final top-k.
+
+    Plan/scale: the sparse side is the BM25 posting pipeline (bounded by
+    term matches); the dense side broadcasts the 1-row query vector over
+    the streamed embeddings (no corpus shuffle); each ranking is one
+    window over its score table (docs-with-matches / corpus-sized), the
+    fusion is a full outer join on doc_id, and the output is a
+    TakeOrderedAndProject top-{_RRF_TOP}. At scale the dense ranking
+    swaps in any ANN family member as its candidate generator.
+    """
+    from bangdatapipeline_spark.operators.similarity import dot_double
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    st = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    sparse = (
+        tf.join(F.broadcast(dft), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("s"))
+    )
+    w_sp = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    sparse_rank = sparse.select("doc_id", F.row_number().over(w_sp).alias("sparse_rank"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dense = e.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(dot_double(F.col("q_emb"), F.col("embedding")), 6).alias("s"),
+    )
+    w_de = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    dense_rank = dense.select("doc_id", F.row_number().over(w_de).alias("dense_rank"))
+
+    fused = sparse_rank.join(dense_rank, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("sparse_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("sparse_rank").cast("int").alias("sparse_rank"),
+        F.col("dense_rank").cast("int").alias("dense_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(_RRF_TOP)

@@ -102,6 +102,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_knn_pq", "knn_pq_topk"),
     ("events_bitmap_distinct", "agg_bitmap_distinct"),
     ("events_ewma", "win_ewma"),
+    ("doc_rrf_hybrid", "retrieval_rrf_hybrid"),
 ]
 
 RUNS = 3
