@@ -1200,3 +1200,102 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.sum(F.bit_count("w")).alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality constraint suite (deequ/great-expectations shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraints",
+    oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       CAST((SELECT count(*) FROM (
+           SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+       )) AS BIGINT) AS violations,
+       (SELECT count(*) FROM (
+           SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+       )) = 0 AS passed
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       ) AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       ) AS BIGINT),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0) = 0
+UNION ALL
+SELECT 'orderdate_not_null',
+       CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT),
+       (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) = 0
+UNION ALL
+SELECT 'discount_in_unit_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) = 0
+""",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the deequ /
+    great-expectations audit shape): one row per named check with its
+    violation count and verdict — primary-key uniqueness, two
+    referential-integrity checks (orders→customer, lineitem→orders),
+    a positivity range, a non-null rate, and a unit-interval bound.
+
+    Plan/scale: uniqueness is a groupBy-HAVING on the key (map-side
+    partials); each FK check is a LEFT ANTI join (Catalyst's
+    NOT EXISTS plan — broadcast when the dimension fits, shuffled
+    otherwise); range/null checks are pushed-down scan filters feeding
+    count(*). Every check emits one row, so the union is free. At
+    100 TB this is exactly how a constraint suite should run: one pass
+    per fact table per check family, no collects, and the verdicts are
+    joinable into a CI gate. The suite composes with
+    ``profile_columns`` (metrics) the way deequ pairs analyzers with
+    checks.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, violations: DataFrame) -> DataFrame:
+        return violations.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("violations"),
+            (F.count("*") == 0).alias("passed"),
+        )
+
+    pk_dups = (
+        o.groupBy("o_orderkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    )
+    fk_orders = o.join(
+        c.select("c_custkey"), o["o_custkey"] == F.col("c_custkey"), "left_anti"
+    )
+    fk_lineitem = li.join(
+        o.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"), "left_anti"
+    )
+    checks = [
+        row("orders_pk_unique", pk_dups),
+        row("orders_custkey_fk", fk_orders),
+        row("lineitem_orderkey_fk", fk_lineitem),
+        row("totalprice_positive", o.filter(F.col("o_totalprice") <= 0)),
+        row("orderdate_not_null", o.filter(F.col("o_orderdate").isNull())),
+        row(
+            "discount_in_unit_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out

@@ -103,6 +103,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_bitmap_distinct", "agg_bitmap_distinct"),
     ("events_ewma", "win_ewma"),
     ("doc_rrf_hybrid", "retrieval_rrf_hybrid"),
+    ("orders_dq_constraints", "dq_constraints"),
 ]
 
 RUNS = 3
