@@ -1299,3 +1299,44 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out
+
+
+# --------------------------------------------------------------------------
+# Exact decimal money arithmetic (the missing-from-testdata decimal surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18, 2))) AS VARCHAR) AS total_dec,
+       CAST(min(CAST(round(o_totalprice, 2) AS DECIMAL(18, 2))) AS VARCHAR) AS min_dec,
+       CAST(max(CAST(round(o_totalprice, 2) AS DECIMAL(18, 2))) AS VARCHAR) AS max_dec,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic on DECIMAL(18,2): the testdata carries doubles
+    only (SURVEY §1.2 notes the decimal gap), so prices are snapped to
+    the cent lattice and cast — after which every aggregate is EXACT
+    scaled-integer arithmetic: associative, engine-portable, and
+    hash-checked WITHOUT any of the float-rounding defenses the double
+    queries need (the round(x, 2) here is lattice-snapping input
+    hygiene, not output canonicalization). Sums render as strings so
+    both engines compare at identical scale.
+
+    Scale: decimal aggregation partial-aggregates exactly like longs
+    (128-bit sums); at 100 TB this is the correct type for financial
+    rollups — double sums drift, decimal sums cannot.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("string").alias("total_dec"),
+        F.min(dec).cast("string").alias("min_dec"),
+        F.max(dec).cast("string").alias("max_dec"),
+        F.count("*").alias("n"),
+    )

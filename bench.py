@@ -104,6 +104,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_ewma", "win_ewma"),
     ("doc_rrf_hybrid", "retrieval_rrf_hybrid"),
     ("orders_dq_constraints", "dq_constraints"),
+    ("orders_decimal_rollup", "agg_decimal_exact"),
 ]
 
 RUNS = 3
