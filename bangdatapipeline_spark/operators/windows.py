@@ -536,3 +536,66 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.value").alias("value"),
         F.col("s.ewma").alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates over window frames (rolling corr / mean / stddev)
+# --------------------------------------------------------------------------
+
+_ROLL_FRAME = 19  # trailing frame: current row + 19 preceding
+
+
+@register(
+    "win_rolling_stats",
+    oracle=f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v_prev
+  FROM events
+)
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       round(stddev_samp(value) OVER w, 4) AS roll_sd,
+       round(corr(value, v_prev) OVER w, 4) + 0 AS roll_corr
+FROM lagged
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_ROLL_FRAME} PRECEDING AND CURRENT ROW)
+""",
+)
+def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates over an explicit trailing ROWS frame:
+    rolling mean, sample stddev, and lag-1 autocorrelation of event
+    values per user (pandas ``rolling().corr()`` vocabulary) — the
+    frame-window capability beyond plain running sums: multi-input
+    aggregates (corr) and variance-family aggregates evaluated per
+    frame.
+
+    Determinism: the frame's membership is totally ordered by
+    (ts, event_id); corr of a zero-variance frame is NaN in Spark but
+    NULL in DuckDB, so the Spark side maps NaN -> NULL explicitly. The
+    mean rounds at 6 dp, ON the value lattice (2-dp values / frame of
+    20 => means are multiples of 5e-4, exactly the half-boundary of a
+    4-dp round — the docs/dialect_notes.md aggregate-sum hazard);
+    sd/corr are irrational-valued and safe at 4 dp; the corr adds
+    + 0 after rounding so an IEEE negative zero (round(-1e-6, 4)) prints
+    identically on both engines.
+    Plan/scale: ONE user-keyed shuffle serves the lag and both frame
+    windows (same partitioning + ordering); state per row is the
+    {_ROLL_FRAME + 1}-row frame — Spark evaluates bounded ROWS frames
+    incrementally, never materializing per-row copies.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = w_lag.rowsBetween(-_ROLL_FRAME, Window.currentRow)
+
+    def nan_null(c):
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+    lagged = ev.withColumn("v_prev", F.lag("value").over(w_lag))
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_mean"),
+        F.round(nan_null(F.stddev_samp("value").over(w)), 4).alias("roll_sd"),
+        (F.round(nan_null(F.corr("value", "v_prev").over(w)), 4) + F.lit(0.0)).alias("roll_corr"),
+    )

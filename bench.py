@@ -105,6 +105,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_rrf_hybrid", "retrieval_rrf_hybrid"),
     ("orders_dq_constraints", "dq_constraints"),
     ("orders_decimal_rollup", "agg_decimal_exact"),
+    ("events_rolling_stats", "win_rolling_stats"),
 ]
 
 RUNS = 3
