@@ -2,6 +2,7 @@
 
 from bangdatapipeline_spark.operators import (  # noqa: F401
     aggregates,
+    curation,
     dedup_near,
     functions,
     graph_analytics,
@@ -14,6 +15,7 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     setops,
     similarity,
     streaming_batch,
+    timeseries,
     tpch_sql,
     udfs,
     windows,

@@ -1,0 +1,290 @@
+"""Training-data curation operators: eval-set decontamination,
+distribution-drift monitoring, CDC upsert/merge, and cohort analysis.
+
+These are the governance ops a large-scale training-data pipeline runs
+around the dedup/quality family (SURVEY.md §2.12): before a corpus
+ships, eval n-gram collisions are flagged (decontamination), shard
+distributions are compared against the reference snapshot (PSI drift),
+and late-arriving corrections are merged keyed-latest-wins (CDC).
+
+Scale notes (100 TB): decontamination joins on shingle keys only (at
+scale a 64-bit xxhash64 of the shingle — the string form here keeps the
+oracle exact); drift aggregates to a fixed bin spine (10 rows) before
+any comparison; the CDC merge is one full-outer join keyed on the merge
+key after a keyed-latest-wins compaction whose shuffle is the changelog,
+not the base table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+# Every 17th document is "eval"; the rest are "train". Deterministic
+# id-gate (same spirit as sampling.sample_hash_det).
+EVAL_MOD = 17
+NGRAM = 8
+CONTAM_TAU = 0.05
+
+PSI_BIN_WIDTH = 50_000.0
+PSI_N_BINS = 10
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {NGRAM}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i + {NGRAM - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {NGRAM - 1})) AS i
+        FROM tok)
+),
+eval_sh  AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT)                              AS n_shingles,
+       CAST(count(t.shingle) AS BIGINT)                      AS n_hits,
+       round(count(t.shingle) * 1.0 / count(*), 4)           AS contam_rate,
+       count(t.shingle) * 1.0 / count(*) >= {CONTAM_TAU}     AS contaminated
+FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+GROUP BY e.doc_id
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag eval documents whose word 8-grams
+    collide with any training document — the standard benchmark-leakage
+    check run before a training corpus ships.
+
+    Shingles are DISTINCT per side before the join, so the shuffle keys
+    are unique (doc, shingle) pairs, never raw positions; the join is a
+    plain equi-join on the shingle (at 100 TB: on ``xxhash64(shingle)``
+    — 8 bytes/key instead of ~50, same collisions-don't-matter contract
+    as MinHash). No document text ever crosses the wire — only shingle
+    keys and doc_ids. The eval side is ~1/17 of the corpus, so Spark's
+    planner can broadcast it against the big train side when it fits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= NGRAM)
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, NGRAM)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval)
+    train_sh = sh.filter(~is_eval).select("shingle").distinct()
+    hits = eval_sh.join(
+        train_sh.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hit").alias("n_hits"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contam_rate"),
+        (F.count("hit") / F.count(F.lit(1)) >= CONTAM_TAU).alias("contaminated"),
+    )
+
+
+@register(
+    "dq_drift_psi",
+    oracle=f"""
+WITH binned AS (
+  SELECT least(CAST(floor(o_totalprice / {PSI_BIN_WIDTH}) AS INT),
+               {PSI_N_BINS - 1})     AS bin,
+         o_orderkey % 2 = 0          AS in_a
+  FROM orders
+),
+a AS (SELECT bin, count(*) AS cnt FROM binned WHERE in_a GROUP BY bin),
+b AS (SELECT bin, count(*) AS cnt FROM binned WHERE NOT in_a GROUP BY bin),
+tot AS (SELECT (SELECT sum(cnt) FROM a) AS ta, (SELECT sum(cnt) FROM b) AS tb),
+j AS (
+  SELECT coalesce(a.bin, b.bin)   AS bin,
+         coalesce(a.cnt, 0)       AS cnt_a,
+         coalesce(b.cnt, 0)       AS cnt_b
+  FROM a FULL OUTER JOIN b ON a.bin = b.bin
+)
+SELECT bin, cnt_a, cnt_b,
+       round((cnt_a + 0.5) / (ta + 0.5 * {PSI_N_BINS}), 6) AS share_a,
+       round((cnt_b + 0.5) / (tb + 0.5 * {PSI_N_BINS}), 6) AS share_b,
+       round(((cnt_a + 0.5) / (ta + 0.5 * {PSI_N_BINS})
+            - (cnt_b + 0.5) / (tb + 0.5 * {PSI_N_BINS}))
+            * ln(((cnt_a + 0.5) / (ta + 0.5 * {PSI_N_BINS}))
+               / ((cnt_b + 0.5) / (tb + 0.5 * {PSI_N_BINS}))), 6) AS psi_term
+FROM j, tot
+""",
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order shards (even vs odd
+    orderkey — a stand-in for yesterday's snapshot vs today's): bin
+    o_totalprice on a fixed grid, compare Laplace-smoothed bin shares,
+    emit the per-bin PSI contribution.
+
+    Everything reduces to the {PSI_N_BINS}-row bin spine before any
+    cross-shard math — the only shuffle is the binned count aggregate,
+    and the bin-level join is trivially broadcast. Fixed bin edges (not
+    data-dependent quantiles) keep the check deterministic and
+    mergeable across partitions; smoothing (+0.5) keeps the log finite
+    when a bin empties out on one side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH).cast("int"),
+            F.lit(PSI_N_BINS - 1),
+        ).alias("bin"),
+        (F.col("o_orderkey") % 2 == 0).alias("in_a"),
+    )
+    a = binned.filter("in_a").groupBy("bin").agg(F.count(F.lit(1)).alias("cnt_a"))
+    b = binned.filter("NOT in_a").groupBy("bin").agg(F.count(F.lit(1)).alias("cnt_b"))
+    j = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
+    )
+    smooth = 0.5 * PSI_N_BINS
+    pa = (F.col("cnt_a") + 0.5) / (F.col("ta") + smooth)
+    pb = (F.col("cnt_b") + 0.5) / (F.col("tb") + smooth)
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
+# Changelog keys land in the upper custkey range so one query exercises
+# update, insert, AND unchanged paths deterministically.
+CDC_KEY_SHIFT = 1450
+
+
+@register(
+    "merge_cdc_upsert",
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id + {CDC_KEY_SHIFT} AS key,
+         value                     AS new_bal
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+)
+SELECT coalesce(c.c_custkey, l.key)              AS key,
+       coalesce(c.c_name, 'cdc-insert')          AS name,
+       round(coalesce(l.new_bal, c.c_acctbal), 2) AS acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+            WHEN l.key IS NULL       THEN 'unchanged'
+            ELSE 'updated' END                   AS merge_action
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.key
+""",
+)
+def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics without a table format: compact the
+    changelog keyed-latest-wins (row_number over (ts, event_id) DESC),
+    then one full-outer join applies matched-update / not-matched-insert
+    / untouched-keep against the base snapshot.
+
+    The compaction shuffle is sized by the changelog, not the base
+    table; the merge join shuffles on the merge key — at 100 TB both
+    sides pre-bucketed on the key make it shuffle-free, which is
+    exactly what Delta/Iceberg MERGE does under the hood. Latest-wins is
+    deterministic via the (ts, event_id) total order, never
+    dropDuplicates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") + CDC_KEY_SHIFT).alias("key"),
+            F.col("value").alias("new_bal"),
+        )
+    )
+    merged = c.join(latest, c.c_custkey == latest.key, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "key").alias("key"),
+        F.coalesce("c_name", F.lit("cdc-insert")).alias("name"),
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, o_totalprice,
+         date_trunc('month', o_orderdate) AS order_month,
+         min(date_trunc('month', o_orderdate))
+           OVER (PARTITION BY o_custkey)  AS cohort_month
+  FROM orders
+)
+SELECT cohort_month,
+       CAST(date_diff('month', cohort_month, order_month) AS INT) AS month_offset,
+       CAST(count(DISTINCT o_custkey) AS BIGINT)                  AS n_active,
+       round(sum(o_totalprice), 2)                                AS revenue
+FROM firsts
+GROUP BY cohort_month, date_diff('month', cohort_month, order_month)
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active-customer counts per month offset — the
+    standard retention/LTV triangle.
+
+    One window (min month per customer) + one aggregate, both keyed so
+    the window's user_id shuffle feeds the groupBy without a second
+    exchange. Output is bounded by cohorts x offsets regardless of
+    order volume.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    cohort = F.min(month).over(Window.partitionBy("o_custkey"))
+    firsts = o.select(
+        "o_custkey",
+        "o_totalprice",
+        month.alias("order_month"),
+        cohort.alias("cohort_month"),
+    )
+    offset = (
+        (F.year("order_month") - F.year("cohort_month")) * 12
+        + (F.month("order_month") - F.month("cohort_month"))
+    ).cast("int")
+    return (
+        firsts.withColumn("month_offset", offset)
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

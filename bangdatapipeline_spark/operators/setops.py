@@ -10,7 +10,7 @@ keeps k rows, the driver merges — no full sort ever materializes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
@@ -136,4 +136,59 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_ord").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select("o_orderkey", "price")
+    )
+
+
+@register(
+    "skyline_pareto",
+    # The oracle states the dominance definition directly (NOT EXISTS a
+    # part that is <= on both axes and < on at least one) — O(n^2) but
+    # unambiguous; the Spark plan is the O(n log n) sweep below.
+    oracle="""
+SELECT p.p_partkey,
+       p.p_brand,
+       round(p.p_retailprice, 2) AS price,
+       p.p_size                  AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+""",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts minimizing (retailprice, size):
+    a part survives iff nothing is cheaper-and-not-bigger or
+    same-price-and-strictly-smaller.
+
+    Spark plan is the sort-sweep, not the quadratic self-join: collapse
+    to min size per distinct price (hash aggregate), running-min over
+    strictly-cheaper prices via one ordered window, then a broadcast
+    join back to the parts. The single-partition window only ever sees
+    |distinct prices| rows (already aggregated), so the sweep is safe at
+    any fact-table scale; the dominance test itself is two scalar
+    comparisons per row.
+    """
+    p = load_table(spark, sf_dir, "part")
+    by_price = p.groupBy("p_retailprice").agg(F.min("p_size").alias("msize"))
+    prev = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sweep = by_price.select(
+        "p_retailprice",
+        "msize",
+        F.min("msize").over(prev).alias("prev_min"),
+    )
+    j = p.join(F.broadcast(sweep), "p_retailprice")
+    dominated = (
+        (F.col("prev_min").isNotNull() & (F.col("prev_min") <= F.col("p_size")))
+        | (F.col("msize") < F.col("p_size"))
+    )
+    return j.filter(~dominated).select(
+        "p_partkey",
+        "p_brand",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
     )

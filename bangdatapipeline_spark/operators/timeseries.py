@@ -1,0 +1,254 @@
+"""Time-series resampling and sketch-rollup operators.
+
+The reference's event-stream analyses (SURVEY.md §2.9) cover windowed
+counts; production time-series work additionally needs bar resampling
+(OHLC), gap repair (linear interpolation over a generated spine), and
+mergeable per-day sketches that roll up to arbitrary windows without
+re-reading raw data. All three are declarative DataFrame plans.
+
+Scale notes (100 TB): each operator shuffles once on its natural key
+((event_type, bucket) / user_id / (event_type, day)); the spine explode
+is bounded by users x days, not by raw event count; the HLL rollup is
+the canonical pre-aggregation pattern — daily sketch bytes are the only
+state that crosses days, so a month/quarter/year re-window never touches
+raw events again.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.tables import load_table
+
+
+@register(
+    "ts_ohlc_resample",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bucket,
+         value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id)           AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type,
+       bucket,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open_v,
+       round(max(value), 2)                             AS high_v,
+       round(min(value), 2)                             AS low_v,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close_v,
+       count(*)                                         AS n_obs,
+       round(sum(value), 2)                             AS sum_value
+FROM w
+GROUP BY event_type, bucket
+""",
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per (event_type, hour) emit open/high/low/
+    close/volume, the classic time-series downsample.
+
+    Open/close are ``min``/``max`` over the lexicographic struct
+    (ts, event_id, value) — the unique (ts, event_id) prefix makes the
+    pick deterministic, and the whole bar is ONE aggregate with
+    map-side partials and a single shuffle on (event_type, hour).
+    Struct-valued agg buffers aren't UnsafeRow-mutable, so Spark picks
+    SortAggregate over HashAggregate here — still strictly better than
+    the row_number-window formulation (one sort by the 2-col group key
+    vs two full window sorts + rank state). DuckDB's arg_min can't
+    take a composite key, so the oracle states the same pick as
+    tie-broken row_number windows. At 100 TB the bar count is bounded
+    by types x hours regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    ord_row = F.struct("ts", "event_id", "value")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "value", ord_row.alias("ord"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.min("ord").getField("value"), 2).alias("open_v"),
+            F.round(F.max("value"), 2).alias("high_v"),
+            F.round(F.min("value"), 2).alias("low_v"),
+            F.round(F.max("ord").getField("value"), 2).alias("close_v"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(avg(value), 4) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id)
+),
+j AS (
+  SELECT s.user_id, s.day, o.v
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+),
+f AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       floor(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (date_diff('day', pd, day) * 1.0
+                              / date_diff('day', pd, nd))
+       END * 10000 + 0.5) / 10000 AS value_filled,
+       CASE WHEN v IS NOT NULL THEN 'obs'
+            WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+            ELSE 'interp' END AS src
+FROM f
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: per-user daily purchase series on a
+    generated day spine; missing days get the straight line between the
+    nearest observed neighbors (edges clamp to the nearest observation).
+
+    The spine is ``sequence(min_day, max_day)`` exploded per user —
+    bounded by users x days, never by raw event volume — and both window
+    passes partition by user_id, so everything after the first aggregate
+    is one shuffle on user_id. ``last/first(ignorenulls)`` is the
+    O(n)-per-partition carry; no self-join, no as-of join needed.
+    Both engines round the observed daily mean to 4 dp BEFORE
+    interpolating so the line arithmetic starts from identical inputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")) / F.datediff(F.col("nd"), F.col("pd"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    src = (
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit("edge"))
+        .otherwise(F.lit("interp"))
+    )
+    # NOT F.round: Spark rounds the shortest decimal repr (75.913749999…
+    # reads as "75.91375" → HALF_UP → .9138) while DuckDB rounds the
+    # actual double (→ .9137). floor(x*1e4 + 0.5)/1e4 is pure IEEE double
+    # arithmetic, bit-identical on both engines (docs/dialect_notes.md).
+    return f.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.floor(filled * 10000 + 0.5) / 10000).alias("value_filled"),
+        src.alias("src"),
+    )
+
+
+@register(
+    "ts_hll_daily_merge",
+    # Like agg_approx_distinct: the sketch estimate itself is
+    # engine-specific (DataSketches HLL vs DuckDB's), so the hash-checked
+    # contract is the merge-accuracy verdict against the exact count.
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT)          AS exact_users,
+       'ok'                                             AS merged_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def ts_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality rollup: one DataSketches HLL sketch per
+    (event_type, day), then ``hll_union_agg`` merges the daily sketches
+    into a period-level distinct-user estimate.
+
+    This is the pre-aggregation pattern that makes 100 TB re-windowing
+    cheap: the daily sketch bytes (~KB each) are the ONLY thing the
+    period rollup reads — raw events are scanned once ever, and any
+    month/quarter window is a merge over its days. The exact
+    countDistinct here exists only to hash-check the merged estimate
+    within +/-5% (it would be dropped in production).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        F.when(
+            F.col("est").cast("double").between(
+                F.col("exact_users") * 0.95, F.col("exact_users") * 1.05
+            ),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("out_of_bounds"))
+        .alias("merged_within_5pct"),
+    )

@@ -106,6 +106,14 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_dq_constraints", "dq_constraints"),
     ("orders_decimal_rollup", "agg_decimal_exact"),
     ("events_rolling_stats", "win_rolling_stats"),
+    ("events_ohlc_hourly", "ts_ohlc_resample"),
+    ("events_interpolate_daily", "ts_interpolate_linear"),
+    ("events_hll_rollup", "ts_hll_daily_merge"),
+    ("doc_decontaminate", "decontaminate_ngram"),
+    ("orders_drift_psi", "dq_drift_psi"),
+    ("customers_cdc_merge", "merge_cdc_upsert"),
+    ("orders_cohort_ltv", "orders_cohort_ltv"),
+    ("parts_skyline", "skyline_pareto"),
 ]
 
 RUNS = 3

@@ -317,3 +317,59 @@ def test_triangles_orientation_broadcasts(spark, sf_dir):
     self-join is the only fact-scale exchange."""
     plan = _plan(REGISTRY["graph_triangles"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+
+
+def test_skyline_sweep_not_quadratic(spark, sf_dir):
+    """The skyline must run as the aggregated sort-sweep + broadcast
+    rejoin — never the oracle's O(n^2) NOT EXISTS self-join."""
+    plan = _plan(REGISTRY["skyline_pareto"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_decontaminate_joins_on_shingle_keys(spark, sf_dir):
+    """Decontamination is an equi-join on shingle keys after per-side
+    DISTINCT — no cartesian pairing of documents."""
+    plan = _plan(REGISTRY["decontaminate_ngram"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # dedup before the join: at least two aggregates (distinct sides)
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_drift_psi_reduces_before_compare(spark, sf_dir):
+    """PSI compares bin-level aggregates: the only join inputs are the
+    10-row bin spines (broadcast), never raw orders."""
+    plan = _plan(REGISTRY["dq_drift_psi"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the cross-shard combine and the 1-row totals join both broadcast
+    assert "Broadcast" in plan, plan[:3000]
+
+
+def test_cdc_merge_compacts_changelog_first(spark, sf_dir):
+    """Latest-wins compaction must be a row_number window (deterministic),
+    and the merge a full-outer join keyed on the merge key."""
+    plan = _plan(REGISTRY["merge_cdc_upsert"].fn(spark, sf_dir))
+    assert "Window" in plan, plan[:3000]
+    assert "FullOuter" in plan, plan[:3000]
+
+
+def test_interpolate_windows_share_user_partitioning(spark, sf_dir):
+    """Both carry windows partition by user_id: after the spine join
+    there must be no extra exchange between the two window passes."""
+    plan = _plan(REGISTRY["ts_interpolate_linear"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # two directional window passes, back-to-back
+    windows = plan.count("RunningWindowFunction") + plan.count("Window")
+    assert windows >= 1, plan[:3000]
+
+
+def test_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    """The struct min/max pick makes the whole bar ONE aggregate: no
+    window pass, a single shuffle on the bar key, and map-side partial
+    aggregation (partial_min of the ord struct)."""
+    plan = _plan(REGISTRY["ts_ohlc_resample"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
