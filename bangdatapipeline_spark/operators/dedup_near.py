@@ -515,3 +515,86 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d, F.col("vec_id") == F.col("doc_id"))
         .select("doc_id", "lang", "label")
     )
+
+
+# --- containment (asymmetric Jaccard) ---------------------------------------
+
+CONTAIN_TAU = 0.5  # emit pairs where either direction's containment >= tau
+CONTAIN_DF_CAP = 50  # "stop shingles": drop shingles present in > cap docs
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH hs AS ({DUCK_HASHED_CTE}),
+x AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM hs),
+keep AS (SELECT h FROM x GROUP BY h HAVING count(*) <= {CONTAIN_DF_CAP}),
+xk AS (SELECT x.doc_id, x.h FROM x JOIN keep USING (h)),
+sz AS (SELECT doc_id, count(*) AS n FROM xk GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM xk a JOIN xk b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id_a, p.id_b, p.inter,
+       floor(p.inter * 1.0 / sa.n * 10000 + 0.5) / 10000 AS contain_a,
+       floor(p.inter * 1.0 / sb.n * 10000 + 0.5) / 10000 AS contain_b
+FROM pairs p
+JOIN sz sa ON p.id_a = sa.doc_id
+JOIN sz sb ON p.id_b = sb.doc_id
+WHERE p.inter * 1.0 / sa.n >= {CONTAIN_TAU}
+   OR p.inter * 1.0 / sb.n >= {CONTAIN_TAU}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) detection: |A∩B| / |A| per
+    direction — catches quote-expansion near-dups where a short document
+    is embedded in a longer one, which symmetric Jaccard under-scores
+    (the union in the denominator is dominated by the longer side).
+
+    Candidates come from the hashed-shingle equi-join, never all pairs,
+    with a document-frequency cap first: shingles present in more than
+    {CONTAIN_DF_CAP} documents are dropped before the self-join (the
+    standard "stop shingle" guard — a boilerplate shingle shared by k
+    docs would otherwise generate k^2 join rows). At 100 TB the DF cap
+    is what keeps the candidate join linear-ish; the int shingle keys
+    (8 bytes) are the only thing shuffled.
+    """
+    x = (
+        _hashed_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("hs").alias("h"))
+        .distinct()
+    )
+    keep = x.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= CONTAIN_DF_CAP
+    )
+    xk = x.join(keep.select("h"), "h")
+    sz = xk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = xk.select(F.col("doc_id").alias("id_a"), "h")
+    b = xk.select(F.col("doc_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    ca = F.col("inter") / F.col("na")
+    cb = F.col("inter") / F.col("nb")
+    # per-doc size table is n rows — let AQE pick broadcast vs shuffle
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((ca >= CONTAIN_TAU) | (cb >= CONTAIN_TAU))
+        # floor(x*1e4+0.5)/1e4, not F.round: small-denominator ratios
+        # (1/160 = 0.00625) land on decimal halves whose nearest double
+        # sits below — see docs/dialect_notes.md "shortest decimal repr"
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.floor(ca * 10000 + 0.5) / 10000).alias("contain_a"),
+            (F.floor(cb * 10000 + 0.5) / 10000).alias("contain_b"),
+        )
+    )

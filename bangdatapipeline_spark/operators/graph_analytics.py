@@ -933,3 +933,96 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("deg_f", F.lit(0)).alias(f"deg{_KCORE_ROUNDS}"),
         (F.coalesce("deg_f", F.lit(0)) >= _KCORE_K).alias("in_core"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neighbor-overlap (Jaccard) edge similarity — link-prediction primitive
+# --------------------------------------------------------------------------
+
+_NBR_TOP = 50
+
+_NBR_JACCARD_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+common AS (
+  SELECT e.pa, e.pb, count(*) AS c
+  FROM edges e
+  JOIN und x ON x.u = e.pa
+  JOIN und y ON y.u = e.pb AND y.v = x.v
+  GROUP BY e.pa, e.pb
+),
+scored AS (
+  SELECT c.pa, c.pb, c.c,
+         da.d AS d_a, db.d AS d_b,
+         floor(c.c * 1.0 / (da.d + db.d - c.c) * 1000000 + 0.5) / 1000000
+           AS jaccard
+  FROM common c
+  JOIN deg da ON da.u = c.pa
+  JOIN deg db ON db.u = c.pb
+)
+SELECT pa, pb, c AS n_common, d_a, d_b, jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, pa, pb) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {_NBR_TOP}
+"""
+
+
+@register("graph_neighbor_jaccard", oracle=_NBR_JACCARD_ORACLE)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap similarity of adjacent part pairs: Jaccard of the
+    two endpoints' neighbor sets, top-{_NBR_TOP} — the classic
+    link-strength / link-prediction primitive (an edge whose endpoints
+    share most neighbors is "embedded" in a community).
+
+    Same in-row trick as ``graph_triangles``: per-node sorted neighbor
+    arrays, |N(a) ∩ N(b)| via array_intersect on the edge row — the
+    sum(degree^2) wedge join never materializes (the oracle states it as
+    wedges; at sf0.01 that's ~10M DuckDB rows vs zero Spark ones). The
+    UNDIRECTED adjacency is bounded by max degree; at 100 TB cap it
+    (top-degree hubs dominate wedges and carry no signal) and swap the
+    broadcast adjacency joins for bucketed ones. Jaccard is a
+    small-denominator rational -> IEEE floor-round to a 6-dp lattice
+    BEFORE ranking (docs/dialect_notes.md).
+    """
+    _, deg, edges = _oriented_copurchase(spark, sf_dir)
+    und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    adj = und.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    aa = adj.select(
+        F.col("u").alias("pa"), F.col("nbrs").alias("nbrs_a"), F.col("d").alias("d_a")
+    )
+    ab = adj.select(
+        F.col("u").alias("pb"), F.col("nbrs").alias("nbrs_b"), F.col("d").alias("d_b")
+    )
+    c = F.size(F.array_intersect("nbrs_a", "nbrs_b")).cast("bigint")
+    jac = c * 1.0 / (F.col("d_a") + F.col("d_b") - c)
+    scored = (
+        edges.join(F.broadcast(aa), "pa")
+        .join(F.broadcast(ab), "pb")
+        .select(
+            "pa",
+            "pb",
+            c.alias("n_common"),
+            "d_a",
+            "d_b",
+            (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NBR_TOP)
+    )

@@ -1216,3 +1216,46 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dense_rank").cast("int").alias("dense_rank"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(_RRF_TOP)
+
+
+@register(
+    "text_surprisal",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS n FROM cnt),
+dt AS (SELECT doc_id, token, count(*) AS cd FROM tok GROUP BY doc_id, token)
+SELECT dt.doc_id,
+       CAST(sum(dt.cd) AS BIGINT)                              AS n_tokens,
+       round(sum(dt.cd * -ln(cnt.c * 1.0 / tot.n)) / sum(dt.cd), 4) AS xent_nats
+FROM dt JOIN cnt ON dt.token = cnt.token, tot
+GROUP BY dt.doc_id
+""",
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy (mean token surprisal in nats) per
+    document against the corpus unigram distribution — the KenLM-style
+    quality/outlier signal: boilerplate scores low, gibberish high.
+
+    The corpus unigram table aggregates to |vocab| rows (broadcastable;
+    at 100 TB still ~millions of rows — AQE decides), the per-doc side
+    is pre-aggregated to (doc, token, count) so the join never carries
+    raw positions, and the corpus total joins in as a lazy 1-row
+    broadcast. ln() of a data-derived ratio is irrational — its shortest
+    decimal repr never terminates at a rounding half, so plain round(4)
+    is hash-safe here (contrast docs/dialect_notes.md on terminating
+    ratios).
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cd"))
+    j = dt.join(cnt, "token").crossJoin(F.broadcast(tot))
+    surpr = F.col("cd") * -F.log(F.col("c") * 1.0 / F.col("n"))
+    return j.groupBy("doc_id").agg(
+        F.sum("cd").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(surpr) / F.sum("cd"), 4).alias("xent_nats"),
+    )

@@ -1028,3 +1028,78 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", "sim", "rn")
     )
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, label, vec_id % 2 = 0 AS in_a,
+           unnest(generate_series(1, len(embedding))) AS dim,
+           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+    FROM embeddings
+), cent AS (
+    SELECT label, dim,
+           avg(CASE WHEN in_a THEN val END)     AS ca,
+           avg(CASE WHEN NOT in_a THEN val END) AS cb
+    FROM x GROUP BY label, dim
+), sums AS (
+    SELECT label,
+           sum(ca * cb)                    AS dot,
+           sqrt(sum(ca * ca))              AS norm_a,
+           sqrt(sum(cb * cb))              AS norm_b,
+           sum((ca - cb) * (ca - cb))      AS sqdist
+    FROM cent GROUP BY label
+), n AS (
+    SELECT label,
+           CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_b
+    FROM embeddings GROUP BY label
+)
+SELECT n.label, n.n_a, n.n_b,
+       round(s.dot / (s.norm_a * s.norm_b), 6) AS cos_ab,
+       round(sqrt(s.sqdist), 6)                AS l2_dist
+FROM n JOIN sums s ON n.label = s.label
+""",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into two
+    shards (vec_id parity — a stand-in for yesterday/today snapshots),
+    compute each label's per-shard centroid, and report centroid cosine
+    + L2 distance per label. Dropping cos_ab is the standard alarm for
+    upstream encoder/data drift before a training run.
+
+    Both shard centroids come out of ONE aggregate over the exploded
+    (label, dim) grid (conditional avg per shard — no second scan, no
+    join of two half-corpus aggregates); the label-level reduction is
+    |labels| x dim rows. cos/L2 are irrational doubles — round(6) is
+    hash-safe (same argument as label_purity).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("in_a"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = x.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("in_a"), F.col("val"))).alias("ca"),
+        F.avg(F.when(~F.col("in_a"), F.col("val"))).alias("cb"),
+    )
+    sums = cent.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("norm_a"),
+        F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("norm_b"),
+        F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("sqdist"),
+    )
+    n = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, 1)).alias("n_b"),
+    )
+    return n.join(sums, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cos_ab"),
+        F.round(F.sqrt("sqdist"), 6).alias("l2_dist"),
+    )

@@ -252,3 +252,91 @@ def ts_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("out_of_bounds"))
         .alias("merged_within_5pct"),
     )
+
+
+@register(
+    "ts_seasonality_hod",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT event_type, hod, n,
+       floor(n * 1.0 / sum(n) OVER (PARTITION BY event_type) * 1000000 + 0.5)
+         / 1000000 AS share,
+       floor(n * 24.0 / sum(n) OVER (PARTITION BY event_type) * 10000 + 0.5)
+         / 10000 AS seasonal_idx
+FROM g
+""",
+)
+def ts_seasonality_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: share of events
+    per hour and the seasonal index (share x 24; 1.0 = flat).
+
+    Aggregates to the types x 24 grid FIRST, so the window total runs
+    over 24-row partitions — the raw-event shuffle is the one groupBy.
+    Ratio outputs use the IEEE floor-round (n/total is a
+    small-denominator rational — terminating-decimal halves split
+    engines under native round(); docs/dialect_notes.md).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.hour("ts").cast("int").alias("hod")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("event_type"))
+    share = F.col("n") * 1.0 / tot
+    return g.select(
+        "event_type",
+        "hod",
+        "n",
+        (F.floor(share * 1000000 + 0.5) / 1000000).alias("share"),
+        (F.floor(share * 24 * 10000 + 0.5) / 10000).alias("seasonal_idx"),
+    )
+
+
+@register(
+    "ts_yoy_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2)      AS revenue,
+         CAST(count(*) AS BIGINT)         AS n_orders
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT m.month, m.revenue, m.n_orders,
+       p.revenue AS revenue_prev_year,
+       floor((m.revenue / p.revenue - 1) * 100 * 100 + 0.5) / 100 AS yoy_pct
+FROM monthly m
+LEFT JOIN monthly p ON p.month = m.month - INTERVAL 12 MONTH
+""",
+)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth. The prior-year lookup is a
+    self-join on (month - 12 months) — NOT lag(12), which silently
+    misaligns whenever a month is missing from the series.
+
+    The monthly rollup is bounded (months, not orders), so the self-join
+    is broadcast-trivial; the raw-order shuffle is the single rollup
+    aggregate. Growth ratios of 2-dp revenues terminate in decimal —
+    IEEE floor-round on both sides (docs/dialect_notes.md).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = monthly.select(
+        F.add_months(F.col("month"), 12).cast("timestamp").alias("month"),
+        F.col("revenue").alias("revenue_prev_year"),
+    )
+    yoy = (F.col("revenue") / F.col("revenue_prev_year") - 1) * 100
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            "n_orders",
+            "revenue_prev_year",
+            (F.floor(yoy * 100 + 0.5) / 100).alias("yoy_pct"),
+        )
+    )

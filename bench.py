@@ -114,6 +114,12 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_cdc_merge", "merge_cdc_upsert"),
     ("orders_cohort_ltv", "orders_cohort_ltv"),
     ("parts_skyline", "skyline_pareto"),
+    ("doc_containment_dedup", "dedup_containment"),
+    ("doc_surprisal", "text_surprisal"),
+    ("events_seasonality_hod", "ts_seasonality_hod"),
+    ("orders_yoy_growth", "ts_yoy_growth"),
+    ("parts_neighbor_jaccard", "graph_neighbor_jaccard"),
+    ("emb_centroid_drift", "emb_centroid_drift"),
 ]
 
 RUNS = 3
