@@ -1259,3 +1259,58 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cd").cast("bigint").alias("n_tokens"),
         F.round(F.sum(surpr) / F.sum("cd"), 4).alias("xent_nats"),
     )
+
+
+@register(
+    "text_surprisal_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS n FROM cnt),
+dt AS (SELECT doc_id, token, count(*) AS cd FROM tok GROUP BY doc_id, token),
+xent AS (
+  SELECT dt.doc_id,
+         round(sum(dt.cd * -ln(cnt.c * 1.0 / tot.n)) / sum(dt.cd), 4) AS x
+  FROM dt JOIN cnt ON dt.token = cnt.token, tot
+  GROUP BY dt.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(x, 1.0/3) AS q33, quantile_cont(x, 2.0/3) AS q66
+  FROM xent
+)
+SELECT e.doc_id, e.x AS xent_nats,
+       CASE WHEN e.x <= c.q33 THEN 'head'
+            WHEN e.x <= c.q66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM xent e, cuts c
+""",
+)
+def text_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: bucket documents into
+    head/middle/tail by unigram-LM cross-entropy terciles — the standard
+    quality-tiering step before sampling a training mix.
+
+    Builds on ``text_surprisal`` (same registered plan); the tercile
+    cutpoints are ONE exact-percentile aggregate crossJoined back as a
+    lazy 1-row broadcast. Cutoffs interpolate the already-4dp-rounded
+    xent values on both engines, so bucket-edge membership is
+    deterministic (agg_quantiles proves the interpolation formulas
+    match). At 100 TB swap the exact percentile for approx_percentile —
+    tercile edges don't need exactness (documented trade, same as the
+    profiler's cardinality policy).
+    """
+    x = text_surprisal(spark, sf_dir).select("doc_id", F.col("xent_nats"))
+    cuts = x.agg(
+        F.percentile("xent_nats", 1.0 / 3).alias("q33"),
+        F.percentile("xent_nats", 2.0 / 3).alias("q66"),
+    )
+    return x.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "xent_nats",
+        F.when(F.col("xent_nats") <= F.col("q33"), "head")
+        .when(F.col("xent_nats") <= F.col("q66"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

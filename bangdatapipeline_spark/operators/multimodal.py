@@ -269,3 +269,48 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(AUDIO_WIN_MS * 16000 // 1000).cast("bigint").alias("n_samples"),
         "duration_ms",
     )
+
+
+@register(
+    "multimodal_dedup_bytes",
+    # payload = utf-8(text), so md5(payload) on the Spark side equals
+    # DuckDB's md5 of the text string — same bytes, same digest.
+    oracle="""
+WITH h AS (
+  SELECT doc_id AS asset_id, md5(text) AS content_hash,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT content_hash,
+       CAST(min(asset_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT)      AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT)  AS total_bytes
+FROM h GROUP BY content_hash
+HAVING count(*) > 1
+""",
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup of binary media payloads — the FIRST pass of
+    every media pipeline (exact byte-duplicate assets are the bulk of
+    crawl redundancy, removed before any perceptual/embedding dedup).
+
+    The digest is computed in the scan stage projection; the payload
+    column itself NEVER enters the shuffle — only (32-byte digest,
+    asset_id, length) rows reach the aggregate, which is the whole
+    point at 100 TB of media. Keeper = min asset_id, deterministic.
+    """
+    assets = build_assets(spark, sf_dir)
+    return (
+        assets.select(
+            "asset_id",
+            F.md5("payload").alias("content_hash"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("asset_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .filter(F.col("n_assets") > 1)
+    )

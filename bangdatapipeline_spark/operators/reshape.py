@@ -109,3 +109,51 @@ def explode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
     )
+
+
+@register(
+    "dedup_exact_canonical",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(count(*) > 1 AS BOOLEAN) AS has_dups
+FROM canon GROUP BY h
+""",
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup (the C4 recipe): lowercase, strip
+    non-alphanumerics, collapse whitespace, THEN hash-group — catches
+    trivially-reformatted duplicates that byte-exact dedup misses while
+    staying a pure hash aggregate (no similarity join).
+
+    The md5 projects each document to 32 bytes BEFORE the shuffle —
+    text never leaves the scan stage, the aggregate keys on the digest
+    (uniform, skew-free), and min(doc_id) is the deterministic keeper.
+    Regexes stay in the Java∩RE2 subset (char class + ' +') so both
+    engines canonicalize identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(F.encode(canon, "utf-8")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) > 1).alias("has_dups"),
+        )
+    )

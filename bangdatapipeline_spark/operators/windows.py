@@ -599,3 +599,40 @@ def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nan_null(F.stddev_samp("value").over(w)), 4).alias("roll_sd"),
         (F.round(nan_null(F.corr("value", "v_prev").over(w)), 4) + F.lit(0.0)).alias("roll_corr"),
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       round(c_acctbal, 2) AS bal,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile(4) per market segment, the remaining rank-family trio.
+
+    The window orders by the UNIQUE (acctbal, custkey) composite: with
+    a tie-broken total order all three functions are deterministic
+    (ntile bucket boundaries depend on row order, not just key order).
+    One shuffle on c_mktsegment serves all three. percent_rank is
+    (rank-1)/(n-1) — a small-denominator rational — so both engines
+    IEEE-floor-round it to the shared 6-dp lattice
+    (docs/dialect_notes.md).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -120,6 +120,10 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_yoy_growth", "ts_yoy_growth"),
     ("parts_neighbor_jaccard", "graph_neighbor_jaccard"),
     ("emb_centroid_drift", "emb_centroid_drift"),
+    ("customers_distribution_rank", "win_distribution"),
+    ("doc_canonical_dedup", "dedup_exact_canonical"),
+    ("assets_byte_dedup", "multimodal_dedup_bytes"),
+    ("doc_surprisal_buckets", "text_surprisal_buckets"),
 ]
 
 RUNS = 3
