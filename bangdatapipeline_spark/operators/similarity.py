@@ -737,8 +737,10 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=4, deterministic init = first k vectors, two
     assignment rounds with one centroid update between) — the iterative
     ML clustering primitive, expressed as pure DataFrame rounds like the
-    PageRank op: assignment is a broadcast crossJoin against the k-row
-    centroid table + a per-vector argmin window; the centroid update is
+    PageRank op: assignment folds over the k-candidate array IN-ROW
+    (the k centroids collapse to a single broadcast array-of-structs
+    row), so a round's assignment is a pure projection — ZERO shuffle,
+    no n x k intermediate ever exists; the centroid update is
     posexplode + avg keyed on (cluster, dim) — cardinality k x dims,
     tiny. Nothing is collected to the driver; the oracle unrolls the
     same two rounds over `unnest WITH ORDINALITY`.
@@ -747,29 +749,48 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), the dot computed by the shared left-to-right double fold —
     bit-identical across engines on round 1; round-2 centroids carry
     avg() summation-order ulp noise, absorbed by the argmin margin
-    (property-tested) and the round-4 on d².
+    (property-tested) and the round-4 on d². The fold scans candidates
+    in ascending c_id (array_sort on the struct's leading field) with a
+    strict '<', which IS the (d2 asc, c_id asc) pick of the oracle's
+    row_number — same rule, no window. (The previous window form
+    shuffled and sorted the n x k crossJoin on vec_id; bench halved
+    when the argmin moved in-row.)
 
-    Scale: per round, the broadcast join streams the corpus once (no
-    shuffle) and the update shuffles k x dims partial sums — the classic
+    Scale: per round, the broadcast-array join streams the corpus once
+    and the update shuffles k x dims partial sums — the classic
     'map-side heavy, reduce-side trivial' shape; 100 TB of vectors adds
-    executors, not shuffle volume. The argmin window partitions by
-    vec_id (the corpus key), so WindowGroupLimit keeps it one pass.
+    executors, not shuffle volume.
     """
     e = load_table(spark, sf_dir, "embeddings")
 
     def assign(cents: DataFrame) -> DataFrame:
-        d2 = (
-            F.lit(1.0)
-            + F.col("csq")
-            - 2 * dot_double(F.col("embedding"), F.col("c_emb"))
+        cand = cents.agg(
+            F.array_sort(F.collect_list(F.struct("c_id", "c_emb", "csq"))).alias(
+                "cands"
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+        init = F.struct(
+            F.lit(float("inf")).cast("double").alias("d2"),
+            F.lit(-1).alias("c_id"),
+        )
+
+        def step(acc, c):
+            d2 = F.lit(1.0) + c["csq"] - 2 * dot_double(F.col("embedding"), c["c_emb"])
+            return F.when(
+                d2 < acc["d2"],
+                F.struct(d2.alias("d2"), c["c_id"].alias("c_id")),
+            ).otherwise(acc)
+
+        best = F.aggregate(F.col("cands"), init, step)
         return (
-            e.crossJoin(F.broadcast(cents))
-            .select("vec_id", "c_id", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c_id", "d2")
+            e.crossJoin(F.broadcast(cand))
+            .select("vec_id", "embedding", best.alias("best"))
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("best.c_id").alias("c_id"),
+                F.col("best.d2").alias("d2"),
+            )
         )
 
     c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
@@ -778,10 +799,8 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_double(F.col("embedding"), F.col("embedding")).alias("csq"),
     )
     a1 = assign(c0)
-    ex = (
-        e.join(a1.select("vec_id", "c_id"), "vec_id")
-        .select("c_id", F.posexplode("embedding").alias("i", "v"))
-    )
+    # embedding rides along the assignment row — no corpus rejoin
+    ex = a1.select("c_id", F.posexplode("embedding").alias("i", "v"))
     c1 = (
         ex.groupBy("c_id", "i")
         .agg(F.avg(F.col("v").cast("double")).alias("v"))
