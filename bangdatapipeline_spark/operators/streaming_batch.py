@@ -545,3 +545,34 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "rn")
     )
+
+
+@register(
+    "stream_cdc_latest",
+    oracle="""
+SELECT user_id, event_id, round(value, 2) AS latest_value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase')
+WHERE rn = 1
+""",
+)
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed latest-wins changelog compaction — the batch twin of the
+    streaming CDC state op (streaming.cdc_latest): one record per key,
+    picked by the (ts, event_id) total order, never dropDuplicates.
+    This is the compaction stage of ``merge_cdc_upsert``, registered
+    standalone so the streaming equivalence test has a hash-checked
+    anchor. Scale: the WindowGroupLimit rewrite prunes each partition
+    to its winner before the user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 2).alias("latest_value"))
+    )

@@ -312,3 +312,64 @@ def interval_full_join_streams(events: DataFrame, watermark: str = WATERMARK_DEL
         "purchase_ts",
         "click_ts",
     )
+
+
+_CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("val", DoubleType()),
+    ]
+)
+_CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("latest_value", DoubleType()),
+    ]
+)
+
+
+def _cdc_latest_state(key, pdf_iter, state: GroupState):
+    """Keyed latest-wins changelog compaction: keep the (ts, event_id)-max
+    record per key in the state store, emit the current winner each
+    update. The (ts_us, event_id) composite is the same total order the
+    batch twin's row_number uses — no arrival-order dependence."""
+    best = state.get if state.exists else (-1, -1, 0.0)
+    for pdf in pdf_iter:
+        for ts_us, eid, val in zip(
+            pdf["ts"].astype("int64"), pdf["event_id"], pdf["value"]
+        ):
+            cand = (int(ts_us), int(eid), float(val))
+            if cand[:2] > best[:2]:
+                best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "ts_us": [best[0]],
+            "event_id": [best[1]],
+            "latest_value": [round(best[2], 2)],
+        }
+    )
+
+
+def cdc_latest(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: per-user latest purchase maintained in
+    the state store (update mode) — the streaming twin of the batch
+    ``stream_cdc_latest`` compaction that feeds ``merge_cdc_upsert``.
+    Each micro-batch emits the keys it touched with their current
+    winner; a downstream foreachBatch MERGE applies them to the base
+    table incrementally."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_latest_state,
+            outputStructType=_CDC_OUT_SCHEMA,
+            stateStructType=_CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

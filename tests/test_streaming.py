@@ -290,3 +290,24 @@ def test_topk_leaderboard_foreach_batch(spark, chunks, tmp_path):
     batch = REGISTRY["stream_topk"].fn(spark, SF)
     cols = ["w_start", "event_type", "n", "rn"]
     assert _rows(out.withColumn("w_start", F.col("w_start").cast("timestamp_ntz")), cols) == _rows(batch, cols)
+
+
+def test_cdc_latest_matches_batch_compaction(spark, chunks):
+    """Streaming keyed-latest-wins state op: after replaying all chunks,
+    each user's final emitted winner equals the batch compaction
+    (stream_cdc_latest) — same (ts, event_id) total order, so the
+    result is arrival-order independent."""
+    stream = replay.read_stream(spark, chunks)
+    out = replay.run_stream(streaming.cdc_latest(stream), mode="update")
+    # per-user winners are monotone in (ts_us, event_id) across batches,
+    # so the max over all emissions IS the final state
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "latest_value")).alias("s"))
+        .select("user_id", F.col("s.event_id").alias("event_id"),
+                F.col("s.latest_value").alias("latest_value"))
+    )
+    batch = REGISTRY["stream_cdc_latest"].fn(spark, SF)
+    got = {r.user_id: (r.event_id, r.latest_value) for r in final.collect()}
+    want = {r.user_id: (r.event_id, r.latest_value) for r in batch.collect()}
+    assert got == want
