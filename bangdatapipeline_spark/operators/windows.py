@@ -636,3 +636,47 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+_MED_FRAME = 9  # trailing frame: current row + 9 preceding
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.25) OVER w, 4) AS roll_p25,
+       round(quantile_cont(value, 0.50) OVER w, 4) AS roll_med,
+       round(quantile_cont(value, 0.75) OVER w, 4) AS roll_p75
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_MED_FRAME} PRECEDING AND CURRENT ROW)
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact quartiles (p25/median/p75) over a trailing
+    {_MED_FRAME + 1}-row frame per user — the robust-statistics
+    companion to ``win_rolling_stats``' mean/stddev (medians shrug off
+    the outliers that wreck a rolling mean).
+
+    ``percentile`` runs as a true window aggregate over the bounded ROWS
+    frame — one user-keyed shuffle + sort serves all three quartiles; no
+    self-join, no explode. Interpolated quartiles of 2-dp values land on
+    the 0.0025 lattice (f is always a multiple of 0.25), which is a
+    subset of the 1e-4 rounding grid — round(4) can never sit at a
+    rounding half, so it is hash-safe (contrast the interpolation note
+    in docs/dialect_notes.md).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-_MED_FRAME, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", 0.25).over(w), 4).alias("roll_p25"),
+        F.round(F.percentile("value", 0.50).over(w), 4).alias("roll_med"),
+        F.round(F.percentile("value", 0.75).over(w), 4).alias("roll_p75"),
+    )

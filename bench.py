@@ -124,6 +124,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_canonical_dedup", "dedup_exact_canonical"),
     ("assets_byte_dedup", "multimodal_dedup_bytes"),
     ("doc_surprisal_buckets", "text_surprisal_buckets"),
+    ("events_cdc_compaction", "stream_cdc_latest"),
+    ("events_rolling_median", "win_rolling_median"),
+    ("events_wau_hll_sliding", "ts_wau_hll_sliding"),
 ]
 
 RUNS = 3
