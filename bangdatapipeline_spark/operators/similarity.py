@@ -28,6 +28,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -1122,3 +1124,370 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cos_ab"),
         F.round(F.sqrt("sqdist"), 6).alias("l2_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation metrics (system = LSH ANN, truth = exact kNN)
+# --------------------------------------------------------------------------
+
+# IDCG@5 for binary relevance: computed ONCE in Python and embedded as
+# the same double literal in both engines (summation order fixed).
+_IDCG_AT_K = sum(1.0 / math.log2(r + 1) for r in range(1, TOP_K + 1))
+
+
+def _eval_metrics_oracle() -> str:
+    from bangdatapipeline_spark.registry import REGISTRY
+
+    return f"""
+WITH sys AS ({REGISTRY["knn_ann_lsh"].oracle}),
+truth AS ({REGISTRY["knn_cosine_topk"].oracle}),
+j AS (
+  SELECT s.q_id, s.rn,
+         CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s LEFT JOIN truth t ON s.q_id = t.q_id AND s.n_id = t.n_id
+),
+m AS (
+  SELECT q_id,
+         sum(rel)                                             AS hits,
+         min(CASE WHEN rel = 1 THEN rn END)                   AS first_rank,
+         sum(CASE WHEN rel = 1 THEN 1.0 / log2(rn + 1) END)   AS dcg
+  FROM j GROUP BY q_id
+)
+SELECT q_id,
+       CAST(hits AS BIGINT)                          AS n_hits,
+       round(hits * 1.0 / {TOP_K}, 4)                AS recall_at_k,
+       round(coalesce(1.0 / first_rank, 0), 6)       AS mrr,
+       round(coalesce(dcg, 0) / {_IDCG_AT_K!r}, 6)   AS ndcg
+FROM m
+"""
+
+
+@register("eval_rank_metrics", oracle=_eval_metrics_oracle())
+def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: per-query recall@{TOP_K}, MRR, and binary
+    NDCG@{TOP_K} of the LSH ANN ranking (``knn_ann_lsh``) scored against
+    the exact ranking (``knn_cosine_topk``) as ground truth — the metric
+    harness every ANN rollout gates on (is the recall trade acceptable
+    before swapping the exact path out?).
+
+    Composes the two REGISTERED plans and joins them on (q_id, n_id) —
+    per-query candidate sets are tiny (k rows), so everything after the
+    rankers is a k-row-per-query join + one aggregate. IDCG is a shared
+    double literal computed once (fixed summation order) so the NDCG
+    denominators are bit-identical across engines.
+    """
+    sys_rank = knn_ann_lsh(spark, sf_dir).select("q_id", "n_id", "rn")
+    truth = knn_cosine_topk(spark, sf_dir).select(
+        F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"), F.lit(1).alias("rel")
+    )
+    j = sys_rank.join(
+        truth,
+        (F.col("q_id") == F.col("t_q")) & (F.col("n_id") == F.col("t_n")),
+        "left",
+    ).select("q_id", "rn", F.coalesce("rel", F.lit(0)).alias("rel"))
+    m = j.groupBy("q_id").agg(
+        F.sum("rel").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rank"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.log2(F.col("rn") + 1))
+        ).alias("dcg"),
+    )
+    return m.select(
+        "q_id",
+        F.col("hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("hits") * 1.0 / TOP_K, 4).alias("recall_at_k"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.coalesce("dcg", F.lit(0.0)) / F.lit(_IDCG_AT_K), 6).alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top principal component via matrix-free power iteration
+# --------------------------------------------------------------------------
+
+_PCA_INIT = 0.125  # 1/sqrt(64) — exact in binary, identical on both engines
+
+
+def _pca_oracle() -> str:
+    x = """
+x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+)"""
+    return f"""
+WITH {x},
+s1 AS (SELECT vec_id, sum(val * {_PCA_INIT}) AS s FROM x GROUP BY vec_id),
+w1 AS (SELECT x.dim, sum(s1.s * x.val) AS w FROM x JOIN s1 USING (vec_id) GROUP BY x.dim),
+n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+v1 AS (SELECT dim, round(w / nrm, 6) AS v FROM w1, n1),
+s2 AS (SELECT x.vec_id, sum(x.val * v1.v) AS s FROM x JOIN v1 USING (dim) GROUP BY x.vec_id),
+w2 AS (SELECT x.dim, sum(s2.s * x.val) AS w FROM x JOIN s2 USING (vec_id) GROUP BY x.dim),
+n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2)
+SELECT CAST(w2.dim AS INT) AS dim,
+       round(w2.w / n2.nrm, 6) AS loading
+FROM w2, n2
+"""
+
+
+@register("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via MATRIX-FREE
+    power iteration (two rounds): v ← normalize(Xᵀ(Xv)) — the
+    visualization/drift primitive that never materializes the d x d
+    covariance, just two passes of per-row projections.
+
+    Per round: the current direction is a 1-row broadcast array; each
+    vector's projection s = x·v happens IN-ROW (zip_with fold — no join
+    for the projection), and the only shuffle is the d-key weighted sum
+    Xᵀs (64 groups, map-side partials). The direction is re-rounded to
+    the 6-dp lattice between rounds on BOTH engines, so round-2 inputs
+    are identical despite summation-order ulp noise in the corpus sums
+    (the IVF codebook-lattice recipe). Sign is pinned by the all-positive
+    init. At 100 TB: two corpus scans, shuffle volume 64 doubles per
+    partition per round.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def power_round(v_row: DataFrame) -> DataFrame:
+        """One iteration: project in-row, weighted-sum per dim, normalize
+        to the shared 6-dp lattice; returns a 1-row array DataFrame."""
+        j = e.crossJoin(F.broadcast(v_row))
+        s = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("v"), lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        x = j.select(s.alias("s"), F.posexplode("embedding").alias("dim", "val"))
+        w = x.groupBy("dim").agg(
+            F.sum(F.col("s") * F.col("val").cast("double")).alias("w")
+        )
+        n = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        return (
+            w.crossJoin(F.broadcast(n))
+            .select("dim", F.round(F.col("w") / F.col("nrm"), 6).alias("v"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda t: t["v"],
+                ).alias("v")
+            )
+        )
+
+    v0 = e.limit(1).select(
+        F.transform(F.col("embedding"), lambda _: F.lit(_PCA_INIT)).alias("v")
+    )
+    v1 = power_round(v0)
+    # final round, long-form output (dim, loading)
+    j = e.crossJoin(F.broadcast(v1))
+    s = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("v"), lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    x = j.select(s.alias("s"), F.posexplode("embedding").alias("dim", "val"))
+    w = x.groupBy("dim").agg(F.sum(F.col("s") * F.col("val").cast("double")).alias("w"))
+    n = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return (
+        w.crossJoin(F.broadcast(n))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MMR-diversified retrieval (greedy re-rank of the exact top candidates)
+# --------------------------------------------------------------------------
+
+_MMR_CAND = 10  # candidate pool per query (exact top-10)
+_MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
+
+
+def _mmr_oracle() -> str:
+    lam, one_m = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+allsims AS (
+  SELECT q.q_id, e.vec_id AS n_id, e.embedding AS n_emb,
+         round({_duck_dot('q.q_emb', 'e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT q_id, n_id, n_emb, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn
+    FROM allsims) WHERE rn <= {_MMR_CAND}
+),
+pair AS (
+  SELECT a.q_id, a.n_id AS id_a, b.n_id AS id_b,
+         round({_duck_dot('a.n_emb', 'b.n_emb')}, 6) AS sim_ab
+  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+),
+p1 AS (SELECT q_id, n_id AS p_id, sim FROM cand WHERE rn = 1),
+s2 AS (
+  SELECT d.q_id, d.n_id, d.sim,
+         {lam} * d.sim - {one_m} * pr.sim_ab AS score,
+         row_number() OVER (PARTITION BY d.q_id
+                            ORDER BY {lam} * d.sim - {one_m} * pr.sim_ab DESC,
+                                     d.n_id ASC) AS rk
+  FROM cand d
+  JOIN p1 ON p1.q_id = d.q_id AND d.n_id <> p1.p_id
+  JOIN pair pr ON pr.q_id = d.q_id AND pr.id_a = d.n_id AND pr.id_b = p1.p_id
+),
+p2 AS (SELECT q_id, n_id AS p_id, sim, score FROM s2 WHERE rk = 1),
+s3 AS (
+  SELECT d.q_id, d.n_id, d.sim,
+         {lam} * d.sim
+           - {one_m} * greatest(pa.sim_ab, pb.sim_ab) AS score,
+         row_number() OVER (PARTITION BY d.q_id
+                            ORDER BY {lam} * d.sim
+                                     - {one_m} * greatest(pa.sim_ab, pb.sim_ab) DESC,
+                                     d.n_id ASC) AS rk
+  FROM cand d
+  JOIN p1 ON p1.q_id = d.q_id AND d.n_id <> p1.p_id
+  JOIN p2 ON p2.q_id = d.q_id AND d.n_id <> p2.p_id
+  JOIN pair pa ON pa.q_id = d.q_id AND pa.id_a = d.n_id AND pa.id_b = p1.p_id
+  JOIN pair pb ON pb.q_id = d.q_id AND pb.id_a = d.n_id AND pb.id_b = p2.p_id
+),
+p3 AS (SELECT q_id, n_id AS p_id, sim, score FROM s3 WHERE rk = 1)
+SELECT q_id, 1 AS pick_rank, p_id AS n_id, sim,
+       floor({lam} * sim * 1000000 + 0.5) / 1000000 AS mmr_score
+FROM p1
+UNION ALL
+SELECT q_id, 2, p_id, sim, floor(score * 1000000 + 0.5) / 1000000 FROM p2
+UNION ALL
+SELECT q_id, 3, p_id, sim, floor(score * 1000000 + 0.5) / 1000000 FROM p3
+"""
+
+
+@register("knn_mmr_diversify", oracle=_mmr_oracle())
+def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily pick 3 of the exact top-10
+    candidates per query, each pick maximizing
+    λ·sim(q,d) − (1−λ)·max_sim(d, already-picked) — the diversified
+    re-rank RAG retrievers run so near-duplicate passages don't crowd
+    the context window.
+
+    Greedy selection is inherently sequential, so the 3 rounds unroll as
+    3 window-argmax passes (like the k-means/PageRank unrolling); all
+    work after the candidate stage is on k rows per query (candidates
+    and their k² pairwise sims — computed once, joined per round).
+    Scores combine round-6 sims with identical double literals, so both
+    engines rank bit-identical values; emitted scores use the IEEE
+    floor-round (the 1e-7 score lattice CAN sit on 6-dp halves,
+    docs/dialect_notes.md).
+    """
+    lam, one_m = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    allsims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            F.round(dot_double(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    cand = (
+        allsims.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_CAND)
+    )
+    a = cand.select("q_id", F.col("n_id").alias("id_a"), F.col("n_emb").alias("emb_a"))
+    b = cand.select("q_id", F.col("n_id").alias("id_b"), F.col("n_emb").alias("emb_b"))
+    pair = (
+        a.join(b, "q_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "q_id",
+            "id_a",
+            "id_b",
+            F.round(dot_double(F.col("emb_a"), F.col("emb_b")), 6).alias("sim_ab"),
+        )
+    )
+    d = cand.select("q_id", "n_id", "sim")
+    p1 = cand.filter(F.col("rn") == 1).select(
+        "q_id", F.col("n_id").alias("p_id"), F.col("sim").alias("p_sim")
+    )
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("score").desc(), F.col("n_id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("q_id", F.col("n_id").alias("p_id"), "sim", "score")
+        )
+
+    s2 = (
+        d.join(p1, "q_id")
+        .filter(F.col("n_id") != F.col("p_id"))
+        .join(
+            pair.withColumnRenamed("id_a", "n_id").withColumnRenamed("id_b", "p_id"),
+            ["q_id", "n_id", "p_id"],
+        )
+        .select(
+            "q_id",
+            "n_id",
+            "sim",
+            (F.lit(lam) * F.col("sim") - F.lit(one_m) * F.col("sim_ab")).alias("score"),
+        )
+    )
+    p2 = argmax(s2)
+    pa = pair.select(
+        "q_id", F.col("id_a").alias("n_id"), F.col("id_b").alias("p1_id"),
+        F.col("sim_ab").alias("sim_d1"),
+    )
+    pb = pair.select(
+        "q_id", F.col("id_a").alias("n_id"), F.col("id_b").alias("p2_id"),
+        F.col("sim_ab").alias("sim_d2"),
+    )
+    s3 = (
+        d.join(p1.select("q_id", F.col("p_id").alias("p1_id")), "q_id")
+        .join(p2.select("q_id", F.col("p_id").alias("p2_id")), "q_id")
+        .filter((F.col("n_id") != F.col("p1_id")) & (F.col("n_id") != F.col("p2_id")))
+        .join(pa, ["q_id", "n_id", "p1_id"])
+        .join(pb, ["q_id", "n_id", "p2_id"])
+        .select(
+            "q_id",
+            "n_id",
+            "sim",
+            (
+                F.lit(lam) * F.col("sim")
+                - F.lit(one_m) * F.greatest("sim_d1", "sim_d2")
+            ).alias("score"),
+        )
+    )
+    p3 = argmax(s3)
+
+    def emit(p: DataFrame, rank: int) -> DataFrame:
+        return p.select(
+            "q_id",
+            F.lit(rank).alias("pick_rank"),
+            F.col("p_id").alias("n_id"),
+            "sim",
+            (F.floor(F.col("score") * 1000000 + 0.5) / 1000000).alias("mmr_score"),
+        )
+
+    out1 = p1.select(
+        "q_id",
+        F.lit(1).alias("pick_rank"),
+        F.col("p_id").alias("n_id"),
+        F.col("p_sim").alias("sim"),
+        (F.floor(F.lit(lam) * F.col("p_sim") * 1000000 + 0.5) / 1000000).alias(
+            "mmr_score"
+        ),
+    )
+    out2 = emit(p2, 2)
+    out3 = emit(p3, 3)
+    return out1.unionAll(out2).unionAll(out3)

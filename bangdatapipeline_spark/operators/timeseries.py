@@ -412,3 +412,112 @@ def ts_wau_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("out_of_bounds"))
         .alias("merged_within_5pct"),
     )
+
+
+OPEN_DAYS = 30  # an order is "open" for 30 days after o_orderdate
+
+
+@register(
+    "ts_open_backlog",
+    oracle=f"""
+WITH deltas AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS opened, 0 AS closed FROM orders
+  UNION ALL
+  SELECT CAST(o_orderdate + INTERVAL {OPEN_DAYS} DAY AS DATE), 0, 1 FROM orders
+),
+daily AS (
+  SELECT day,
+         CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed)
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM daily
+""",
+)
+def ts_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval counting: how many orders are OPEN on each
+    day (open = within {OPEN_DAYS} days of o_orderdate). Each interval
+    becomes a +1 at its start and a -1 past its end; the running sum of
+    the DAILY aggregate is the concurrent-interval count — the standard
+    trick that turns interval-stabbing (a range join) into one
+    aggregate + one bounded cumsum.
+
+    The fact-sized work is the per-day delta aggregate (map-side
+    partials); the unpartitioned cumsum window runs over |days| rows
+    only — at 100 TB that is still thousands of rows, not billions
+    (range-partition the running sum if the day grid ever grows past
+    driver comfort).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    opens = o.select(
+        F.to_date("o_orderdate").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closes = o.select(
+        F.to_date(F.date_add(F.col("o_orderdate"), OPEN_DAYS)).alias("day"),
+        F.lit(0).alias("opened"),
+        F.lit(1).alias("closed"),
+    )
+    daily = (
+        opens.unionAll(closes)
+        .groupBy("day")
+        .agg(F.sum("opened").alias("n_opened"), F.sum("closed").alias("n_closed"))
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(cum).alias("backlog"),
+    )
+
+
+CHURN_DAYS = 7
+
+
+@register(
+    "ts_churn_flags",
+    oracle=f"""
+WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CAST(ts AS DATE))    AS last_day
+  FROM events GROUP BY user_id
+)
+SELECT u.user_id, u.n_events,
+       strftime(u.last_day, '%Y-%m-%d')                  AS last_day,
+       CAST(date_diff('day', u.last_day, r.ref_day) AS INT) AS days_inactive,
+       date_diff('day', u.last_day, r.ref_day) >= {CHURN_DAYS} AS churned
+FROM u, ref r
+""",
+)
+def ts_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn flags: days since each user's last event,
+    measured against the corpus max day (the 'as-of' anchor), flagged
+    churned at >= {CHURN_DAYS} days — the lifecycle segmentation every
+    retention dashboard starts from.
+
+    One per-user aggregate plus a lazy 1-row broadcast for the anchor
+    (no eager job at plan time, same pattern as graph_basket_lift's
+    n_orders). Nothing here scales past |users| rows after the first
+    shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    inactive = F.datediff(F.col("ref_day"), F.col("last_day"))
+    return u.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        "n_events",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        inactive.cast("int").alias("days_inactive"),
+        (inactive >= CHURN_DAYS).alias("churned"),
+    )

@@ -680,3 +680,59 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.50).over(w), 4).alias("roll_med"),
         F.round(F.percentile("value", 0.75).over(w), 4).alias("roll_p75"),
     )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+)
+SELECT user_id, event_type,
+       min(ts)                    AS start_ts,
+       max(ts)                    AS end_ts,
+       CAST(count(*) AS BIGINT)   AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event_id
+FROM r
+GROUP BY user_id, event_type, rn_all - rn_type
+""",
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    user (the classic streak/run-length primitive — login streaks, error
+    bursts, state episodes).
+
+    The two row_numbers share one user-keyed sort (the second partitions
+    by a superset key with the same ordering), and their difference is
+    constant exactly within a run — one grouped aggregate on the derived
+    island key finishes it. No self-join, no recursive CTE; at any scale
+    this is one shuffle + one sort per user partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    rn_all = F.row_number().over(Window.partitionBy("user_id").orderBy(*order))
+    rn_type = F.row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy(*order)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (rn_all - rn_type).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .drop("grp")
+    )

@@ -127,6 +127,12 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_cdc_compaction", "stream_cdc_latest"),
     ("events_rolling_median", "win_rolling_median"),
     ("events_wau_hll_sliding", "ts_wau_hll_sliding"),
+    ("events_gap_islands", "win_gap_islands"),
+    ("orders_open_backlog", "ts_open_backlog"),
+    ("events_churn_flags", "ts_churn_flags"),
+    ("emb_rank_eval", "eval_rank_metrics"),
+    ("emb_pca_power", "emb_pca_power"),
+    ("emb_mmr_diversify", "knn_mmr_diversify"),
 ]
 
 RUNS = 3
