@@ -985,11 +985,16 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same in-row trick as ``graph_triangles``: per-node sorted neighbor
     arrays, |N(a) ∩ N(b)| via array_intersect on the edge row — the
     sum(degree^2) wedge join never materializes (the oracle states it as
-    wedges; at sf0.01 that's ~10M DuckDB rows vs zero Spark ones). The
-    UNDIRECTED adjacency is bounded by max degree; at 100 TB cap it
-    (top-degree hubs dominate wedges and carry no signal) and swap the
-    broadcast adjacency joins for bucketed ones. Jaccard is a
-    small-denominator rational -> IEEE floor-round to a 6-dp lattice
+    wedges; at sf0.01 that's ~28M DuckDB rows vs zero Spark ones). The
+    in-row intersect still pays sum(deg_a + deg_b) over edges — on this
+    DENSE hub-free graph (deg ~uniform 120, measured) that cost is
+    inherent to exactness, like the kNN expression fold. The 100 TB
+    moves: skewed graphs get the hub cap (drop top-degree nodes, which
+    carry no similarity signal); dense graphs swap the exact intersect
+    for MinHash signatures over neighbor sets (the dedup_near machinery
+    applied to adjacency lists) — approximate Jaccard at O(k) per edge;
+    and the broadcast adjacency joins become bucketed ones. Jaccard is
+    a small-denominator rational -> IEEE floor-round to a 6-dp lattice
     BEFORE ranking (docs/dialect_notes.md).
     """
     _, deg, edges = _oriented_copurchase(spark, sf_dir)
