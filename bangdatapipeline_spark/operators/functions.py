@@ -296,3 +296,73 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.lower(F.sha2("text", 256)).alias("text_sha256"),
     )
+
+
+@register(
+    "map_higher_order",
+    # DuckDB's map type lacks transform/filter lambdas, so the oracle
+    # states the same RESULTS via the underlying scalar arithmetic —
+    # the contract is value parity, not construct parity.
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT)                     AS k_val,
+       CAST(json_extract(props, '$.k') AS INT) * 2                 AS k_doubled,
+       CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT)   AS k_mod,
+       CAST(json_extract(props, '$.k') AS INT) % 10 >= 5           AS k_high,
+       2                                                           AS n_keys
+FROM events
+WHERE event_id < 2000
+""",
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a map column from the JSON
+    payload, then transform_values (x2), derive a second entry, filter
+    entries by a predicate, and read sizes/lookups back out — the
+    map-manipulation surface (`transform_values`, `map_filter`,
+    `map_zip_with`-style derivations) exercised end-to-end with scalar
+    outputs. All in-row codegen; no shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.create_map(F.lit("k"), k, F.lit("k_mod"), k % 10)
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    high = F.map_filter(m, lambda key, v: (key == "k_mod") & (v >= 5))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.element_at(m, "k_mod").cast("int").alias("k_mod"),
+        (F.size(high) > 0).alias("k_high"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(user_id) AS BIGINT) AS band,
+       CAST(bit_or(user_id)  AS BIGINT) AS bor,
+       CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+       CAST(bit_or(CAST(user_id << 8 AS BIGINT) | (user_id >> 2)) AS BIGINT)
+                                         AS packed_or
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) plus shift
+    arithmetic in the projection — the primitives behind bitmap indexes
+    and flag-field rollups (``agg_bitmap_distinct`` builds on exactly
+    these). All three aggregates are associative-commutative, so
+    map-side partials apply and partition order cannot change results.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Column `|` is logical OR in PySpark; the SQL `|` is bitwise
+    packed = F.expr("CAST(shiftleft(user_id, 8) AS BIGINT) | shiftright(user_id, 2)")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+        F.bit_or(packed).alias("packed_or"),
+    )

@@ -572,3 +572,51 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("overlap_days"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+  FROM customer
+),
+dim AS (
+  SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNSEGMENTED') AS seg_name
+  FROM customer
+)
+SELECT d.seg_name,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+GROUP BY d.seg_name
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of vanishing — the join semantics every
+    dimension lookup with an 'unknown' bucket needs. Ordinary `=` would
+    silently drop the NULL-segment customers; `<=>` keeps the join a
+    hash join (NULL hashes like any value under null-safe equality), so
+    the plan is identical to the plain equi-join — broadcast dim, no
+    extra pass for the NULL bucket.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                F.lit("UNSEGMENTED"),
+            ).alias("seg_name"),
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(dim), c.seg.eqNullSafe(dim.seg))
+        .groupBy("seg_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

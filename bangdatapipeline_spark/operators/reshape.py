@@ -157,3 +157,36 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) > 1).alias("has_dups"),
         )
     )
+
+
+@register(
+    "explode_outer_nulls",
+    # DuckDB unnest drops empty-list rows; the oracle reproduces OUTER
+    # semantics by coalescing the empty list to [NULL] first.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> len(t) > 9) AS longs
+  FROM documents
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END) AS long_token,
+       CAST(len(longs) AS INT) AS n_long
+FROM toks
+""",
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: documents whose filtered token array is EMPTY
+    survive as a NULL row instead of vanishing — the outer-generator
+    semantics every flatten step needs when downstream counts must
+    still see the parent row (plain explode silently drops parents,
+    the classic row-loss bug). Generator + filter run in-row; no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    longs = F.filter(F.split("text", " "), lambda t: F.length(t) > 9)
+    return d.select(
+        "doc_id",
+        F.explode_outer(longs).alias("long_token"),
+        F.size(longs).cast("int").alias("n_long"),
+    )

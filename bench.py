@@ -133,6 +133,10 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_rank_eval", "eval_rank_metrics"),
     ("emb_pca_power", "emb_pca_power"),
     ("emb_mmr_diversify", "knn_mmr_diversify"),
+    ("customers_null_safe_join", "join_null_safe"),
+    ("events_map_hof", "map_higher_order"),
+    ("events_bitwise_agg", "agg_bitwise"),
+    ("doc_explode_outer", "explode_outer_nulls"),
 ]
 
 RUNS = 3
