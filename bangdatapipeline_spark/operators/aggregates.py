@@ -1340,3 +1340,58 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec).cast("string").alias("max_dec"),
         F.count("*").alias("n"),
     )
+
+
+# chi-square critical value at p=0.05, df=1 — the SRM alarm threshold
+SRM_CRIT = 3.841
+
+
+@register(
+    "events_srm_check",
+    oracle=f"""
+WITH assign AS (
+  SELECT DISTINCT user_id, user_id % 2 = 0 AS in_a FROM events
+),
+counts AS (
+  SELECT CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT)     AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b
+  FROM assign
+)
+SELECT n_a, n_b,
+       round(power(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+           + power(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 6) AS chi2,
+       (power(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+           + power(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0))
+           > {SRM_CRIT} AS srm_detected
+FROM counts
+""",
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square test of the observed
+    A/B assignment split against the designed 50/50 — the first gate any
+    experiment readout must pass (SRM invalidates welch_ttest/cuped
+    downstream; this completes that family).
+
+    One distinct-users aggregate reduces everything to two counters;
+    the chi2 arithmetic is a scalar projection on a 1-row frame. The
+    flag compares the UNROUNDED statistic against the df=1 critical
+    value, so rounding can't flip the verdict.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("in_a")
+    ).distinct()
+    counts = assign.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (
+        F.pow(F.col("n_a") - exp, 2) / exp + F.pow(F.col("n_b") - exp, 2) / exp
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CRIT).alias("srm_detected"),
+    )

@@ -192,3 +192,72 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "split", "n",
         (F.col("n") / F.sum("n").over(w).cast("double")).alias("share"),
     )
+
+
+# language -> training-mix weight. Integer part = guaranteed copies;
+# fractional part = one extra copy behind the deterministic md5-gate.
+MIX_WEIGHTS = {"en": 1.0, "de": 2.0, "fr": 1.5, "es": 0.5, "zh": 3.0}
+
+
+@register(
+    "sample_mixture_weights",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
+                   WHEN 'es' THEN 0 WHEN 'zh' THEN 3 END AS n_full,
+         CASE WHEN lang IN ('fr', 'es')
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+              THEN 1 ELSE 0 END AS extra
+  FROM documents
+),
+c AS (SELECT doc_id, lang, n_full + extra AS copies FROM w WHERE n_full + extra >= 1)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, copies)) AS INT) AS copy_idx,
+       CAST(copies AS INT) AS copies
+FROM c
+""",
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling by per-source weight: weight 3.0 repeats a
+    document 3x (epoch upsampling), 1.5 gives one guaranteed copy plus a
+    deterministic 50% chance of a second, 0.5 keeps half the rows — the
+    standard way a pretraining mix hits its target source proportions in
+    ONE pass over the corpus.
+
+    The fractional copy rides the same md5-gate as ``sample_hash_det``
+    (engine/partitioning/rerun-stable; no RNG state); the repeat is an
+    in-row ``explode(sequence(...))`` — a generator, not a join. Weights
+    live in one broadcastable CASE; at 100 TB this composes with
+    ``pack_sequences`` downstream without an extra shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_full = (
+        F.when(F.col("lang") == "en", 1)
+        .when(F.col("lang") == "de", 2)
+        .when(F.col("lang") == "fr", 1)
+        .when(F.col("lang") == "es", 0)
+        .when(F.col("lang") == "zh", 3)
+    )
+    extra = F.when(
+        F.col("lang").isin("fr", "es")
+        & (_hash_gate(F.col("doc_id")) < "80000000"),
+        1,
+    ).otherwise(0)
+    copies = (n_full + extra).alias("copies")
+    return (
+        d.select("doc_id", "lang", copies)
+        .filter(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("copy_idx"),
+            "copies",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("copy_idx").cast("int").alias("copy_idx"),
+            F.col("copies").cast("int").alias("copies"),
+        )
+    )

@@ -137,6 +137,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_map_hof", "map_higher_order"),
     ("events_bitwise_agg", "agg_bitwise"),
     ("doc_explode_outer", "explode_outer_nulls"),
+    ("doc_mixture_resample", "sample_mixture_weights"),
+    ("events_srm_guardrail", "events_srm_check"),
 ]
 
 RUNS = 3
