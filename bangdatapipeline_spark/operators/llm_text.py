@@ -1314,3 +1314,78 @@ def text_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@register(
+    "text_surprisal_bigram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+),
+pairs AS (
+  SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bg AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c2) AS c1 FROM bg GROUP BY prev),
+v AS (SELECT count(DISTINCT tok) AS vocab FROM pos),
+dp AS (SELECT doc_id, prev, cur, count(*) AS cd FROM pairs GROUP BY doc_id, prev, cur)
+SELECT dp.doc_id,
+       CAST(sum(dp.cd) AS BIGINT) AS n_bigrams,
+       round(sum(dp.cd * -ln((bg.c2 + 0.5) / (ctx.c1 + 0.5 * v.vocab)))
+             / sum(dp.cd), 4) AS xent2_nats
+FROM dp
+JOIN bg  ON bg.prev = dp.prev AND bg.cur = dp.cur
+JOIN ctx ON ctx.prev = dp.prev, v
+GROUP BY dp.doc_id
+""",
+)
+def text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional cross-entropy per document (add-0.5
+    smoothing over the vocabulary): the sharper companion to
+    ``text_surprisal`` — repeated boilerplate scores LOW under the
+    conditional model even when its unigrams are rare, which is exactly
+    the signal repetition-heavy junk filtering needs.
+
+    Bigrams form IN-ROW (zip_with over the token array and its shift,
+    the ``text_bigrams`` trick — the oracle spells a positional
+    self-join because DuckDB lacks shift-zip, but Spark never pays it);
+    the model tables reduce to |bigram-vocab| / |vocab| rows, and the
+    per-doc side pre-aggregates (doc, prev, cur, count) so the scoring
+    join carries counts, not positions. ln() of the smoothed ratio is
+    irrational — round(4) is hash-safe.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    pair = F.explode(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        )
+    )
+    pairs = d.select("doc_id", pair.alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    dp = pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("cd"))
+    j = (
+        dp.join(bg, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(v))
+    )
+    surpr = F.col("cd") * -F.log(
+        (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vocab"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.sum("cd").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(surpr) / F.sum("cd"), 4).alias("xent2_nats"),
+    )

@@ -521,3 +521,68 @@ def ts_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         inactive.cast("int").alias("days_inactive"),
         (inactive >= CHURN_DAYS).alias("churned"),
     )
+
+
+_BM_WORD = 64
+
+
+@register(
+    "ts_wau_bitmap_sliding",
+    # EXACT sliding distinct — unlike the HLL twin this hash-checks the
+    # actual counts, not an accuracy verdict.
+    oracle=f"""
+WITH words AS (
+  SELECT CAST(ts AS DATE) AS day,
+         user_id // {_BM_WORD} AS bucket,
+         bit_or(CAST(1 AS UBIGINT) << CAST(user_id % {_BM_WORD} AS INT)) AS w
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM words),
+merged AS (
+  SELECT d.day, s.bucket, bit_or(s.w) AS w
+  FROM days d
+  JOIN words s ON s.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day, s.bucket
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(bit_count(w)) AS BIGINT) AS wau_exact
+FROM merged GROUP BY day
+""",
+)
+def ts_wau_bitmap_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day from OR-MERGED DAILY BITMAPS —
+    the EXACT sliding-distinct path for dense id spaces, completing the
+    cardinality-policy triangle: ``events_dau_wau`` re-scans raw events
+    (exact, expensive), ``ts_wau_hll_sliding`` merges sketches (cheap,
+    ±rsd), this merges bitmap words (cheap AND exact when ids are
+    dense — the ClickHouse/Druid pattern).
+
+    Daily (day, bucket)->word state is built once from raw events;
+    every 7-day window is a bit_or over <=7 words per bucket and a
+    bit_count sum — associative merges, map-side partials, no raw
+    re-scan. At 10^9 users a day's bitmap is 125 MB spread over the
+    bucket key space; re-windowing cost is independent of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") / _BM_WORD).cast("bigint").alias("bucket"),
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, cast(user_id % {_BM_WORD} as int))")
+        ).alias("w")
+    )
+    days = words.select("day").distinct()
+    merged = (
+        words.alias("s")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("s.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("s.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("s.bucket"))
+        .agg(F.bit_or("s.w").alias("w"))
+    )
+    return merged.groupBy("day").agg(
+        F.sum(F.bit_count("w")).alias("wau_exact")
+    ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau_exact")

@@ -139,6 +139,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_explode_outer", "explode_outer_nulls"),
     ("doc_mixture_resample", "sample_mixture_weights"),
     ("events_srm_guardrail", "events_srm_check"),
+    ("events_wau_bitmap", "ts_wau_bitmap_sliding"),
+    ("doc_surprisal_bigram", "text_surprisal_bigram"),
 ]
 
 RUNS = 3
