@@ -598,3 +598,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cb * 10000 + 0.5) / 10000).alias("contain_b"),
         )
     )
+
+
+def _dedup_recall_oracle() -> str:
+    """Composes the two registered component oracles (both are defined
+    above in this module, so REGISTRY already holds them)."""
+    truth = REGISTRY["dedup_near_jaccard"].oracle
+    sys_o = REGISTRY["dedup_near_minhash"].oracle
+    return f"""
+WITH truth AS ({truth}),
+sys_all AS ({sys_o}),
+sys AS (SELECT id_a, id_b FROM sys_all WHERE id_b < {EXACT_BOUND}),
+tp AS (
+  SELECT count(*) AS n
+  FROM truth t JOIN sys s ON t.id_a = s.id_a AND t.id_b = s.id_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth)  AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM sys)    AS n_sys,
+       (SELECT CAST(n AS BIGINT) FROM tp)            AS n_tp,
+       floor((SELECT n FROM tp) * 1.0
+             / nullif((SELECT count(*) FROM sys), 0) * 10000 + 0.5) / 10000
+                                                      AS precision_b,
+       floor((SELECT n FROM tp) * 1.0
+             / nullif((SELECT count(*) FROM truth), 0) * 10000 + 0.5) / 10000
+                                                      AS recall_b
+"""
+
+
+@register("eval_dedup_recall", oracle=_dedup_recall_oracle())
+def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector evaluation: precision/recall of the MinHash+LSH
+    pair detector against the bounded exact-Jaccard ground truth — the
+    acceptance gate before an approximate dedup replaces an exact one
+    (the same role ``eval_rank_metrics`` plays for ANN retrieval).
+
+    Composes the two REGISTERED plans; the system side restricts to the
+    ground truth's id bound so the two pair sets are comparable. All
+    metric arithmetic happens on three scalar counters crossJoined as
+    lazy 1-row broadcasts; ratios take the IEEE floor-round (small
+    denominators, docs/dialect_notes.md).
+    """
+    truth = dedup_near_jaccard(spark, sf_dir).select("id_a", "id_b")
+    sys_p = (
+        dedup_near_minhash(spark, sf_dir)
+        .select("id_a", "id_b")
+        .filter(F.col("id_b") < EXACT_BOUND)
+    )
+    tp = truth.join(sys_p, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_tp"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_sys = sys_p.agg(F.count(F.lit(1)).alias("n_sys"))
+    j = n_truth.crossJoin(n_sys).crossJoin(tp)
+    prec = F.col("n_tp") * 1.0 / F.nullif(F.col("n_sys"), F.lit(0))
+    rec = F.col("n_tp") * 1.0 / F.nullif(F.col("n_truth"), F.lit(0))
+    return j.select(
+        "n_truth",
+        "n_sys",
+        "n_tp",
+        (F.floor(prec * 10000 + 0.5) / 10000).alias("precision_b"),
+        (F.floor(rec * 10000 + 0.5) / 10000).alias("recall_b"),
+    )

@@ -620,3 +620,68 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# 30-minute attention window and grid cell (microseconds)
+RANGE_WIN_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "join_range_bucketed",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS interval_id, ts AS t0 FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.interval_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2)   AS sum_value
+FROM p JOIN events e
+  ON e.ts >= p.t0 AND e.ts < p.t0 + INTERVAL 30 MINUTE
+GROUP BY p.interval_id
+""",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): all events inside each purchase's
+    30-minute window, via GRID-BUCKET decomposition — intervals explode
+    onto the 30-min grid cells they cover (1–2 each), points map to one
+    cell, and the join becomes a hash equi-join on the cell with the
+    range as a residual filter.
+
+    This is the pattern that replaces the O(n·m) theta join at scale:
+    without it Spark plans BroadcastNestedLoopJoin (every point × every
+    interval); with it the shuffle is keyed on grid cells, candidate
+    pairs are only same-cell ones, and skew follows the data's temporal
+    density (AQE-splittable). The oracle states the plain theta join —
+    DuckDB's IEJoin handles it at test scale; Spark's equivalent IS this
+    decomposition. Window = grid size, so each interval covers ≤ 2
+    cells (amplification bounded by W/G + 1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # tz-free microsecond offset from a fixed NTZ origin (ts is
+    # timestamp_ntz; unix_micros would demand a session-zone cast)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2020-01-01 00:00:00', ts)")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        us.alias("t0"),
+        F.explode(
+            F.sequence(
+                F.floor(us / RANGE_WIN_US),
+                F.floor((us + RANGE_WIN_US - 1) / RANGE_WIN_US),
+            )
+        ).alias("cell"),
+    )
+    e = ev.select(
+        F.col("value"),
+        us.alias("t"),
+        F.floor(us / RANGE_WIN_US).alias("cell"),
+    )
+    return (
+        p.join(e, "cell")
+        .filter((F.col("t") >= F.col("t0")) & (F.col("t") < F.col("t0") + RANGE_WIN_US))
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -141,6 +141,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_srm_guardrail", "events_srm_check"),
     ("events_wau_bitmap", "ts_wau_bitmap_sliding"),
     ("doc_surprisal_bigram", "text_surprisal_bigram"),
+    ("doc_dedup_recall_eval", "eval_dedup_recall"),
+    ("events_range_windows", "join_range_bucketed"),
 ]
 
 RUNS = 3

@@ -373,3 +373,13 @@ def test_ohlc_is_one_aggregate_no_window(spark, sf_dir):
     assert "Window" not in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "partial_min" in plan, plan[:3000]
+
+
+def test_range_join_bucketed_not_nested_loop(spark, sf_dir):
+    """The pure range join must run as a hash equi-join on grid cells —
+    never the BroadcastNestedLoopJoin Spark would plan for a raw theta
+    join."""
+    plan = _plan(REGISTRY["join_range_bucketed"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan, plan[:3000]
