@@ -1395,3 +1395,51 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > SRM_CRIT).alias("srm_detected"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL')                          AS returnflag,
+       coalesce(l_linestatus, 'ALL')                          AS linestatus,
+       CAST(grouping(l_returnflag) * 2
+          + grouping(l_linestatus) AS INT)                    AS gid,
+       CASE CAST(grouping(l_returnflag) * 2
+               + grouping(l_linestatus) AS INT)
+            WHEN 0 THEN 'detail' WHEN 1 THEN 'flag_subtotal'
+            ELSE 'grand_total' END                            AS level_name,
+       CAST(count(*) AS BIGINT)                               AS n,
+       round(sum(l_extendedprice), 2)                         AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping()`` flags: subtotal rows carry an explicit
+    level id and label, so a NULL group key is distinguishable from a
+    NULL-valued key — the detail the plain rollup output loses (every
+    BI cube export needs this). grouping_id is composed portably as
+    grouping(a)*2 + grouping(b) on both engines. One Expand + aggregate,
+    same plan class as ``agg_rollup_cube_sets``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            F.when(F.col("gid") == 0, "detail")
+            .when(F.col("gid") == 1, "flag_subtotal")
+            .otherwise("grand_total")
+            .alias("level_name"),
+            "n",
+            "revenue",
+        )
+    )

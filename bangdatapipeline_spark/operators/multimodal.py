@@ -29,7 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
@@ -313,4 +313,54 @@ def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
         .filter(F.col("n_assets") > 1)
+    )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "multimodal_shard_plan",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id AS asset_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         row_number() OVER (ORDER BY strlen(text) DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT CAST((rn - 1) % {N_SHARDS} AS INT) AS shard,
+       CAST(count(*) AS BIGINT)           AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT)       AS total_bytes,
+       CAST(min(asset_id) AS BIGINT)      AS first_asset
+FROM sized
+GROUP BY (rn - 1) % {N_SHARDS}
+""",
+)
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced export sharding: assets sort by payload size descending
+    and deal round-robin into {N_SHARDS} shards (LPT-style greedy —
+    within max/min ratio ~(1 + max_item/shard_sum) of perfectly
+    balanced), emitting per-shard byte totals — the plan every
+    bulk-export/training-shard writer runs before ``partitionBy``.
+
+    The global size sort is |assets| rows of (id, bytes) metadata —
+    payloads never move; at 100 TB use range-partitioned rank (the
+    two-pass rank in SCALE.md) for the same deal order. Deterministic
+    tie-break (bytes desc, id asc) makes the shard assignment
+    hash-checkable.
+    """
+    assets = build_assets(spark, sf_dir)
+    sized = assets.select(
+        "asset_id", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+    w = Window.orderBy(F.col("n_bytes").desc(), F.col("asset_id").asc())
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn("shard", ((F.col("rn") - 1) % N_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("asset_id").alias("first_asset"),
+        )
     )

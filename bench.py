@@ -143,6 +143,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_surprisal_bigram", "text_surprisal_bigram"),
     ("doc_dedup_recall_eval", "eval_dedup_recall"),
     ("events_range_windows", "join_range_bucketed"),
+    ("lineitem_grouping_levels", "agg_grouping_id"),
+    ("assets_shard_plan", "multimodal_shard_plan"),
 ]
 
 RUNS = 3
