@@ -1389,3 +1389,90 @@ def text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cd").cast("bigint").alias("n_bigrams"),
         F.round(F.sum(surpr) / F.sum("cd"), 4).alias("xent2_nats"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_toks,
+         md5(text) AS h
+  FROM documents
+),
+dups AS (
+  SELECT sum(c - 1) AS n_dup_docs
+  FROM (SELECT count(*) AS c FROM base GROUP BY h)
+)
+SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT 'n_tokens', CAST(sum(n_toks) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'avg_doc_tokens', round(avg(n_toks), 4) FROM base
+UNION ALL
+SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'share_en',
+       floor(count(CASE WHEN lang = 'en' THEN 1 END) * 1.0
+             / count(*) * 10000 + 0.5) / 10000 FROM base
+UNION ALL
+SELECT 'exact_dup_rate',
+       floor((SELECT n_dup_docs FROM dups) * 1.0
+             / (SELECT count(*) FROM base) * 10000 + 0.5) / 10000
+""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: the one-query corpus datasheet (doc/token
+    counts, language and source coverage, English share, exact-duplicate
+    rate) a training-data release ships with — every metric from ONE
+    pass over (doc_id, lang, source, token-count, md5) projections.
+
+    The heavy columns reduce in the scan-stage projection (token count,
+    32-byte digest); each card row is a scalar aggregate over that
+    slim base, and the dup-rate reuses the digest-group trick from
+    ``dedup_exact_canonical``. Small-denominator shares take the IEEE
+    floor-round. At 100 TB this is one scan + KB-sized aggregates —
+    cheap enough to run on every corpus build.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5(F.encode("text", "utf-8")).alias("h"),
+    )
+    dup_docs = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") - 1).alias("n_dup_docs"))
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+
+    def row(name, df, expr):
+        return df.agg(expr.alias("value")).select(
+            F.lit(name).alias("metric"), F.col("value").cast("double")
+        )
+
+    share_en = (
+        F.count(F.when(F.col("lang") == "en", 1)) * 1.0 / F.count(F.lit(1))
+    )
+    return (
+        row("n_docs", base, F.count(F.lit(1)))
+        .unionAll(row("n_tokens", base, F.sum("n_toks")))
+        .unionAll(row("avg_doc_tokens", base, F.round(F.avg("n_toks"), 4)))
+        .unionAll(row("n_langs", base, F.countDistinct("lang")))
+        .unionAll(row("n_sources", base, F.countDistinct("source")))
+        .unionAll(row("share_en", base, F.floor(share_en * 10000 + 0.5) / 10000))
+        .unionAll(
+            dup_docs.crossJoin(F.broadcast(n)).select(
+                F.lit("exact_dup_rate").alias("metric"),
+                (
+                    F.floor(F.col("n_dup_docs") * 1.0 / F.col("n") * 10000 + 0.5)
+                    / 10000
+                ).cast("double").alias("value"),
+            )
+        )
+    )

@@ -145,6 +145,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_range_windows", "join_range_bucketed"),
     ("lineitem_grouping_levels", "agg_grouping_id"),
     ("assets_shard_plan", "multimodal_shard_plan"),
+    ("doc_dataset_card", "pipeline_dataset_card"),
 ]
 
 RUNS = 3
