@@ -288,3 +288,75 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout clustering — multi-dimensional data skipping
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8  # per-dimension resolution (16-bit z codes, 256 buckets)
+
+
+def _z_oracle() -> str:
+    x = "(o_custkey % 256)"
+    y = "(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256)"
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH coded AS (
+  SELECT {x} AS x, {y} AS y, ({z}) AS z FROM orders
+)
+SELECT CAST(z >> 8 AS INT)            AS bucket,
+       CAST(count(*) AS BIGINT)       AS n_rows,
+       CAST(min(x) AS INT)            AS min_x,
+       CAST(max(x) AS INT)            AS max_x,
+       CAST(min(y) AS INT)            AS min_y,
+       CAST(max(y) AS INT)            AS max_y,
+       CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS INT) AS bbox_area
+FROM coded
+GROUP BY 1
+"""
+
+
+@register("layout_zorder", oracle=_z_oracle())
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering: interleave the bits of two
+    bucketized sort dimensions (customer, order day) into one z code and
+    report, per 256-code z range (= one target file at scale), the row
+    count and the per-dimension min/max bounding box.
+
+    This is the OPTIMIZE ZORDER primitive of lakehouse table formats:
+    writing files in z order keeps BOTH dimensions' min/max footer stats
+    tight per file (small bbox_area here = proof), so a predicate on
+    EITHER column prunes most files — single-column sorting only prunes
+    its own column. The z code is pure per-row bit arithmetic (narrow,
+    codegen'd, no shuffle); the one shuffle is the per-bucket stats
+    aggregate, and in a real write it is the range-partitioned sort the
+    writer needs anyway.
+
+    100 TB: compute z at ingest, ``repartitionByRange(z)`` +
+    ``sortWithinPartitions(z)``, write; readers get multi-dim skipping
+    from plain parquet min/max stats with no format extension.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")) % 256).cast("long")
+    z = None
+    for i in range(_Z_BITS):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = xb + yb if z is None else z + xb + yb
+    coded = o.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    return coded.groupBy(F.shiftright(F.col("z"), 8).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("int").alias("min_x"),
+        F.max("x").cast("int").alias("max_x"),
+        F.min("y").cast("int").alias("min_y"),
+        F.max("y").cast("int").alias("max_y"),
+        ((F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1))
+        .cast("int")
+        .alias("bbox_area"),
+    )

@@ -1031,3 +1031,83 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _NBR_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation (community detection), 2 synchronous rounds
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lab FROM a{i}
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) = 1
+)"""
+        )
+        prev = f"l{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+{body}
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS rep
+FROM {prev}
+GROUP BY 1
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 fixed rounds) over the doubled
+    customer<->supplier trade graph: every node starts as its own label;
+    each round it adopts the label held by the most neighbors (ties ->
+    smallest label, so every round is deterministic and the oracle's
+    unrolled CTEs reproduce it exactly). Output: per surviving community,
+    its size and smallest member.
+
+    Shares the session-cached edge list with pagerank/k-core
+    (``_trade_contrib``) — the expensive distinct-edge build is paid
+    once. Each round is one join + one bounded aggregate: the join
+    shuffles on node id, the (node, lab) count aggregate partial-combines
+    map-side, and the argmax window rides the same node partitioning.
+
+    100 TB: rounds are Pregel-style join+agg supersteps — the edge list
+    stays hash-partitioned on src across rounds (one co-located shuffle
+    per round, like ``graph_pagerank``); label skew (giant communities)
+    is bounded because messages aggregate to (node, lab) pairs, never
+    fan out.
+    """
+    contrib, init, _n = _trade_contrib(spark, sf_dir)
+    edges = contrib.select("src", "dst")
+    labels = init.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return labels.groupBy(F.col("lab").cast("bigint").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("rep"),
+    )

@@ -190,3 +190,79 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(longs).alias("long_token"),
         F.size(longs).cast("int").alias("n_long"),
     )
+
+
+@register(
+    "nested_roundtrip",
+    # The oracle builds the SAME ordered document: list(... ORDER BY full
+    # tuple) — the testdata contains duplicate l_linenumber values within
+    # an order, so the sort key must be the whole item tuple or the first
+    # element is a nondeterministic tie. Revenue folds over that ordered
+    # list left-to-right on both sides (bit-identical doubles, §4.4.2) and
+    # rounds at 4 dp — the px*(1-disc) value lattice (dialect_notes
+    # "Round-half hazard, aggregate-sum form"); sum_qty is a plain sum
+    # because quantities are integral (exact).
+    oracle="""
+WITH docs AS (
+  SELECT l_orderkey AS order_key,
+         list(struct_pack(ln := l_linenumber, qty := l_quantity,
+                          px := l_extendedprice, disc := l_discount)
+              ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount
+         ) AS items
+  FROM lineitem GROUP BY 1
+)
+SELECT order_key,
+       CAST(len(items) AS INT)                              AS n_items,
+       round(list_reduce(list_transform(items, s -> s.qty),
+                         (x, y) -> x + y), 2)               AS sum_qty,
+       round(list_reduce(list_transform(items, s -> s.px * (1 - s.disc)),
+                         (x, y) -> x + y), 4)               AS revenue,
+       round(items[1].qty, 2)                               AS first_line_qty
+FROM docs
+""",
+)
+def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nest-then-flatten roundtrip (the reference's batch-document shape,
+    §1.1): lineitem rows fold into ONE array-of-structs document per
+    order (``collect_list(struct)``, made deterministic by ``array_sort``
+    on the leading ``l_linenumber`` field), then ``inline`` explodes the
+    document back to child rows and re-aggregates. The output equals a
+    direct aggregation of the flat table — proving the nested document
+    form is lossless and ordered, which is exactly what a batch-JSON
+    cache write/read cycle (bang.py) relies on.
+
+    Scale: one shuffle to build the documents (groupBy order key); the
+    explode is narrow. Document size is bounded by lines-per-order (<=7
+    in TPC-H shape), so no skew risk in collect_list.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+            )
+        ).alias("items")
+    )
+    # revenue/sum_qty fold over the ORDERED document in-row (deterministic
+    # summation order, matching the oracle bit-for-bit); the explode path
+    # below re-derives n_items from actual child rows, proving the unnest
+    # is lossless.
+    rev = F.aggregate(
+        F.col("items"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["l_extendedprice"] * (1 - s["l_discount"]),
+    )
+    qty = F.aggregate(F.col("items"), F.lit(0.0), lambda acc, s: acc + s["l_quantity"])
+    flat = docs.select(
+        "order_key",
+        F.round(qty, 2).alias("sum_qty"),
+        F.round(rev, 4).alias("revenue"),
+        F.round(F.element_at("items", 1)["l_quantity"], 2).alias("first_line_qty"),
+        F.inline("items"),
+    )
+    return flat.groupBy("order_key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_items"),
+        F.first("sum_qty").alias("sum_qty"),
+        F.first("revenue").alias("revenue"),
+        F.first("first_line_qty").alias("first_line_qty"),
+    ).select("order_key", "n_items", "sum_qty", "revenue", "first_line_qty")

@@ -1491,3 +1491,109 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     out2 = emit(p2, 2)
     out3 = emit(p3, 3)
     return out1.unionAll(out2).unionAll(out3)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) retrieval quality
+# --------------------------------------------------------------------------
+
+_MRL_DIM = 16  # prefix dims used by the cheap ranking
+
+
+def _duck_dot_n(a: str, b: str, n: int) -> str:
+    """Deterministic left-to-right fold dot over the first n dims."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "knn_matryoshka_topk",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+), pairs AS (
+    SELECT q.q_id, e.vec_id AS n_id,
+           {_duck_dot('q.q_emb', 'e.embedding')} AS simf,
+           {_duck_dot_n('q.q_emb', 'e.embedding', _MRL_DIM)}
+             / (sqrt({_duck_dot_n('q.q_emb', 'q.q_emb', _MRL_DIM)})
+                * sqrt({_duck_dot_n('e.embedding', 'e.embedding', _MRL_DIM)})) AS simp
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+), r AS (
+    SELECT q_id, n_id, simp, simf,
+           row_number() OVER (PARTITION BY q_id ORDER BY simp DESC, n_id ASC) AS rnp,
+           row_number() OVER (PARTITION BY q_id ORDER BY simf DESC, n_id ASC) AS rnf
+    FROM pairs
+)
+SELECT q_id, n_id, round(simp, 6) AS sim_prefix,
+       CAST(rnp AS INT) AS rn, rnf <= {TOP_K} AS in_full_topk
+FROM r WHERE rnp <= {TOP_K}
+""",
+)
+def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval: rank by cosine over the FIRST 16 dims only
+    (prefix renormalized — truncation breaks unit norm), and flag whether
+    each cheap-ranking hit is also in the full-dimension exact top-k.
+    This is the truncated-embedding cost/quality trade every MRL-trained
+    embedding deploy makes: 4x less dot-product work and 4x narrower
+    shuffles, graded in-query against the exact ranking.
+
+    Both similarities come out of ONE pair pass (single broadcast
+    nested-loop join, no second crossJoin); prefix norms are projected
+    per ROW before the join, not per pair. All folds are the shared
+    deterministic left-to-right double fold, and ranking happens on the
+    full-precision doubles (bit-identical to the oracle) with n_id
+    tie-breaks, so even the division is hash-exact.
+
+    Scale posture (100 TB): at billion-vector scale the prefix ranking is
+    the candidate generator (16-dim GEMM tiles = 1/4 the FLOPs and I/O of
+    full-dim) feeding a full-dim re-rank of candidates only — compose
+    ``gemm_pairs_tiled`` on sliced arrays with ``knn_gemm_topk`` on the
+    survivors. The in-query grading column is how that trade is tuned.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pref = F.slice(F.col("embedding"), 1, _MRL_DIM)
+    side = e.select(
+        "vec_id",
+        "embedding",
+        pref.alias("p"),
+        F.sqrt(dot_double(pref, pref)).alias("pn"),
+    )
+    q = (
+        side.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("p").alias("q_p"),
+            F.col("pn").alias("q_pn"),
+        )
+    )
+    pairs = (
+        side.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            dot_double(F.col("q_emb"), F.col("embedding")).alias("simf"),
+            (dot_double(F.col("q_p"), F.col("p")) / (F.col("q_pn") * F.col("pn"))).alias(
+                "simp"
+            ),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("simp").desc(), F.col("n_id").asc())
+    wf = Window.partitionBy("q_id").orderBy(F.col("simf").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rnp", F.row_number().over(wp).cast("int"))
+        .withColumn("rnf", F.row_number().over(wf))
+        .filter(F.col("rnp") <= TOP_K)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("simp", 6).alias("sim_prefix"),
+            F.col("rnp").alias("rn"),
+            (F.col("rnf") <= TOP_K).alias("in_full_topk"),
+        )
+    )

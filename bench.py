@@ -146,6 +146,10 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("lineitem_grouping_levels", "agg_grouping_id"),
     ("assets_shard_plan", "multimodal_shard_plan"),
     ("doc_dataset_card", "pipeline_dataset_card"),
+    ("orders_nested_roundtrip", "nested_roundtrip"),
+    ("emb_knn_matryoshka", "knn_matryoshka_topk"),
+    ("orders_zorder_layout", "layout_zorder"),
+    ("graph_lpa_communities", "graph_label_propagation"),
 ]
 
 RUNS = 3
