@@ -297,6 +297,19 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 8  # per-dimension resolution (16-bit z codes, 256 buckets)
 
 
+def morton2(x, y, bits: int = _Z_BITS):
+    """Interleave the low ``bits`` bits of two long Columns into one
+    Morton (Z-order) code Column — pure per-row bit arithmetic, codegen'd.
+    Shared by the ``layout_zorder`` analysis query and the
+    ``Frame.to_parquet_zorder`` sink verb."""
+    z = None
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = xb + yb if z is None else z + xb + yb
+    return z
+
+
 def _z_oracle() -> str:
     x = "(o_custkey % 256)"
     y = "(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256)"
@@ -344,12 +357,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     x = (F.col("o_custkey") % 256).cast("long")
     y = (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")) % 256).cast("long")
-    z = None
-    for i in range(_Z_BITS):
-        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        z = xb + yb if z is None else z + xb + yb
-    coded = o.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    coded = o.select(x.alias("x"), y.alias("y"), morton2(x, y).alias("z"))
     return coded.groupBy(F.shiftright(F.col("z"), 8).cast("int").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("x").cast("int").alias("min_x"),

@@ -1026,11 +1026,15 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_common") > 0)
     )
+    # Distributed top-k (TakeOrderedAndProject) instead of a global
+    # row_number window: the window form exchanges EVERY scored edge to one
+    # task for a full sort; orderBy+limit reduces per-partition top-k's at
+    # the driver. The rank column is then a window over just k rows.
+    top = scored.orderBy(
+        F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(_NBR_TOP)
     w = Window.orderBy(F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _NBR_TOP)
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 # --------------------------------------------------------------------------
@@ -1110,4 +1114,87 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").cast("bigint").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("rep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BFS levels (multi-source shortest hops), 3 unrolled rounds
+# --------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+_BFS_SEED_BELOW = 20  # seed set: customer nodes with custkey*2 < 20
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM edges e JOIN {prev} d ON d.node = e.src
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+d0 AS (
+  SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src < {_BFS_SEED_BELOW}
+),
+{body}
+SELECT CAST(dist AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS first_node
+FROM {prev}
+GROUP BY 1
+"""
+
+
+@register("graph_bfs_levels", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the trade graph: distance-from-seed-set in
+    hops, {_BFS_ROUNDS} synchronous frontier expansions (Pregel
+    min-distance propagation, the reachability/impact-radius primitive).
+    Each round unions the current distances with neighbor distances + 1
+    and keeps the min per node — monotone, so rounds are idempotent once
+    the frontier stops growing, and the unrolled-CTE oracle reproduces
+    them exactly. Output: per BFS level, node count + smallest node.
+
+    Shares the session-cached doubled edge list (``_trade_contrib``).
+    Plan per round: one join (frontier x edges, shuffled on node) + one
+    min-aggregate — message volume is bounded by |reached| x avg-degree,
+    and the aggregate collapses it back to |reached| rows before the
+    next round.
+
+    100 TB: identical supersteps with the edge list bucketed on src so
+    every round's join is co-located; frontier DataFrames checkpoint
+    every few rounds to truncate lineage (fixed 3 rounds here needs
+    none).
+    """
+    contrib, _init, _n = _trade_contrib(spark, sf_dir)
+    edges = contrib.select("src", "dst")
+    dist = (
+        edges.filter(F.col("src") < _BFS_SEED_BELOW)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(_BFS_ROUNDS):
+        nbr = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = dist.unionByName(nbr).groupBy("node").agg(F.min("dist").alias("dist"))
+    return dist.groupBy(F.col("dist").cast("int").alias("level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("first_node"),
     )

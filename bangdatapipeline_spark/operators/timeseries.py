@@ -586,3 +586,128 @@ def ts_wau_bitmap_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("day").agg(
         F.sum(F.bit_count("w")).alias("wau_exact")
     ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau_exact")
+
+
+# --------------------------------------------------------------------------
+# Sliding histogram quantiles: trailing-7d p50/p95 from merged daily bins
+# --------------------------------------------------------------------------
+
+_HQ_BIN_W = 10  # histogram bin width on events.value
+_HQ_BINS = 50  # bins 0..49 cover the 0..490 value domain (clamped)
+
+
+@register(
+    "ts_hist_quantile_sliding",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(least(floor(value / {_HQ_BIN_W}), {_HQ_BINS - 1}) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT d.day, b.bin
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HQ_BINS - 1})) AS bin) b
+),
+dense AS (
+  SELECT s.day, s.bin,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', s.day) AS INT) AS day_num,
+         coalesce(d.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN daily d ON d.day = s.day AND d.bin = s.bin
+),
+w7 AS (
+  SELECT day, bin,
+         sum(cnt) OVER (PARTITION BY bin ORDER BY day_num
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7
+  FROM dense
+),
+cum AS (
+  SELECT day, bin, c7,
+         sum(c7) OVER (PARTITION BY day ORDER BY bin) AS cum7,
+         sum(c7) OVER (PARTITION BY day) AS total7
+  FROM w7
+)
+SELECT day,
+       CAST(max(total7) AS BIGINT)                                   AS n_7d,
+       CAST(min(CASE WHEN 2 * cum7 >= total7 THEN bin END)
+            * {_HQ_BIN_W} AS INT)                                    AS p50_lo,
+       CAST(min(CASE WHEN 20 * cum7 >= 19 * total7 THEN bin END)
+            * {_HQ_BIN_W} AS INT)                                    AS p95_lo
+FROM cum
+GROUP BY day
+""",
+)
+def ts_hist_quantile_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day p50/p95 of event value per day, computed by MERGING
+    DAILY HISTOGRAMS instead of re-scanning seven days of raw rows — the
+    mergeable-sketch pattern for sliding quantiles (the quantile sibling
+    of ``ts_wau_hll_sliding``'s sliding distinct). The scan collapses
+    once to (day, bin) counts (30 x 50 rows here, bounded at any scale);
+    the trailing window, cumulative bins, and the quantile pick all run
+    on that fixed grid. Quantiles land on bin lower bounds — ±bin-width
+    resolution, the explicit sketch trade — and every comparison is
+    integer (2*cum >= total, 20*cum >= 19*total), so the whole
+    approximate pipeline is hash-exact against the oracle.
+
+    The RANGE frame over day_num (not ROWS) keeps the trailing window
+    correct even when a (bin, day) run has gaps; the bin spine is
+    generated dense per day so cumulative sums see every bin's trailing
+    weight.
+
+    100 TB: daily (day, bin) histograms are the stored rollup (a few KB
+    per day regardless of event volume); any trailing window [k days] or
+    any quantile is then a grid-only query — never a raw re-scan. Finer
+    resolution = t-digest/KLL sketches per day with the same merge shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.least(F.floor(F.col("value") / _HQ_BIN_W), F.lit(_HQ_BINS - 1))
+        .cast("int")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = daily.select("day").distinct()
+    bins = spark.range(_HQ_BINS).select(F.col("id").cast("int").alias("bin"))
+    spine = days.crossJoin(F.broadcast(bins))
+    dense = (
+        spine.join(daily, ["day", "bin"], "left")
+        .select(
+            "day",
+            "bin",
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("timestamp"))
+            .cast("int")
+            .alias("day_num"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    w_trail = (
+        Window.partitionBy("bin").orderBy("day_num").rangeBetween(-6, 0)
+    )
+    w7 = dense.select(
+        "day", "bin", F.sum("cnt").over(w_trail).alias("c7")
+    )
+    w_cum = Window.partitionBy("day").orderBy("bin")
+    w_day = Window.partitionBy("day")
+    cum = w7.select(
+        "day",
+        "bin",
+        "c7",
+        F.sum("c7").over(w_cum).alias("cum7"),
+        F.sum("c7").over(w_day).alias("total7"),
+    )
+    return cum.groupBy("day").agg(
+        F.max("total7").cast("bigint").alias("n_7d"),
+        (
+            F.min(F.when(2 * F.col("cum7") >= F.col("total7"), F.col("bin")))
+            * _HQ_BIN_W
+        )
+        .cast("int")
+        .alias("p50_lo"),
+        (
+            F.min(F.when(20 * F.col("cum7") >= 19 * F.col("total7"), F.col("bin")))
+            * _HQ_BIN_W
+        )
+        .cast("int")
+        .alias("p95_lo"),
+    )

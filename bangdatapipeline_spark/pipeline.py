@@ -291,3 +291,39 @@ class Frame:
 
     def to_csv(self, out_dir: str) -> None:
         sources.export_csv(self.df, out_dir)
+
+    def to_parquet_zorder(
+        self,
+        path: str,
+        x: Column,
+        y: Column,
+        bits: int = 8,
+        n_files: int = 16,
+        mode: str = "overwrite",
+    ) -> None:
+        """Z-order-clustered parquet write: interleave the low ``bits``
+        bits of two already-bucketized integer dimension expressions into
+        a Morton code, range-partition and sort the data by it, and write
+        — so every output file's parquet footer carries TIGHT min/max
+        stats on BOTH dimensions and a reader's predicate on EITHER one
+        prunes most files (the lakehouse OPTIMIZE ZORDER primitive; the
+        per-file bounding-box evidence is the ``layout_zorder`` query).
+
+        ``x`` / ``y`` must already be non-negative ints below 2**bits
+        (e.g. ``(col % 256)``, day-index mod 256) — the caller owns the
+        bucketization because only it knows each dimension's domain. The
+        z column is dropped before writing; it exists only to order the
+        data. ``repartitionByRange`` does one skew-aware range shuffle
+        (sampled bounds), exactly the sort a clustered write needs anyway.
+        """
+        from bangdatapipeline_spark.operators.curation import morton2
+
+        z = morton2(x.cast("long"), y.cast("long"), bits)
+        (
+            self.df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(mode)
+            .parquet(path)
+        )

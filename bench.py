@@ -150,6 +150,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_knn_matryoshka", "knn_matryoshka_topk"),
     ("orders_zorder_layout", "layout_zorder"),
     ("graph_lpa_communities", "graph_label_propagation"),
+    ("events_audience_overlap", "audience_overlap_bitmap"),
+    ("graph_bfs_reach", "graph_bfs_levels"),
+    ("events_p95_hist_sliding", "ts_hist_quantile_sliding"),
 ]
 
 RUNS = 3

@@ -228,3 +228,39 @@ def test_value_counts_melt_describe_verbs(spark, sf_dir):
 
     with pytest.raises(ValueError, match="non-numeric"):
         o.describe(["o_orderstatus"])
+
+
+def test_zorder_write_tightens_per_file_stats(spark, sf_dir, tmp_path):
+    """Files written by to_parquet_zorder must carry tight per-file
+    bounding boxes on BOTH clustered dimensions (that is the entire point
+    of the layout: either-column predicates prune most files)."""
+    out = str(tmp_path / "zorders")
+    p = Pipeline(spark, sf_dir)
+    f = p.table("orders")
+    x = F.col("o_custkey") % 256
+    y = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")) % 256
+    f.to_parquet_zorder(out, x, y, n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == f.df.count()
+    per_file = (
+        back.select(
+            F.input_file_name().alias("file"),
+            (F.col("o_custkey") % 256).alias("x"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+                % 256
+            ).alias("y"),
+        )
+        .groupBy("file")
+        .agg(
+            (
+                (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+            ).alias("bbox")
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4  # range partitioner actually split the data
+    mean_bbox = sum(r.bbox for r in per_file) / len(per_file)
+    # whole domain is 256*256 = 65536; z-clustered files must be much tighter
+    assert mean_bbox < 65536 / 4, [r.bbox for r in per_file]
