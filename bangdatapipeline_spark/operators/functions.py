@@ -366,3 +366,42 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("user_id").alias("bxor"),
         F.bit_or(packed).alias("packed_or"),
     )
+
+
+@register(
+    "json_variant",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                                   AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT)  AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)  AS max_k,
+       CAST(count(*) FILTER (WHERE json_valid(props)) AS BIGINT)  AS n_valid
+FROM events
+GROUP BY event_type
+""",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` turns the raw ``props`` string into a binary-encoded,
+    typed variant ONCE at scan, and every downstream field access is
+    ``variant_get`` with a target type — no per-access string re-parse,
+    which is the VARIANT value proposition over ``get_json_object`` at
+    100 TB (parse cost paid once per row, shredded columnar storage when
+    the sink supports it). ``try_parse_json`` supplies the validity
+    check without an exception path. The oracle states the same
+    semantics with DuckDB's string-side ``json_extract``/``json_valid``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        F.try_parse_json("props").isNotNull().alias("valid"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        F.count(F.when(F.col("valid"), 1)).alias("n_valid"),
+    )

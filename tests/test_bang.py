@@ -167,3 +167,27 @@ def test_whole_workflow_is_narrow_until_the_pivot(raw):
     for df in (bang.team_members(raw), bang.surveys(raw, "mid"), bang.chats(raw)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bangcache_python_datasource(spark, tmp_path):
+    """The custom Python DataSource reads the cache dir with one
+    partition per file and emits correct batch summaries."""
+    from bangdatapipeline_spark.sources import bangcache
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    doc = _batch_doc()
+    (cache / "b1.json").write_text(json.dumps(doc))
+    doc2 = dict(doc, batch_id="b2", rounds=doc["rounds"][:1])
+    (cache / "b2.json").write_text(json.dumps(doc2))
+
+    bangcache.register(spark)
+    df = spark.read.format("bangcache").option("path", str(cache)).load()
+    rows = {r.batch_id: r for r in df.collect()}
+    assert set(rows) == {"b1", "b2"}
+    b1 = rows["b1"]
+    assert (b1.n_users, b1.n_rounds, b1.n_teams, b1.n_messages) == (4, 2, 3, 4)
+    b2 = rows["b2"]
+    assert (b2.n_rounds, b2.n_teams, b2.n_messages) == (1, 2, 4)
+    # one input partition per cache file -> parallel ingest
+    assert df.rdd.getNumPartitions() == 2
