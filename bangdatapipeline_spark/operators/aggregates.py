@@ -1535,3 +1535,110 @@ def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+@register(
+    "audience_overlap_hll",
+    oracle=f"""
+WITH words AS (
+  SELECT event_type,
+         user_id // {_BITMAP_WORD} AS bucket,
+         bit_or(CAST(1 AS UBIGINT) << CAST(user_id % {_BITMAP_WORD} AS INT)) AS w
+  FROM events
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT event_type, CAST(sum(bit_count(w)) AS BIGINT) AS n FROM words GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(bit_count(a.w & b.w)) AS BIGINT) AS n_inter
+  FROM words a JOIN words b
+    ON a.bucket = b.bucket AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_inter,
+       ca.n + cb.n - i.n_inter AS n_union,
+       TRUE AS union_est_ok,
+       TRUE AS inter_est_ok
+FROM inter i
+JOIN counts ca ON ca.event_type = i.type_a
+JOIN counts cb ON cb.event_type = i.type_b
+""",
+)
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience overlap: per event-type pair, the UNION
+    cardinality from merged DataSketches HLL sketches and the
+    INTERSECTION by inclusion-exclusion (|A|+|B|-|A∪B|) — the pattern
+    for overlap when ids are NOT dense enough for bitmap words (UUIDs,
+    hashed ids): sketches are a few KB per segment regardless of id
+    space, merge associatively, and pre-aggregate map-side.
+
+    Hash-checked the same way as ``agg_approx_distinct``: the emitted
+    numbers are the EXACT intersection/union (bitmap-word arithmetic,
+    same kernel as ``audience_overlap_bitmap``), plus booleans asserting
+    the HLL estimates land within 10% (union) / 15% (I-E intersection,
+    which compounds three sketch errors) of exact — the oracle states
+    the exact values and TRUE. Estimator error is deterministic for a
+    given input set (sketch content is order-independent), so the
+    booleans are stable across partitionings.
+
+    100 TB: per-segment sketches are the stored rollup (mergeable across
+    days/shards like ``ts_hll_daily_merge``); any pairwise overlap matrix
+    is then a |segments|^2/2 sketch-merge pass over KB-sized state with
+    no raw re-scan. I-E error compounding is the documented trade vs the
+    exact bitmap path; theta sketches (set-operation sketches) are the
+    production refinement when intersections are small.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    words = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") / _BITMAP_WORD).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(user_id % {_BITMAP_WORD} as int))")
+            ).alias("w")
+        )
+    )
+    inter = (
+        words.alias("a")
+        .join(words.alias("b"), "bucket")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.w").bitwiseAND(F.col("b.w")))).alias("n_inter")
+        )
+    )
+    sa = seg.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("na"),
+    )
+    sb = seg.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    out = inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    n_union = F.col("na") + F.col("nb") - F.col("n_inter")
+    est_inter = F.col("na") + F.col("nb") - est_union
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_inter",
+        n_union.alias("n_union"),
+        (F.abs(est_union - n_union) <= 0.10 * n_union).alias("union_est_ok"),
+        (F.abs(est_inter - F.col("n_inter")) <= 0.15 * F.col("n_inter")).alias(
+            "inter_est_ok"
+        ),
+    )

@@ -51,6 +51,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # Arrow-batched toPandas/createDataFrame: columnar transfer instead of
     # row-at-a-time Py4J serialization (10-100x on wide result sets).
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Python UDTFs evaluate Arrow-batched too (ArrowEvalPythonUDTF instead
+    # of row-pickling BatchEvalPythonUDTF) — keeps the engine-wide "Python
+    # enters plans only through Arrow" rule (tests/test_plan_audit.py).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     return spark
 
 
@@ -63,7 +67,13 @@ def get_spark(app_name: str = "bangdatapipeline_spark", cpus: str | None = None)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode runs all executor threads inside the driver JVM, so
+        # this IS the executor heap: 32 task slots sharing 16g showed GC
+        # inflation (same query 5s -> 10s late in a 100-query bench run);
+        # 48g on the 128 GB box keeps full-bench timings stable. On a real
+        # cluster this figure is per-executor and sized to partition
+        # budgets instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         # static config, settable only at session build: saveAsTable targets

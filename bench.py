@@ -153,6 +153,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_audience_overlap", "audience_overlap_bitmap"),
     ("graph_bfs_reach", "graph_bfs_levels"),
     ("events_p95_hist_sliding", "ts_hist_quantile_sliding"),
+    ("events_audience_hll", "audience_overlap_hll"),
+    ("events_json_variant", "json_variant"),
 ]
 
 RUNS = 3

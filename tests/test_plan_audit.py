@@ -1,0 +1,90 @@
+"""Registry-wide physical-plan audit.
+
+tests/test_plans.py asserts precise plan shapes for showcase queries; this
+module sweeps EVERY registered query's physical plan (no execution) and
+enforces the engine-wide anti-pattern bans from SURVEY.md §4 / VERDICT r1:
+
+  * no row-at-a-time Python UDFs anywhere (``BatchEvalPython``) — Python
+    must enter plans only Arrow-batched (``ArrowEvalPython`` /
+    ``MapInPandas`` / ``FlatMapGroupsInPandas`` / UDTF);
+  * cartesian products only where a bounded all-pairs form IS the operator
+    (exact ground-truth baselines, scalar-broadcast crossJoins) — each one
+    allowlisted by key with the reason in REGISTRY docstrings;
+  * every query must plan (analysis errors can't hide until the driver).
+
+Planning ~200 queries is pure Catalyst work (~0.1 s each, no jobs), so the
+sweep stays cheap while guaranteeing the bans hold for every FUTURE
+operator too — a new query that sneaks in a row UDF or an unbounded
+crossJoin fails here, not in round review.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bangdatapipeline_spark.registry import load_all
+
+# Keys whose plan legitimately contains a cartesian product: either the
+# all-pairs form IS the declared semantics (bounded exact baselines the
+# approximate paths are graded against), or the crossJoin attaches a
+# 1-row/handful-row scalar aggregate (broadcast, no data blowup).
+CARTESIAN_OK = {
+    "join_cross",  # the cartesian operator itself (small x small)
+    "knn_cosine_topk",  # exact brute-force baseline (broadcast query side)
+    "knn_threshold_pairs",  # exact all-pairs baseline
+    "knn_matryoshka_topk",  # same pair pass, prefix + full sims together
+    "knn_mmr_diversify",  # candidate re-rank over the exact pair set
+    "dedup_near_jaccard",  # bounded exact ground truth (EXACT_BOUND)
+    "eval_rank_metrics",  # grades ANN against the exact baseline
+    "eval_dedup_recall",  # grades detectors against exact ground truth
+    "emb_pca_power",  # 1-row eigvec estimate crossJoined into projections
+    "ml_kmeans_2iter",  # k-centroid array broadcast as a 1-row crossJoin
+    "graph_triangles",  # 1-row |V|/|E| scalars crossJoined into the output
+    "graph_basket_lift",  # 1-row n_orders scalar crossJoined
+    "events_cuped",  # 1-row theta/covariance scalars crossJoined
+    "ts_churn_flags",  # corpus as-of anchor (1-row max ts) crossJoined
+    "ts_hist_quantile_sliding",  # day spine x 50-bin broadcast grid
+    "pipeline_dataset_card",  # datasheet: few-row section scalars combined
+    "dq_drift_psi",  # fixed 10-bin spine crossJoined to shard stats
+    "text_surprisal_buckets",  # 1-row tercile cut points crossJoined
+    "text_bm25",  # 1-row corpus avgdl/N scalars crossJoined
+    "retrieval_rrf_hybrid",  # same BM25 scalars inside the lexical leg
+    "text_surprisal",  # 1-row vocab-size/total-token scalars
+    "text_surprisal_bigram",  # 1-row smoothing scalars
+    "dedup_near_simhash",  # 1-row hyperplane codebook broadcast
+    "text_langid",  # language-profile constant table broadcast
+    "text_tfidf",  # 1-row corpus-size scalar for the IDF term
+    "win_rfm_segments",  # 1-row quintile cut points crossJoined
+    "events_dau_wau",  # ~30-row day spine, trailing-7d range predicate
+    "ts_wau_bitmap_sliding",  # same day-spine range join (bitmap path)
+    "ts_wau_hll_sliding",  # same day-spine range join (HLL path)
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for key, q in load_all().items():
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        out[key] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_every_query_plans(plans):
+    assert len(plans) >= 208
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    bad = [k for k, p in plans.items() if "BatchEvalPython" in p]
+    assert bad == [], f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_cartesian_products_only_where_declared(plans):
+    found = {k for k, p in plans.items()
+             if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p}
+    undeclared = sorted(found - CARTESIAN_OK)
+    assert undeclared == [], f"undeclared cartesian/BNLJ in: {undeclared}"
+    stale = sorted(CARTESIAN_OK - found)
+    assert stale == [], (
+        f"allowlist entries no longer needed (tighten the list): {stale}"
+    )
