@@ -667,6 +667,14 @@ def ts_hist_quantile_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return hist_quantiles(daily)
+
+
+def hist_quantiles(daily: DataFrame) -> DataFrame:
+    """Quantile tail over a (day, bin, cnt) histogram grid — shared by the
+    batch query above and the streaming variant (which maintains the grid
+    as a streaming aggregate and applies this in foreachBatch)."""
+    spark = daily.sparkSession
     days = daily.select("day").distinct()
     bins = spark.range(_HQ_BINS).select(F.col("id").cast("int").alias("bin"))
     spine = days.crossJoin(F.broadcast(bins))

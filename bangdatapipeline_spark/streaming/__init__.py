@@ -373,3 +373,26 @@ def cdc_latest(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def daily_value_histogram(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_hist_quantile_sliding``'s grid stage: the
+    (day, bin) count grid maintained as a streaming aggregate. The grid is
+    the STATE (30 x 50 rows regardless of event volume), which is why the
+    sliding-quantile query streams cheaply: each micro-batch updates a few
+    grid cells; the quantile tail re-runs over the tiny grid in
+    foreachBatch (``operators.timeseries.hist_quantiles``), exactly like
+    the top-k leaderboard re-rank."""
+    from bangdatapipeline_spark.operators.timeseries import _HQ_BIN_W, _HQ_BINS
+
+    return (
+        _event_time(events)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.least(F.floor(F.col("value") / _HQ_BIN_W), F.lit(_HQ_BINS - 1))
+            .cast("int")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("day"), "bin", "cnt")
+    )

@@ -311,3 +311,30 @@ def test_cdc_latest_matches_batch_compaction(spark, chunks):
     got = {r.user_id: (r.event_id, r.latest_value) for r in final.collect()}
     want = {r.user_id: (r.event_id, r.latest_value) for r in batch.collect()}
     assert got == want
+
+
+def test_hist_quantile_stream_equals_batch(spark, chunks, tmp_path):
+    """Sliding histogram quantiles as a stream: the (day, bin) grid is the
+    maintained aggregate; foreachBatch applies the shared quantile tail
+    to the grid and overwrites the serving table. Final table == batch."""
+    from bangdatapipeline_spark.operators.timeseries import hist_quantiles
+    from bangdatapipeline_spark.streaming import daily_value_histogram
+
+    target = str(tmp_path / "hist_q")
+    grid = daily_value_histogram(replay.read_stream(spark, chunks))
+
+    def requantile(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        hist_quantiles(
+            batch_df.withColumn("day", F.col("day").cast("timestamp_ntz"))
+        ).write.mode("overwrite").parquet(target)
+
+    q = (grid.writeStream.outputMode("complete")
+         .foreachBatch(requantile).start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(target)
+    batch = REGISTRY["ts_hist_quantile_sliding"].fn(spark, SF)
+    cols = ["day", "n_7d", "p50_lo", "p95_lo"]
+    assert _rows(out, cols) == _rows(batch, cols)
