@@ -572,3 +572,93 @@ def test_cdc_merge_partition_and_status_consistency(spark, sf_dir):
     agg = {r.merge_action: r.n for r in out.groupBy("merge_action").agg(F.count("*").alias("n")).collect()}
     assert agg.get("updated", 0) + agg.get("unchanged", 0) == n_base
     assert out.count() == n_base + agg.get("inserted", 0)
+
+
+def test_morton_code_is_a_bijection(spark):
+    """morton2 must be a bijection of the 16-bit grid — any collision or
+    gap would silently merge/split z-order clusters."""
+    from bangdatapipeline_spark.operators.curation import morton2
+
+    grid = spark.range(65536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    z = grid.select(morton2(F.col("x"), F.col("y")).alias("z"))
+    stats = z.agg(
+        F.countDistinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert (stats.n, stats.lo, stats.hi) == (65536, 0, 65535)
+
+
+def test_label_propagation_partition_invariant(spark, sf_dir):
+    """LPA's min-tie-break must make the result independent of the
+    physical partitioning (the determinism claim behind its oracle)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    a = {(r.community, r.n_nodes, r.rep)
+         for r in REGISTRY["graph_label_propagation"].fn(spark, sf_dir).collect()}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = {(r.community, r.n_nodes, r.rep)
+             for r in REGISTRY["graph_label_propagation"].fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_bfs_seed_level_and_monotone_reach(spark, sf_dir):
+    """Level 0 is exactly the seed set; every level is nonempty up to the
+    max emitted level (a BFS frontier cannot skip a hop)."""
+    rows = {r.level: r for r in REGISTRY["graph_bfs_levels"].fn(spark, sf_dir).collect()}
+    from bangdatapipeline_spark.operators.graph_analytics import (
+        _BFS_SEED_BELOW,
+        _trade_contrib,
+    )
+
+    contrib, _i, _n = _trade_contrib(spark, sf_dir)
+    n_seeds = (
+        contrib.select("src").filter(F.col("src") < _BFS_SEED_BELOW).distinct().count()
+    )
+    assert rows[0].n_nodes == n_seeds
+    assert set(rows) == set(range(max(rows) + 1))
+
+
+def test_audience_overlap_set_algebra(spark, sf_dir):
+    """Bitmap overlap must satisfy basic set algebra, and the HLL variant
+    must agree with it exactly on the exact columns."""
+    bit = {(r.type_a, r.type_b): r
+           for r in REGISTRY["audience_overlap_bitmap"].fn(spark, sf_dir).collect()}
+    hll = {(r.type_a, r.type_b): r
+           for r in REGISTRY["audience_overlap_hll"].fn(spark, sf_dir).collect()}
+    assert set(bit) == set(hll)
+    for k, r in bit.items():
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert max(r.n_a, r.n_b) <= r.n_either <= r.n_a + r.n_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert hll[k].n_inter == r.n_both and hll[k].n_union == r.n_either
+
+
+def test_hist_quantiles_ordered_and_bounded(spark, sf_dir):
+    """p50 <= p95, both on the bin lattice, and the 7d total is at least
+    the largest single-day share of it."""
+    from bangdatapipeline_spark.operators.timeseries import _HQ_BIN_W
+
+    rows = REGISTRY["ts_hist_quantile_sliding"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_lo <= r.p95_lo
+        assert r.p50_lo % _HQ_BIN_W == 0 and r.p95_lo % _HQ_BIN_W == 0
+        assert r.n_7d > 0
+
+
+def test_matryoshka_grading_is_consistent(spark, sf_dir):
+    """Exactly top-k rows per query, prefix sims in [-1, 1], and the
+    in_full_topk flags agree with the exact full-dim ranking."""
+    from collections import Counter
+
+    pref = REGISTRY["knn_matryoshka_topk"].fn(spark, sf_dir).collect()
+    per_q = Counter(r.q_id for r in pref)
+    assert set(per_q.values()) == {5}
+    assert all(-1.000001 <= r.sim_prefix <= 1.000001 for r in pref)
+    full = {(r.q_id, r.n_id)
+            for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()}
+    for r in pref:
+        assert r.in_full_topk == ((r.q_id, r.n_id) in full)
