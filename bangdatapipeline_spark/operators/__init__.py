@@ -6,6 +6,7 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     dedup_near,
     functions,
     graph_analytics,
+    incremental,
     joins,
     llm_text,
     multimodal,

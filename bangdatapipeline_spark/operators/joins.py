@@ -685,3 +685,136 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# Bloom pre-filter parameters: M bits, K=3 hash positions drawn from
+# non-overlapping 8-hex-digit windows of md5(key) — deterministic and
+# engine-portable, so the oracle replicates the EXACT filter (including
+# its false positives), not just the final join.
+BLOOM_M = 512
+_BLOOM_ACCTBAL = 8000
+
+
+def _bloom_bits_sql(key_expr: str) -> list[str]:
+    return [
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), {1 + 8 * i}, 8)) "
+        f"AS BIGINT) % {BLOOM_M}"
+        for i in range(3)
+    ]
+
+
+def _bloom_bits_spark(key_col):
+    h = F.md5(F.encode(key_col.cast("string"), "utf-8"))
+    return [
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % BLOOM_M)
+        for i in range(3)
+    ]
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > {_BLOOM_ACCTBAL}
+),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([{', '.join(_bloom_bits_sql('c_custkey'))}]) AS bit FROM dim
+  )
+),
+f AS (
+  SELECT year(o_orderdate)                                AS order_year,
+         o_custkey,
+         {_bloom_bits_sql('o_custkey')[0]}                AS b0,
+         {_bloom_bits_sql('o_custkey')[1]}                AS b1,
+         {_bloom_bits_sql('o_custkey')[2]}                AS b2
+  FROM orders
+),
+flagged AS (
+  SELECT order_year,
+         b0 IN (SELECT bit FROM bits)
+           AND b1 IN (SELECT bit FROM bits)
+           AND b2 IN (SELECT bit FROM bits)              AS pass_bloom,
+         o_custkey IN (SELECT c_custkey FROM dim)        AS is_match
+  FROM f
+)
+SELECT order_year,
+       CAST(count(*) AS BIGINT)                               AS n_orders,
+       CAST(count(*) FILTER (WHERE pass_bloom) AS BIGINT)     AS n_pass_bloom,
+       CAST(count(*) FILTER (WHERE is_match) AS BIGINT)       AS n_true_match,
+       CAST(count(*) FILTER (WHERE pass_bloom AND NOT is_match) AS BIGINT)
+                                                              AS n_false_pos,
+       round(count(*) FILTER (WHERE pass_bloom AND NOT is_match) * 1.0
+             / count(*), 6)                                   AS fp_rate
+FROM flagged
+GROUP BY order_year
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter: build a 512-bit Bloom filter
+    over the dimension keys (high-balance BUILDING customers), broadcast
+    its set bits, and gate the fact scan on "all K=3 bits set" BEFORE
+    any join — the runtime-filter technique that turns a fact-side
+    shuffle into a scan-stage drop at 100 TB.
+
+    The bit set is built distributed (explode + distinct over the dim
+    side), collapsed to ONE array row, and crossJoin-broadcast onto the
+    fact side; the membership test is a JVM-side ``array_contains``
+    conjunction inside the scan stage — the fact table is never
+    shuffled (the only Exchange is the 7-row year rollup). The output
+    audits the filter itself: per order-year, rows passing the bloom
+    gate, true dimension matches (broadcast left join), and surviving
+    false positives with their rate — the oracle reproduces the same
+    md5-derived bit positions, so even the false positives hash-match
+    exactly. At real scale the same audit decides M (bits) per build:
+    fp_rate directly prices the wasted post-filter work.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > _BLOOM_ACCTBAL)
+        )
+        .select("c_custkey")
+    )
+    # c_custkey is a key (already unique) and collect_set dedups bits —
+    # no .distinct() anywhere, so the dim side never hash-shuffles
+    bits_rows = dim.select(
+        F.explode(F.array(*_bloom_bits_spark(F.col("c_custkey")))).alias("bit")
+    ).agg(F.sort_array(F.collect_set("bit")).alias("bloom_bits"))
+    b = _bloom_bits_spark(F.col("o_custkey"))
+    fact = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_custkey",
+        b[0].alias("b0"),
+        b[1].alias("b1"),
+        b[2].alias("b2"),
+    )
+    flagged = (
+        fact.crossJoin(F.broadcast(bits_rows))
+        .withColumn(
+            "pass_bloom",
+            F.array_contains("bloom_bits", F.col("b0"))
+            & F.array_contains("bloom_bits", F.col("b1"))
+            & F.array_contains("bloom_bits", F.col("b2")),
+        )
+        .join(
+            F.broadcast(dim.withColumn("is_dim", F.lit(True))),
+            fact.o_custkey == dim.c_custkey,
+            "left",
+        )
+        .withColumn("is_match", F.coalesce("is_dim", F.lit(False)))
+    )
+    return flagged.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if("pass_bloom").alias("n_pass_bloom"),
+        F.count_if("is_match").alias("n_true_match"),
+        F.count_if(F.col("pass_bloom") & ~F.col("is_match")).alias("n_false_pos"),
+        F.round(
+            F.count_if(F.col("pass_bloom") & ~F.col("is_match"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

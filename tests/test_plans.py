@@ -383,3 +383,23 @@ def test_range_join_bucketed_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "Join" in plan, plan[:3000]
+
+
+def test_bloom_prefilter_fact_never_shuffles(spark, sf_dir):
+    """The bloom gate must evaluate fact-side: the only hash-partition
+    Exchange is the final 7-row year rollup; the dim bits and the dim
+    join both broadcast."""
+    plan = _plan(REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_merge_final_shuffle_is_state_rows(spark, sf_dir):
+    """Both sides pre-aggregate before the union: the plan must show
+    partial aggregation under each scan (map-side state) and no join —
+    the merge is a pure union + re-aggregate."""
+    plan = _plan(REGISTRY["incremental_agg_merge"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Union" in plan, plan[:3000]
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]

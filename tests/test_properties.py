@@ -662,3 +662,42 @@ def test_matryoshka_grading_is_consistent(spark, sf_dir):
             for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()}
     for r in pref:
         assert r.in_full_topk == ((r.q_id, r.n_id) in full)
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """The defining IVM identity: base-state + delta-state merged must
+    equal the aggregate computed in one pass over all facts."""
+    from bangdatapipeline_spark.tables import load_table
+
+    merged = {
+        (r.state_month, r.o_orderpriority): (r.n_orders, r.revenue, r.first_order, r.last_order)
+        for r in REGISTRY["incremental_agg_merge"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        (r.state_month, r.o_orderpriority): (r.n_orders, r.revenue, r.first_order, r.last_order)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("state_month"), "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for k, (n, rev, lo, hi) in full.items():
+        mn, mrev, mlo, mhi = merged[k]
+        assert (mn, mlo, mhi) == (n, lo, hi), k
+        assert abs(mrev - rev) < 0.011, (k, mrev, rev)
+
+
+def test_bloom_prefilter_is_sound_and_audited(spark, sf_dir):
+    """A Bloom filter has NO false negatives: every true match passes
+    the gate; the audit columns must be internally consistent."""
+    for r in REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir).collect():
+        assert r.n_true_match <= r.n_pass_bloom <= r.n_orders
+        assert r.n_false_pos == r.n_pass_bloom - r.n_true_match
+        assert 0.0 <= r.fp_rate <= 1.0
