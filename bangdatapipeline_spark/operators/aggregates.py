@@ -1642,3 +1642,91 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter_est_ok"
         ),
     )
+
+
+@register(
+    "agg_ols_trend",
+    oracle="""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1  AS xi,
+         CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)          AS y_cents
+  FROM orders
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT)                     AS n,
+         CAST(sum(CAST(xi AS HUGEINT)) AS HUGEINT)     AS sx,
+         CAST(sum(CAST(y_cents AS HUGEINT)) AS HUGEINT) AS sy,
+         sum(CAST(xi AS HUGEINT) * xi)                 AS sxx,
+         sum(CAST(xi AS HUGEINT) * y_cents)            AS sxy,
+         sum(CAST(y_cents AS HUGEINT) * y_cents)       AS syy
+  FROM monthly GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_months,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6)   AS slope_cents,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 4)                   AS intercept_cents,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM s
+""",
+)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS: monthly revenue trend per order
+    priority, slope/intercept/r² from the five classic power sums — the
+    moment-sketch pattern that fits a regression in ONE distributed
+    aggregation pass (no iteration, no driver math).
+
+    Float-determinism design: the regressed y is monthly revenue in
+    CENTS — ``round(sum * 100, 0)`` lands on an exact integer on both
+    engines — and every power sum (Σx, Σy, Σx², Σxy, Σy²) accumulates
+    in wide exact integers (decimal(38,0) in Spark, HUGEINT in DuckDB;
+    Σy² of cent values overflows a 64-bit long, which is why the widen
+    happens BEFORE the multiply). The only floating-point ops are final
+    divisions of bit-identical exact integers, so slope/intercept/r²
+    hash-match without any lattice tricks. At 100 TB the same two-level
+    plan holds: the first aggregation reduces facts to (group, month)
+    partials map-side; the second moves only ~84 state rows per group.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        ).alias("xi"),
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("y_cents")
+    )
+    xi_w = F.col("xi").cast(dec)
+    y_w = F.col("y_cents").cast(dec)
+    s = monthly.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xi_w).cast(dec).alias("sx"),
+        F.sum(y_w).cast(dec).alias("sy"),
+        F.sum(xi_w * F.col("xi")).cast(dec).alias("sxx"),
+        F.sum(xi_w * F.col("y_cents")).cast(dec).alias("sxy"),
+        F.sum(y_w * F.col("y_cents")).cast(dec).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            4,
+        ).alias("intercept_cents"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )

@@ -382,7 +382,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and takes O(component diameter) rounds — near-dup components are
     near-cliques, so 2-3 rounds in practice. At 100 TB the same loop runs
     with the large-star/small-star optimization (alternate join
-    directions) to bound round count on pathological chains;
+    directions) to bound round count on pathological chains — implemented
+    for real in ``graph_analytics.graph_cc_alternating``;
     ``localCheckpoint`` caps lineage growth per round.
     """
     pairs = REGISTRY["dedup_near_minhash"].fn(spark, sf_dir).select("id_a", "id_b")

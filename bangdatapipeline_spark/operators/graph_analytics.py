@@ -1198,3 +1198,146 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("first_node"),
     )
+
+
+# Sparse trade graph for connected components: only max-quantity,
+# high-discount lineitems link customer (2k) and supplier (2k+1) nodes —
+# sparse enough that the graph splits into many components (65 at
+# sf0.01) instead of the one giant component the full trade graph forms.
+_CC_COND = "l_quantity = 50 AND l_discount >= 0.08"
+
+
+@register(
+    "graph_cc_alternating",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE {_CC_COND}
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(node, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+SELECT component_id,
+       CAST(count(*) AS BIGINT)                          AS n_nodes,
+       CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_suppliers
+FROM lab
+GROUP BY component_id
+""",
+)
+def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    published O(log n)-round MapReduce CC algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) that
+    ``dedup_clusters``'s docstring reserves for pathological-diameter
+    graphs at 100 TB; here it is implemented for real.
+
+    Each round is two pure DataFrame passes over the CANONICAL edge list
+    (a < b, deduped):
+      * large-star: every node u links its LARGER neighbors v > u to
+        m(u) = min(N(u) + u) — one groupBy-min + one self-join;
+      * small-star: every node u links its smaller neighbors and itself
+        to min(N_smaller(u)) — same shape, opposite orientation.
+    Edges only ever move toward component minima, so the canonical edge
+    multiset's (count, sum) signature is a monotone convergence witness
+    — the loop stops when one round leaves it unchanged (star graphs
+    rooted at component minima are the fixpoint). Per-round
+    ``localCheckpoint`` truncates lineage exactly as dedup_clusters
+    does. Unlike plain min-label propagation (rounds = graph diameter),
+    round count here is O(log n) on chains — the scale-safe choice when
+    component shape is unknown. The oracle is the same recursive-CTE
+    transitive closure the label-propagation operator uses.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.expr(_CC_COND))
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    # canonical undirected edges, a < b (cust ids even, supp odd => a != b)
+    edges = pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def both_dir(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def canonical(pairs_uv: DataFrame) -> DataFrame:
+        return (
+            pairs_uv.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bd = both_dir(e)
+        m = bd.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        out = (
+            bd.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return canonical(out)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge from its larger endpoint: u > v
+        down = both_dir(e).filter(F.col("v") < F.col("u"))
+        m = down.groupBy("u").agg(F.min("v").alias("m"))
+        links = down.join(m, "u").select("v", "m")
+        selfs = m.select(F.col("u").alias("v"), "m")
+        return canonical(
+            links.unionByName(selfs).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        )
+
+    prev_sig = None
+    for _ in range(30):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum("a"), F.sum("b")
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # fixpoint edges are (root, child) stars; isolated-from-edges nodes
+    # cannot occur (every node came from an edge). label = min neighbor
+    labels = (
+        both_dir(edges)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.col("node")).alias("component_id"))
+        .unionByName(
+            all_nodes.join(
+                both_dir(edges).select(F.col("u").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            ).select("node", F.col("node").alias("component_id"))
+        )
+    )
+    return labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count_if(F.col("node") % 2 == 0).alias("n_customers"),
+        F.count_if(F.col("node") % 2 == 1).alias("n_suppliers"),
+    )

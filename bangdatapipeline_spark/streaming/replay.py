@@ -27,15 +27,16 @@ def write_chunks(
     shuffled: bool = False,
     base_dir: str | None = None,
     df: DataFrame | None = None,
+    order_col: str = "event_id",
 ) -> str:
     """Materialize events (or ``df``) as ``n_chunks`` single-file parquet
-    chunks in arrival order."""
+    chunks in arrival order (``order_col`` when not shuffled)."""
     out = os.path.join(
         base_dir or tempfile.gettempdir(), f"events_replay_{uuid.uuid4().hex[:8]}"
     )
     os.makedirs(out)
     ev = df if df is not None else load_table(spark, sf_dir, "events")
-    order = F.expr(ARRIVAL) if shuffled else F.col("event_id")
+    order = F.expr(ARRIVAL) if shuffled else F.col(order_col)
     chunked = ev.withColumn("_chunk", F.ntile(n_chunks).over(Window.orderBy(order)))
     for i in range(1, n_chunks + 1):
         (

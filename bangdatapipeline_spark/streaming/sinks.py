@@ -59,3 +59,84 @@ def read_sink(spark: SparkSession, target: str) -> DataFrame:
     return spark.read.option("basePath", target).parquet(
         os.path.join(target, "batch_id=*")
     )
+
+
+def incremental_state_merge_sink(df: DataFrame, key_cols: list[str], target: str | None = None):
+    """Streaming materialized-view maintenance: each micro-batch is
+    partial-aggregated and MERGED into a versioned aggregate-state table
+    — the streaming twin of ``operators.incremental.incremental_agg_merge``.
+
+    The state schema is the mergeable form (n_orders / revenue /
+    first_order / last_order per key): every column merges with
+    sum/sum/min/max, so folding batch partials into state is the same
+    union + re-aggregate the batch operator uses. State versions are
+    written as ``v{batch_id}`` directories and the latest pointer moves
+    only after the write succeeds — a replayed batch rewrites its own
+    version (idempotent), mirroring the exactly-once sink's contract. At
+    cluster scale this foreachBatch body is the MERGE INTO statement of
+    a Delta/Iceberg table partitioned by month, touching only the
+    partitions present in the delta.
+    """
+    import pyspark.sql.functions as F
+
+    target = target or os.path.join(
+        tempfile.gettempdir(), f"ivm_state_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(target, exist_ok=True)
+
+    def agg(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = agg(batch_df)
+        prior = _latest_state(spark, target, batch_id)
+        merged = delta if prior is None else (
+            prior.unionByName(delta)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.round(F.sum("revenue"), 2).alias("revenue"),
+                F.min("first_order").alias("first_order"),
+                F.max("last_order").alias("last_order"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(target, f"v{batch_id:05d}"))
+
+    q = (
+        df.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_ivm_{uuid.uuid4().hex[:8]}"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, target
+
+
+def _latest_state(spark: SparkSession, target: str, before_batch: int):
+    """Newest committed state version strictly older than ``before_batch``
+    (a replayed batch must merge onto the state it saw the first time)."""
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(target)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < before_batch
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(target, f"v{versions[-1]:05d}"))
+
+
+def read_state(spark: SparkSession, target: str) -> DataFrame:
+    """Read the latest committed aggregate state."""
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(target)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    return spark.read.parquet(os.path.join(target, f"v{versions[-1]:05d}"))

@@ -701,3 +701,57 @@ def test_bloom_prefilter_is_sound_and_audited(spark, sf_dir):
         assert r.n_true_match <= r.n_pass_bloom <= r.n_orders
         assert r.n_false_pos == r.n_pass_bloom - r.n_true_match
         assert 0.0 <= r.fp_rate <= 1.0
+
+
+def test_cc_alternating_agrees_with_label_propagation_partitioning(spark, sf_dir):
+    """Alternating-star CC must be partition-invariant and its component
+    partition must be consistent: node counts sum to the node total and
+    every component touches both sides of the bipartite graph via at
+    least one edge endpoint (n_customers >= 1 or n_suppliers >= 1)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    a = {(r.component_id, r.n_nodes, r.n_customers, r.n_suppliers)
+         for r in REGISTRY["graph_cc_alternating"].fn(spark, sf_dir).collect()}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = {(r.component_id, r.n_nodes, r.n_customers, r.n_suppliers)
+             for r in REGISTRY["graph_cc_alternating"].fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+    for cid, n, nc, ns in a:
+        assert n == nc + ns
+        # every edge links a customer to a supplier, so any component
+        # with >= 2 nodes has both kinds
+        if n >= 2:
+            assert nc >= 1 and ns >= 1
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    """The distributed closed-form OLS must agree with numpy's polyfit
+    on the same monthly series (slope to 1e-4 relative)."""
+    import numpy as np
+
+    from bangdatapipeline_spark.tables import load_table
+
+    rows = REGISTRY["agg_ols_trend"].fn(spark, sf_dir).collect()
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("xi"),
+        )
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in monthly:
+        series.setdefault(r.o_orderpriority, []).append((r.xi, r.y))
+    assert len(rows) == 5
+    for r in rows:
+        pts = sorted(series[r.o_orderpriority])
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope_cents - slope) <= 1e-4 * max(1.0, abs(slope))
+        assert abs(r.intercept_cents - intercept) <= 1e-3 * max(1.0, abs(intercept))
+        assert 0.0 <= r.r2 <= 1.0

@@ -338,3 +338,63 @@ def test_hist_quantile_stream_equals_batch(spark, chunks, tmp_path):
     batch = REGISTRY["ts_hist_quantile_sliding"].fn(spark, SF)
     cols = ["day", "n_7d", "p50_lo", "p95_lo"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_incremental_state_merge_stream_equals_full_recompute(spark):
+    """Streaming IVM: replaying orders in 5 micro-batches and folding
+    each batch's partial aggregate into the versioned state table must
+    land on EXACTLY the aggregate a one-pass batch recompute gives —
+    the same merge identity incremental_agg_merge registers."""
+    import os
+
+    from bangdatapipeline_spark.streaming import sinks
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    d = replay.write_chunks(
+        spark, SF, n_chunks=5, df=orders, order_col="o_orderkey"
+    )
+    try:
+        stream = replay.read_stream(spark, d)
+        q, target = sinks.incremental_state_merge_sink(
+            stream.withColumn("state_month", F.date_trunc("month", "o_orderdate")),
+            key_cols=["state_month", "o_orderpriority"],
+        )
+        q.awaitTermination()
+        got = {
+            (r.state_month, r.o_orderpriority): (r.n_orders, r.revenue, r.first_order, r.last_order)
+            for r in sinks.read_state(spark, target).collect()
+        }
+        want = {
+            (r.state_month, r.o_orderpriority): (r.n_orders, r.revenue, r.first_order, r.last_order)
+            for r in orders.groupBy(
+                F.date_trunc("month", "o_orderdate").alias("state_month"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.min("o_orderdate").alias("first_order"),
+                F.max("o_orderdate").alias("last_order"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, rev, lo, hi) in want.items():
+            gn, grev, glo, ghi = got[k]
+            assert (gn, glo, ghi) == (n, lo, hi), k
+            assert abs(grev - rev) < 0.011, (k, grev, rev)
+
+        # replay contract: _latest_state(v) looks strictly BELOW v, so a
+        # re-delivered batch merges onto the state it saw the first time
+        # and rewriting its own version directory is idempotent
+        versions = sorted(
+            int(p[1:]) for p in os.listdir(target) if p.startswith("v")
+        )
+        assert len(versions) == 5
+        prior = sinks._latest_state(spark, target, versions[-1])
+        assert prior is not None
+        assert prior.count() <= sinks.read_state(spark, target).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
