@@ -703,10 +703,10 @@ def _bloom_bits_sql(key_expr: str) -> list[str]:
     ]
 
 
-def _bloom_bits_spark(key_col):
+def _bloom_bits_spark(key_col, m: int = BLOOM_M):
     h = F.md5(F.encode(key_col.cast("string"), "utf-8"))
     return [
-        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % BLOOM_M)
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m)
         for i in range(3)
     ]
 

@@ -327,3 +327,50 @@ class Frame:
             .write.mode(mode)
             .parquet(path)
         )
+
+    def bloom_semi(self, dim: "Frame | DataFrame", on: str, dim_key: str | None = None,
+                   bits: int = 4096) -> "Frame":
+        """Bloom-filter semi-join: keep rows whose ``on`` key probably
+        appears in ``dim``'s ``dim_key`` column — the runtime-filter
+        pattern of ``join_bloom_prefilter`` as a reusable verb. The dim
+        side collapses to ONE broadcast row of set bit positions; the
+        probe is a JVM-side array_contains conjunction in the scan stage,
+        so the fact side never shuffles. False positives are possible
+        (rate ~ (k·n/bits)^k); follow with a real join when exactness
+        matters — the gate only shrinks what that join reads.
+        """
+        from bangdatapipeline_spark.operators import joins as _j
+
+        other = dim.df if isinstance(dim, Frame) else dim
+        dk = dim_key or on
+        dim_bits = other.select(
+            F.explode(
+                F.array(*_j._bloom_bits_spark(F.col(dk), bits))
+            ).alias("bit")
+        ).agg(F.collect_set("bit").alias("__bloom"))
+        probe = _j._bloom_bits_spark(F.col(on), bits)
+        cond = F.lit(True)
+        for p in probe:
+            cond = cond & F.array_contains(F.col("__bloom"), p)
+        return Frame(
+            self.df.crossJoin(F.broadcast(dim_bits)).filter(cond).drop("__bloom")
+        )
+
+    def merge_state(self, delta: "Frame | DataFrame", keys: list[str],
+                    sums: list[str] = (), mins: list[str] = (),
+                    maxs: list[str] = ()) -> "Frame":
+        """Fold a delta batch of aggregate STATE into this state frame —
+        the materialized-view-maintenance merge of ``incremental_agg_merge``
+        as a verb. Both frames must already be in mergeable state form
+        (one row per key); every listed column merges with its
+        decomposable combiner (sum/min/max), so the result equals the
+        state a full recompute would produce. The shuffle moves only
+        state rows — never raw facts.
+        """
+        other = delta.df if isinstance(delta, Frame) else delta
+        merged = self.df.unionByName(other).groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sums],
+            *[F.min(c).alias(c) for c in mins],
+            *[F.max(c).alias(c) for c in maxs],
+        )
+        return Frame(merged)

@@ -155,6 +155,10 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_p95_hist_sliding", "ts_hist_quantile_sliding"),
     ("events_audience_hll", "audience_overlap_hll"),
     ("events_json_variant", "json_variant"),
+    ("orders_incremental_merge", "incremental_agg_merge"),
+    ("orders_bloom_prefilter", "join_bloom_prefilter"),
+    ("graph_cc_components", "graph_cc_alternating"),
+    ("orders_ols_trend", "agg_ols_trend"),
 ]
 
 RUNS = 3

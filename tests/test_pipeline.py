@@ -264,3 +264,49 @@ def test_zorder_write_tightens_per_file_stats(spark, sf_dir, tmp_path):
     mean_bbox = sum(r.bbox for r in per_file) / len(per_file)
     # whole domain is 256*256 = 65536; z-clustered files must be much tighter
     assert mean_bbox < 65536 / 4, [r.bbox for r in per_file]
+
+
+def test_bloom_semi_verb_no_false_negatives(spark, sf_dir):
+    """bloom_semi keeps every true match (no false negatives) and its
+    output is a superset of the exact semi-join bounded by the input."""
+    from bangdatapipeline_spark.pipeline import Frame
+    from bangdatapipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    ).select("c_custkey")
+    gated = Frame(orders).bloom_semi(dim, on="o_custkey", dim_key="c_custkey").df
+    exact = orders.join(dim, orders.o_custkey == dim.c_custkey, "left_semi")
+    n_orders, n_gated, n_exact = orders.count(), gated.count(), exact.count()
+    assert n_exact <= n_gated <= n_orders
+    # soundness: gate(exact) == exact
+    assert gated.join(
+        dim, gated.o_custkey == dim.c_custkey, "left_semi"
+    ).count() == n_exact
+
+
+def test_merge_state_verb_equals_full_recompute(spark, sf_dir):
+    """merge_state on two half-states reproduces the one-pass aggregate."""
+    from bangdatapipeline_spark.pipeline import Frame
+    from bangdatapipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def st(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+
+    half_a = st(orders.filter(F.col("o_orderkey") % 2 == 0))
+    half_b = st(orders.filter(F.col("o_orderkey") % 2 == 1))
+    got = {
+        r.o_orderpriority: (r.n, r.lo, r.hi)
+        for r in Frame(half_a)
+        .merge_state(half_b, keys=["o_orderpriority"], sums=["n"], mins=["lo"], maxs=["hi"])
+        .df.collect()
+    }
+    want = {r.o_orderpriority: (r.n, r.lo, r.hi) for r in st(orders).collect()}
+    assert got == want
