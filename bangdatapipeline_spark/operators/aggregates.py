@@ -1730,3 +1730,96 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_cents"),
         F.round(num * num / (den_x * den_y), 6).alias("r2"),
     )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT)               AS n,
+       CAST(median(cents) AS DOUBLE)          AS median_cents
+FROM c GROUP BY grp
+""",
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median without a global sort — the classic
+    two-phase distributed selection: a histogram pass finds the bucket
+    that contains each group's middle rank(s), then only that bucket's
+    rows are ranked. ``percentile_approx`` trades accuracy for one pass;
+    this trades one extra (cheap, filtered) pass for exactness.
+
+    Phase 1 aggregates orders to a bounded (group, $1000-bucket)
+    histogram — map-side combined, a few hundred rows per group — and a
+    running-total window over that tiny table locates, fully lazily (no
+    driver collect), the bucket and in-bucket offset of ranks
+    floor((n+1)/2) and floor((n+2)/2). Phase 2 re-scans with a broadcast
+    semi-join on the <=2 target buckets per group, so the only rows ever
+    ranked are ~1/B of the data; median = mean of the two picked values.
+    All arithmetic is integer cents until the final halving, so the
+    result is bit-exact against DuckDB's interpolating ``median``.
+
+    Scale posture (100 TB): the histogram shuffle is the bucket-key
+    space (bounded), the re-scan filter is a scan-stage predicate from a
+    broadcast list, and the phase-2 sort covers one bucket per group —
+    if a bucket is still too fat, the same bisection recurses one level
+    (documented, not needed at these SFs).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    hist = o.groupBy("grp", (F.col("cents") - F.col("cents") % 100000).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
+    )
+    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    targets = n.select(
+        "grp",
+        "n",
+        F.explode(
+            F.array(
+                F.floor((F.col("n") + 1) / 2), F.floor((F.col("n") + 2) / 2)
+            )
+        ).alias("k"),
+    )
+    spec = (
+        targets.join(cum, "grp")
+        .filter((F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select("grp", "n", "bucket", "k", (F.col("k") - F.col("cum_prev")).alias("off"))
+    )
+    in_bucket = o.withColumn(
+        "bucket", F.col("cents") - F.col("cents") % 100000
+    ).join(F.broadcast(spec.select("grp", "bucket").distinct()), ["grp", "bucket"])
+    wrk = Window.partitionBy("grp", "bucket").orderBy("cents")
+    ranked = in_bucket.withColumn("rn", F.row_number().over(wrk))
+    spec_r = spec.select(
+        F.col("grp").alias("s_grp"),
+        F.col("n").alias("s_n"),
+        F.col("bucket").alias("s_bucket"),
+        F.col("off").alias("s_off"),
+    )
+    picked = ranked.join(
+        F.broadcast(spec_r),
+        (F.col("grp") == F.col("s_grp"))
+        & (F.col("bucket") == F.col("s_bucket"))
+        & (F.col("rn") == F.col("s_off")),
+    ).select(F.col("s_grp").alias("g"), F.col("s_n").alias("gn"), F.col("cents").alias("v"))
+    return picked.groupBy("g").agg(
+        F.max("gn").alias("n"),
+        (F.sum("v") / F.lit(2.0)).alias("median_cents"),
+    ).select(F.col("g").alias("grp"), "n", "median_cents")

@@ -1476,3 +1476,128 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+train_tok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+test_tok  AS (SELECT * FROM tok WHERE doc_id % 5 = 0),
+lt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n_lt
+  FROM train_tok GROUP BY 1, 2
+),
+l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM train_tok GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab FROM train_tok),
+dl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+dd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE doc_id % 5 <> 0),
+scored AS (
+  SELECT t.doc_id,
+         max(t.lang)  AS lang,
+         l.lang       AS cand_lang,
+         ln(max(dl.d_l) * 1.0 / max(dd.n_docs))
+           + sum(ln(coalesce(lt.n_lt, 0) + 1.0))
+           - count(*) * ln(max(l.n_l) + max(v.vocab) * 1.0) AS score
+  FROM test_tok t
+  CROSS JOIN l
+  CROSS JOIN v
+  CROSS JOIN dd
+  JOIN dl ON dl.lang = l.lang
+  LEFT JOIN lt ON lt.lang = l.lang AND lt.token = t.token
+  GROUP BY t.doc_id, l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, cand_lang,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY floor(score * 1e6 + 0.5) DESC, cand_lang ASC
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, cand_lang AS pred_lang, (cand_lang = lang) AS correct
+FROM ranked WHERE rk = 1
+""",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored in
+    one declarative plan — the canonical "ML as aggregation" pattern:
+    training is nothing but two groupBys (per-(lang,token) counts and
+    per-lang totals), and scoring is a join + sum, so the whole model
+    fits Spark's shuffle machinery with no iteration and no driver math.
+
+    Split: docs with ``doc_id % 5 == 0`` are held out (the md5-gate
+    samplers are the production recipe; the modulus keeps this oracle
+    simple). Laplace-smoothed log-likelihood: ``ln(prior_L) + sum_t
+    ln(n_{L,t}+1) - T*ln(n_L+V)``. The argmax is taken per doc via
+    row_number on the 1e-6-lattice-floored score (dialect rule for
+    float ranking keys; see docs/dialect_notes.md) with lang as the
+    tie-break, and only the prediction is emitted — the float score
+    never reaches the output, so the hash depends on argmax margins
+    (orders of magnitude above ulp noise), not on accumulation order.
+
+    Scale posture (100 TB): the model tables are data-bounded
+    (langs x vocab); the test-token x candidate-lang join is an equi-join
+    on token that AQE can broadcast while the model fits, and degrades
+    to a plain shuffle join when it doesn't. Per-doc state is one
+    partial-aggregated (doc, lang) row per candidate — never the tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    train_tok = tok.filter(F.col("doc_id") % 5 != 0)
+    test_tok = tok.filter(F.col("doc_id") % 5 == 0)
+
+    lt = train_tok.groupBy("lang", "token").agg(F.count("*").alias("n_lt"))
+    l_tot = train_tok.groupBy("lang").agg(F.count("*").alias("n_l"))
+    vocab = train_tok.agg(F.countDistinct("token").alias("vocab"))
+    d_train = d.filter(F.col("doc_id") % 5 != 0)
+    dl = d_train.groupBy("lang").agg(F.count("*").alias("d_l"))
+    dd = d_train.agg(F.count("*").alias("n_docs"))
+
+    model = (
+        l_tot.join(dl, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            F.col("lang").alias("cand_lang"), "n_l", "d_l", "vocab", "n_docs"
+        )
+    )
+    cand = (
+        test_tok.crossJoin(F.broadcast(model))
+        .join(
+            lt.withColumnRenamed("lang", "cand_lang"),
+            ["cand_lang", "token"],
+            "left",
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.max("lang").alias("lang"),
+            (
+                F.log(F.max("d_l") * F.lit(1.0) / F.max("n_docs"))
+                + F.sum(F.log(F.coalesce(F.col("n_lt"), F.lit(0)) + 1.0))
+                - F.count(F.lit(1))
+                * F.log(F.max("n_l") + F.max("vocab") * F.lit(1.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.floor(F.col("score") * 1e6 + 0.5).desc(), F.col("cand_lang").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand_lang").alias("pred_lang"),
+            (F.col("cand_lang") == F.col("lang")).alias("correct"),
+        )
+    )

@@ -261,3 +261,61 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("copies").cast("int").alias("copies"),
         )
     )
+
+
+@register(
+    "sample_group_split",
+    oracle="""
+WITH assigned AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE
+           WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+           WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM orders
+)
+SELECT split,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT)                  AS n_rows,
+       CAST(sum(cents) AS BIGINT)                AS cents_checksum
+FROM assigned GROUP BY split
+""",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-aware train/val/test split (80/10/10): the
+    md5 gate hashes the *group* key (customer), not the row key, so
+    every order of a customer lands in the same split — the correct
+    recipe whenever rows within a group are correlated (same author,
+    same user session, same source domain) and row-level splitting
+    would leak train signal into eval. Contrast ``sample_split``,
+    which assigns each document independently.
+
+    The assignment is a scan-stage expression (zero shuffle, stable
+    under any partitioning/engine/rerun); the only shuffle is the
+    3-key summary agg. The distinct-group count uses exact
+    countDistinct because the split audit is a bounded-key report; at
+    100 TB swap in approx_count_distinct per the cardinality policy.
+    All outputs are exact integers — nothing to lattice-round.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    gate = _hash_gate(F.col("o_custkey"))
+    split = (
+        F.when(gate < "cccccccc", "train")
+        .when(gate < "e6666666", "val")
+        .otherwise("test")
+    )
+    return (
+        o.select(
+            split.alias("split"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_checksum"),
+        )
+    )
