@@ -557,6 +557,27 @@ def _order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session id, sf_dir) -> (cached oriented edge list, degree table, edges).
 _oriented_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
+# (session id, sf_dir) -> cached adjacency arrays, keyed by orientation.
+# Cached separately from the edge list because the collect_list groupBy is
+# its own shuffle + array build (~1.5 s per materialization at sf0.1) and
+# two broadcast subtrees would otherwise each recompute it.
+_adj_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _out_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node sorted ORIENTED out-neighbor arrays (src -> [dst...])."""
+    key = (id(spark), sf_dir, "out")
+    cached = _adj_cache.get(key)
+    if cached is None:
+        oriented, _, _ = _oriented_copurchase(spark, sf_dir)
+        cached = (
+            oriented.groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .cache()
+        )
+        _adj_cache[key] = cached
+    return cached
+
 
 def _oriented_copurchase(
     spark: SparkSession, sf_dir: str
@@ -637,12 +658,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of broadcasts — same plan shape, no new shuffle class.
     """
     oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
-    # per-node sorted out-neighbor arrays; each oriented edge (u,v)
-    # closes |N+(u) ∩ N+(v)| triangles, each counted exactly once (the
-    # DAG triangle x→y, x→z, y→z is counted at edge x→y with w=z).
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    # per-node sorted out-neighbor arrays (cached — two broadcast subtrees
+    # read it); each oriented edge (u,v) closes |N+(u) ∩ N+(v)| triangles,
+    # each counted exactly once (the DAG triangle x→y, x→z, y→z is counted
+    # at edge x→y with w=z).
+    adj = _out_adjacency(spark, sf_dir)
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     tri = (
@@ -982,49 +1002,61 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     link-strength / link-prediction primitive (an edge whose endpoints
     share most neighbors is "embedded" in a community).
 
-    Same in-row trick as ``graph_triangles``: per-node sorted neighbor
-    arrays, |N(a) ∩ N(b)| via array_intersect on the edge row — the
-    sum(degree^2) wedge join never materializes (the oracle states it as
-    wedges; at sf0.01 that's ~28M DuckDB rows vs zero Spark ones). The
-    in-row intersect still pays sum(deg_a + deg_b) over edges — on this
-    DENSE hub-free graph (deg ~uniform 120, measured) that cost is
-    inherent to exactness, like the kNN expression fold. The 100 TB
-    moves: skewed graphs get the hub cap (drop top-degree nodes, which
-    carry no similarity signal); dense graphs swap the exact intersect
-    for MinHash signatures over neighbor sets (the dedup_near machinery
-    applied to adjacency lists) — approximate Jaccard at O(k) per edge;
-    and the broadcast adjacency joins become bucketed ones. Jaccard is
-    a small-denominator rational -> IEEE floor-round to a 6-dp lattice
-    BEFORE ranking (docs/dialect_notes.md).
+    Key identity: for an EDGE (a,b), a common neighbor x is exactly a
+    triangle {a,b,x} — so per-edge common counts are triangle counts,
+    computed on the degree-ORIENTED DAG (same machinery as
+    ``graph_triangles``): explode each oriented edge's out-neighbor
+    intersection into one row per triangle and attribute it to its
+    three edges. Cost is sum over oriented edges of |N+| (bounded by
+    orientation, ~sqrt(2|E|) out-degree) plus a 3x|triangles| integer
+    shuffle with map-side combine — versus sum(deg_a+deg_b) for the
+    naive per-edge full-neighborhood intersect (7x more element ops on
+    this dense deg~120 graph, measured 4.1 s -> 2.3 s) and versus the
+    sum(degree^2) wedge join the oracle states (~28M DuckDB rows at
+    sf0.01; zero wedge rows here). Edges in no triangle have Jaccard 0
+    and are excluded on both sides. The 100 TB moves: skewed graphs get
+    the hub cap (drop top-degree nodes, which carry no similarity
+    signal); the adjacency broadcasts become bucketed joins; MinHash
+    over neighbor sets (the dedup_near machinery) when even the
+    oriented enumeration is too hot. Jaccard is a small-denominator
+    rational -> IEEE floor-round to a 6-dp lattice BEFORE ranking
+    (docs/dialect_notes.md).
     """
-    _, deg, edges = _oriented_copurchase(spark, sf_dir)
-    und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
-        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
+    adj = _out_adjacency(spark, sf_dir)
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    tris = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(F.broadcast(au), "u")
+        .join(F.broadcast(av), "v")
+        .select("u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"))
     )
-    adj = und.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("nbrs"),
-        F.count(F.lit(1)).alias("d"),
+    e3 = (
+        tris.select(F.least("u", "v").alias("pa"), F.greatest("u", "v").alias("pb"))
+        .unionAll(
+            tris.select(F.least("u", "w").alias("pa"), F.greatest("u", "w").alias("pb"))
+        )
+        .unionAll(
+            tris.select(F.least("v", "w").alias("pa"), F.greatest("v", "w").alias("pb"))
+        )
     )
-    aa = adj.select(
-        F.col("u").alias("pa"), F.col("nbrs").alias("nbrs_a"), F.col("d").alias("d_a")
-    )
-    ab = adj.select(
-        F.col("u").alias("pb"), F.col("nbrs").alias("nbrs_b"), F.col("d").alias("d_b")
-    )
-    c = F.size(F.array_intersect("nbrs_a", "nbrs_b")).cast("bigint")
+    common = e3.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_common"))
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
+    c = F.col("n_common")
     jac = c * 1.0 / (F.col("d_a") + F.col("d_b") - c)
     scored = (
-        edges.join(F.broadcast(aa), "pa")
-        .join(F.broadcast(ab), "pb")
+        common.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
         .select(
             "pa",
             "pb",
-            c.alias("n_common"),
+            "n_common",
             "d_a",
             "d_b",
             (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
         )
-        .filter(F.col("n_common") > 0)
     )
     # Distributed top-k (TakeOrderedAndProject) instead of a global
     # row_number window: the window form exchanges EVERY scored edge to one

@@ -68,12 +68,20 @@ def get_spark(app_name: str = "bangdatapipeline_spark", cpus: str | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "32")
         # local mode runs all executor threads inside the driver JVM, so
-        # this IS the executor heap: 32 task slots sharing 16g showed GC
-        # inflation (same query 5s -> 10s late in a 100-query bench run);
-        # 48g on the 128 GB box keeps full-bench timings stable. On a real
-        # cluster this figure is per-executor and sized to partition
-        # budgets instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # this IS the executor heap. Measured across heap/collector
+        # combinations on the full 115-query bench prefix: G1 at 48g
+        # develops multi-second mixed-GC pauses on the array-heavy graph
+        # kernels (same cached-input query swinging 1.6s <-> 9.5s run to
+        # run); ParallelGC at any size is fast on average but spiky (one
+        # young-gen collection measured at 18s late in the run); G1 at
+        # 16g is the stable point — pauses stay bounded and per-query
+        # medians match standalone timings. On a real cluster the heap
+        # is per-executor and sized to partition budgets instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # long-lived bench/driver sessions execute hundreds of plans;
+        # capping SQL-UI retention keeps listener state from becoming
+        # old-gen ballast (the UI itself is disabled anyway)
+        .config("spark.sql.ui.retainedExecutions", "25")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         # static config, settable only at session build: saveAsTable targets

@@ -52,6 +52,8 @@ CARTESIAN_OK = {
     "text_surprisal",  # 1-row vocab-size/total-token scalars
     "text_surprisal_bigram",  # 1-row smoothing scalars
     "dedup_near_simhash",  # 1-row hyperplane codebook broadcast
+    "join_bloom_prefilter",  # 1-row bloom bit-set broadcast onto the fact scan
+    "ml_naive_bayes",  # per-lang model rows (bounded by |langs|) broadcast
     "text_langid",  # language-profile constant table broadcast
     "text_tfidf",  # 1-row corpus-size scalar for the IDF term
     "win_rfm_segments",  # 1-row quintile cut points crossJoined
