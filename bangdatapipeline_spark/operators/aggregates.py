@@ -1823,3 +1823,125 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gn").alias("n"),
         (F.sum("v") / F.lit(2.0)).alias("median_cents"),
     ).select(F.col("g").alias("grp"), "n", "median_cents")
+
+
+@register(
+    "agg_quantiles_exact",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT grp,
+         CAST(quantile_cont(cents, 0.25) AS DOUBLE) AS q25,
+         CAST(quantile_cont(cents, 0.50) AS DOUBLE) AS q50,
+         CAST(quantile_cont(cents, 0.75) AS DOUBLE) AS q75
+  FROM c GROUP BY grp
+)
+SELECT grp, CAST(0.25 AS DOUBLE) AS q, q25 AS v FROM s
+UNION ALL SELECT grp, CAST(0.50 AS DOUBLE), q50 FROM s
+UNION ALL SELECT grp, CAST(0.75 AS DOUBLE), q75 FROM s
+""",
+)
+def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group p25/p50/p75 with linear interpolation — the
+    multi-rank generalization of ``agg_median_exact``'s two-phase
+    selection: one bounded histogram pass locates every needed rank's
+    bucket lazily, one broadcast-gated re-scan ranks only those
+    buckets, and the interpolation ``v_lo + frac*(v_hi - v_lo)``
+    reproduces ``quantile_cont`` bit-exactly because the inputs are
+    integer cents and frac ∈ {0, .25, .5, .75} — every term is exact in
+    IEEE doubles, no lattice rounding needed.
+
+    Contrast ``percentile_approx`` (one pass, rank error) and a global
+    sort (exact, but a full-data exchange): this is exact with shuffles
+    bounded by the histogram key space + the target buckets. Same
+    100 TB posture as the median operator — recurse the bisection one
+    level if a bucket outgrows a partition.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    hist = o.groupBy(
+        "grp", (F.col("cents") - F.col("cents") % 100000).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
+    )
+    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    qs = [0.25, 0.5, 0.75]
+    # per (grp, q): 0-based interpolation point h=(n-1)q -> 1-based
+    # bracket ranks k_lo/k_hi and the exact fractional weight
+    pairs = []
+    for q in qs:
+        h = (F.col("n") - 1) * F.lit(q)
+        k_lo = F.floor(h) + 1
+        pairs.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                F.lit("lo").alias("role"),
+                k_lo.alias("k"),
+                (h - F.floor(h)).alias("frac"),
+            )
+        )
+        pairs.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                F.lit("hi").alias("role"),
+                (k_lo + F.when(h == F.floor(h), 0).otherwise(1)).alias("k"),
+                (h - F.floor(h)).alias("frac"),
+            )
+        )
+    targets = n.select("grp", F.explode(F.array(*pairs)).alias("t")).select(
+        "grp", "t.q", "t.role", "t.k", "t.frac"
+    )
+    spec = (
+        targets.join(cum, "grp")
+        .filter((F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select(
+            F.col("grp").alias("s_grp"),
+            F.col("bucket").alias("s_bucket"),
+            (F.col("k") - F.col("cum_prev")).alias("s_off"),
+            "q",
+            "role",
+            "frac",
+        )
+    )
+    in_bucket = o.withColumn(
+        "bucket", F.col("cents") - F.col("cents") % 100000
+    ).join(
+        F.broadcast(spec.select(F.col("s_grp").alias("grp"), F.col("s_bucket").alias("bucket")).distinct()),
+        ["grp", "bucket"],
+    )
+    wrk = Window.partitionBy("grp", "bucket").orderBy("cents")
+    ranked = in_bucket.withColumn("rn", F.row_number().over(wrk))
+    picked = ranked.join(
+        F.broadcast(spec),
+        (F.col("grp") == F.col("s_grp"))
+        & (F.col("bucket") == F.col("s_bucket"))
+        & (F.col("rn") == F.col("s_off")),
+    ).select("grp", "q", "role", "frac", F.col("cents").alias("v"))
+    per_q = picked.groupBy("grp", "q").agg(
+        F.max(F.when(F.col("role") == "lo", F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("role") == "hi", F.col("v"))).alias("v_hi"),
+        F.max("frac").alias("frac"),
+    )
+    return per_q.select(
+        "grp",
+        "q",
+        (
+            F.col("v_lo").cast("double")
+            + F.col("frac") * (F.col("v_hi") - F.col("v_lo")).cast("double")
+        ).alias("v"),
+    )

@@ -159,6 +159,11 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_bloom_prefilter", "join_bloom_prefilter"),
     ("graph_cc_components", "graph_cc_alternating"),
     ("orders_ols_trend", "agg_ols_trend"),
+    ("doc_naive_bayes", "ml_naive_bayes"),
+    ("orders_median_exact", "agg_median_exact"),
+    ("orders_group_split", "sample_group_split"),
+    ("orders_join_ivm", "incremental_join_delta"),
+    ("orders_quantiles_exact", "agg_quantiles_exact"),
 ]
 
 RUNS = 3
