@@ -1945,3 +1945,100 @@ def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("frac") * (F.col("v_hi") - F.col("v_lo")).cast("double")
         ).alias("v"),
     )
+
+
+_COV_COLS = ["qty", "price_c", "disc_c", "tax_c"]
+_COV_PAIRS = [
+    (a, b) for i, a in enumerate(_COV_COLS) for b in _COV_COLS[i:]
+]
+
+
+def _cov_oracle() -> str:
+    sums = ",\n       ".join(
+        [f"CAST(sum(CAST({c} AS HUGEINT)) AS HUGEINT) AS s_{c}" for c in _COV_COLS]
+        + [
+            f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS HUGEINT) AS s_{a}_{b}"
+            for a, b in _COV_PAIRS
+        ]
+    )
+    rows = "\nUNION ALL ".join(
+        f"SELECT '{a}' AS x_col, '{b}' AS y_col, "
+        f"CAST(n.n AS BIGINT) AS n, "
+        f"CAST(n.n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        f" / (CAST(n.n AS DOUBLE) * n.n) AS cov_pop, "
+        f"CAST(n.n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        f" / sqrt(CAST(n.n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+        f"      * CAST(n.n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)) AS corr"
+        f" FROM s CROSS JOIN n"
+        for a, b in _COV_PAIRS
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT)                      AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS disc_c,
+         CAST(round(l_tax * 100, 0) AS BIGINT)           AS tax_c
+  FROM lineitem
+),
+s AS (SELECT {sums} FROM c),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM c)
+{rows}
+"""
+
+
+@register("agg_covariance_matrix", oracle=_cov_oracle())
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise covariance/correlation matrix of lineitem's numeric
+    measures in ONE aggregation pass — the moment-sketch pattern again
+    (cf. ``agg_ols_trend``): every pairwise population covariance is
+    (n*Sxy - Sx*Sy)/n^2, so one scan collecting {{Sx}} and {{Sxy}} in
+    exact wide integers (decimal(38,0) / HUGEINT; cent-scaled inputs)
+    yields all 10 upper-triangle entries. Floats appear only in final
+    divisions/sqrt of bit-identical exact integers, so covariance AND
+    correlation hash-match with no lattice rounding.
+
+    Scale posture (100 TB): the scan partial-aggregates map-side to ONE
+    state row per task (d(d+3)/2 sums, d=4); the "matrix" is a
+    driver-sized explode of that single row. This is how feature-stats
+    jobs (standardization, PCA input, multicollinearity screens) should
+    run — never a per-pair corr() sweep that rescans the facts d^2/2
+    times.
+    """
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_c"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax_c"),
+    )
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for c in _COV_COLS:
+        aggs.append(F.sum(F.col(c).cast(dec)).cast(dec).alias(f"s_{c}"))
+    for a, b in _COV_PAIRS:
+        aggs.append(
+            F.sum(F.col(a).cast(dec) * F.col(b)).cast(dec).alias(f"s_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    pair_rows = []
+    for a, b in _COV_PAIRS:
+        num = F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        var_a = F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        var_b = F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        pair_rows.append(
+            F.struct(
+                F.lit(a).alias("x_col"),
+                F.lit(b).alias("y_col"),
+                F.col("n").cast("bigint").alias("n"),
+                (
+                    num.cast("double")
+                    / (F.col("n").cast("double") * F.col("n").cast("double"))
+                ).alias("cov_pop"),
+                (
+                    num.cast("double")
+                    / F.sqrt(var_a.cast("double") * var_b.cast("double"))
+                ).alias("corr"),
+            )
+        )
+    return s.select(F.explode(F.array(*pair_rows)).alias("p")).select(
+        "p.x_col", "p.y_col", "p.n", "p.cov_pop", "p.corr"
+    )

@@ -1076,7 +1076,9 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 2
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
+    """CTE chain ``e0, edges, l0 .. l{_LPA_ROUNDS}`` — the deterministic
+    unrolled LPA rounds, shared by the LPA and modularity oracles."""
     rounds = []
     prev = "l0"
     for i in range(1, _LPA_ROUNDS + 1):
@@ -1093,20 +1095,43 @@ l{i} AS (
         )
         prev = f"l{i}"
     body = ",\n".join(rounds)
-    return f"""
-WITH e0 AS (
+    return f"""e0 AS (
   SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
 l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
-{body}
+{body}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+WITH {_lpa_ctes()}
 SELECT CAST(lab AS BIGINT) AS community,
        CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(min(node) AS BIGINT) AS rep
-FROM {prev}
+FROM l{_LPA_ROUNDS}
 GROUP BY 1
 """
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(per-node LPA labels after _LPA_ROUNDS synchronous rounds, doubled
+    edge list) — shared by graph_label_propagation and graph_modularity."""
+    contrib, init, _n = _trade_contrib(spark, sf_dir)
+    edges = contrib.select("src", "dst")
+    labels = init.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return labels, edges
 
 
 @register("graph_label_propagation", oracle=_lpa_oracle())
@@ -1130,19 +1155,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded because messages aggregate to (node, lab) pairs, never
     fan out.
     """
-    contrib, init, _n = _trade_contrib(spark, sf_dir)
-    edges = contrib.select("src", "dst")
-    labels = init.select("node", F.col("node").alias("lab"))
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
-    for _ in range(_LPA_ROUNDS):
-        labels = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-        )
+    labels, _edges = _lpa_labels(spark, sf_dir)
     return labels.groupBy(F.col("lab").cast("bigint").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("rep"),
@@ -1372,4 +1385,96 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.count_if(F.col("node") % 2 == 0).alias("n_customers"),
         F.count_if(F.col("node") % 2 == 1).alias("n_suppliers"),
+    )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH {_lpa_ctes()},
+deg AS (SELECT src AS node, CAST(count(*) AS HUGEINT) AS d FROM edges GROUP BY 1),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+com AS (
+  SELECT l.lab, sum(d.d) AS d_c
+  FROM l{_LPA_ROUNDS} l JOIN deg d ON d.node = l.node
+  GROUP BY 1
+),
+intra AS (
+  SELECT ls.lab, CAST(count(*) AS HUGEINT) AS e_c
+  FROM e0
+  JOIN l{_LPA_ROUNDS} ls ON ls.node = e0.src
+  JOIN l{_LPA_ROUNDS} ld ON ld.node = e0.dst AND ld.lab = ls.lab
+  GROUP BY 1
+),
+terms AS (
+  SELECT com.lab,
+         4 * mm.m * coalesce(intra.e_c, 0) - com.d_c * com.d_c AS t
+  FROM com CROSS JOIN mm LEFT JOIN intra ON intra.lab = com.lab
+)
+SELECT CAST(count(*) AS BIGINT)                          AS n_communities,
+       CAST(max(mm.m) AS BIGINT)                         AS m_edges,
+       CAST(sum(terms.t) AS BIGINT)                      AS q_num,
+       CAST(sum(terms.t) AS DOUBLE)
+         / CAST(4 * max(mm.m) * max(mm.m) AS DOUBLE)     AS modularity
+FROM terms CROSS JOIN mm
+""",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the trade graph — the
+    quality score that turns "we found communities" into a number:
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ], rewritten over exact integers as
+    Q = sum_c (4*m*e_c - d_c^2) / (4*m^2) so the whole computation is
+    integer until ONE final division of bit-identical operands (the
+    repo's standard float-determinism move; no lattice rounding needed).
+
+    Reuses the memoized trade edge list and the deterministic LPA rounds
+    (``_lpa_labels``); the additional work is two bounded aggregations
+    (degree per node, degree mass per community) and one edge pass that
+    joins each edge's two endpoint labels — at 100 TB that pass shuffles
+    the edge list twice on node id (same class as one LPA superstep;
+    with the edge list hash-partitioned on src the first probe is
+    co-located). Output is a single audit row: community count, edge
+    count, the exact integer numerator, and Q.
+    """
+    labels, edges = _lpa_labels(spark, sf_dir)
+    e0 = edges.filter(F.col("src") % 2 == 0)
+    dec = "decimal(38,0)"
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast(dec).alias("d")
+    )
+    m = e0.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+    com = (
+        labels.join(deg, "node")
+        .groupBy("lab")
+        .agg(F.sum("d").cast(dec).alias("d_c"))
+    )
+    ls = labels.select(F.col("node").alias("src"), F.col("lab").alias("lab_s"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("lab").alias("lab_d"))
+    intra = (
+        e0.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("lab_s") == F.col("lab_d"))
+        .groupBy(F.col("lab_s").alias("lab"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("e_c"))
+    )
+    terms = (
+        com.crossJoin(F.broadcast(m))
+        .join(intra, "lab", "left")
+        .select(
+            "lab",
+            "m",
+            (
+                F.lit(4).cast(dec) * F.col("m") * F.coalesce("e_c", F.lit(0).cast(dec))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("t"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("m").cast("bigint").alias("m_edges"),
+        F.sum("t").cast("bigint").alias("q_num"),
+        (
+            F.sum("t").cast("double")
+            / (F.lit(4).cast(dec) * F.max("m") * F.max("m")).cast("double")
+        ).alias("modularity"),
     )

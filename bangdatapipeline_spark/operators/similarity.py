@@ -1597,3 +1597,75 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnf") <= TOP_K).alias("in_full_topk"),
         )
     )
+
+
+@register(
+    "emb_knn_outlier",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+), sims AS (
+    SELECT q.q_id, e.vec_id AS n_id,
+           {_duck_dot('q.q_emb', 'e.embedding')} AS sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+), nn AS (
+    SELECT q_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn
+    FROM sims
+), scored AS (
+    SELECT q_id,
+           CAST(sum(1000000 - CAST(floor(sim * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS dist_ppm
+    FROM nn WHERE rn <= {TOP_K}
+    GROUP BY q_id
+)
+SELECT q_id, dist_ppm,
+       CAST(row_number() OVER (ORDER BY dist_ppm DESC, q_id ASC) AS INT) AS rk
+FROM scored
+""",
+)
+def emb_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scoring — the embedding-space curation filter
+    that surfaces garbage/mislabeled/out-of-distribution documents: a
+    vector whose k nearest neighbors are all FAR is isolated, so its
+    summed top-k cosine distance ranks it as an outlier (the kNN-dist
+    member of the LOF family; the full LOF ratio adds one more
+    self-join over these same pairs).
+
+    Reuses the exact brute-force kNN shape (broadcast query side over
+    the streamed corpus, candidates-only shuffle); the score is the SUM
+    of the top-{TOP_K} distances in exact ppm integers — each dot
+    product is a bit-identical cross-engine fold, floor-latticed to
+    ppm BEFORE summing, so the ranking key is an exact integer and the
+    global ordering cannot split on accumulation order. At 100 TB the
+    pair generation swaps to the LSH/IVF candidate paths (same
+    machinery as knn_ann_lsh) and the scoring agg is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            dot_double(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    wnn = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    scored = (
+        sims.withColumn("rn", F.row_number().over(wnn))
+        .filter(F.col("rn") <= TOP_K)
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.lit(1000000)
+                - F.floor(F.col("sim") * 1000000 + 0.5).cast("bigint")
+            ).alias("dist_ppm")
+        )
+    )
+    wrk = Window.orderBy(F.col("dist_ppm").desc(), F.col("q_id").asc())
+    return scored.withColumn("rk", F.row_number().over(wrk).cast("int"))

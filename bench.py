@@ -164,6 +164,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_group_split", "sample_group_split"),
     ("orders_join_ivm", "incremental_join_delta"),
     ("orders_quantiles_exact", "agg_quantiles_exact"),
+    ("graph_modularity_lpa", "graph_modularity"),
+    ("emb_knn_outliers", "emb_knn_outlier"),
+    ("lineitem_cov_matrix", "agg_covariance_matrix"),
 ]
 
 RUNS = 3
