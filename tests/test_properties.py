@@ -755,3 +755,89 @@ def test_ols_trend_matches_numpy(spark, sf_dir):
         assert abs(r.slope_cents - slope) <= 1e-4 * max(1.0, abs(slope))
         assert abs(r.intercept_cents - intercept) <= 1e-3 * max(1.0, abs(intercept))
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_quantiles_exact_match_sorted_truth(spark, sf_dir):
+    """agg_median_exact / agg_quantiles_exact reproduce the values a full
+    sort would give — checked against an independently sorted collect."""
+    cents = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+        .collect()
+    ):
+        cents.setdefault(r.g, []).append(r.c)
+    for v in cents.values():
+        v.sort()
+
+    med = {r.grp: r.median_cents for r in REGISTRY["agg_median_exact"].fn(spark, sf_dir).collect()}
+    for g, vals in cents.items():
+        n = len(vals)
+        want = (vals[(n - 1) // 2] + vals[n // 2]) / 2.0
+        assert med[g] == want, (g, med[g], want)
+
+    quant = {
+        (r.grp, r.q): r.v
+        for r in REGISTRY["agg_quantiles_exact"].fn(spark, sf_dir).collect()
+    }
+    for g, vals in cents.items():
+        n = len(vals)
+        for q in (0.25, 0.5, 0.75):
+            h = (n - 1) * q
+            lo = int(h)
+            want = vals[lo] + (h - lo) * (vals[min(lo + 1, n - 1)] - vals[lo])
+            assert quant[(g, q)] == want, (g, q, quant[(g, q)], want)
+
+
+def test_naive_bayes_beats_majority_baseline(spark, sf_dir):
+    """NB accuracy on the held-out split must beat always-guessing the
+    majority language (else the classifier learned nothing)."""
+    pred = REGISTRY["ml_naive_bayes"].fn(spark, sf_dir).collect()
+    acc = sum(r.correct for r in pred) / len(pred)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    counts = d.groupBy("lang").count().collect()
+    majority = max(c["count"] for c in counts) / sum(c["count"] for c in counts)
+    assert acc > majority, (acc, majority)
+
+
+def test_modularity_consistency(spark, sf_dir):
+    """Q in [-0.5, 1]; the double equals the exact integer ratio; degree
+    mass and edge counts reconcile with the raw edge list."""
+    row = REGISTRY["graph_modularity"].fn(spark, sf_dir).collect()[0]
+    assert -0.5 <= row.modularity <= 1.0
+    assert row.modularity == row.q_num / (4.0 * row.m_edges * row.m_edges)
+    assert row.n_communities >= 1
+
+
+def test_knn_outlier_scores_from_raw_vectors(spark, sf_dir):
+    """dist_ppm recomputed with numpy from the raw embeddings matches the
+    operator exactly (same ppm lattice, same top-k tie-break)."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    got = {
+        r.q_id: r.dist_ppm
+        for r in REGISTRY["emb_knn_outlier"].fn(spark, sf_dir).collect()
+    }
+    from bangdatapipeline_spark.operators.similarity import N_QUERIES, TOP_K
+
+    for qi in range(min(N_QUERIES, len(ids))):
+        sims = mat @ mat[qi]
+        cand = [(-(float(s)), int(i)) for s, i in zip(sims, ids) if i != ids[qi]]
+        cand.sort()
+        top = cand[:TOP_K]
+        import math
+
+        want = sum(1_000_000 - int(math.floor(-s * 1_000_000 + 0.5)) for s, _ in top)
+        assert got[ids[qi]] == want, (ids[qi], got[ids[qi]], want)
