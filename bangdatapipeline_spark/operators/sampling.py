@@ -319,3 +319,56 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents_checksum"),
         )
     )
+
+
+@register(
+    "sample_temporal_split",
+    oracle="""
+WITH assigned AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE
+           WHEN o_orderdate <  DATE '1997-01-01' THEN 'train'
+           WHEN o_orderdate <  DATE '1998-01-01' THEN 'val'
+           ELSE 'test'
+         END AS split,
+         o_orderdate
+  FROM orders
+)
+SELECT split,
+       CAST(count(*) AS BIGINT)   AS n_rows,
+       min(o_orderdate)           AS first_date,
+       max(o_orderdate)           AS last_date,
+       CAST(sum(cents) AS BIGINT) AS cents_checksum
+FROM assigned GROUP BY split
+""",
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split — the third member of the split
+    family (random: ``sample_split``, group-aware: ``sample_group_split``):
+    cut on event time so the model never trains on the future. The cut
+    is a scan-stage date predicate (zero shuffle, partition-prunable
+    when the table is date-partitioned — the 100 TB layout); the audit
+    emits per-split row counts, date ranges (which must not overlap),
+    and an exact integer checksum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    split = (
+        F.when(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"), "train")
+        .when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), "val")
+        .otherwise("test")
+    )
+    return (
+        o.select(
+            split.alias("split"),
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+            F.sum("cents").alias("cents_checksum"),
+        )
+    )

@@ -1669,3 +1669,46 @@ def emb_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrk = Window.orderBy(F.col("dist_ppm").desc(), F.col("q_id").asc())
     return scored.withColumn("rk", F.row_number().over(wrk).cast("int"))
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+WITH x AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+  FROM embeddings
+), v AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val FROM x
+)
+SELECT CAST(dim AS INT)              AS dim,
+       CAST(count(*) AS BIGINT)      AS n,
+       round(avg(val), 6)            AS mean,
+       round(stddev_samp(val), 6)    AS sd,
+       round(min(val), 6)            AS lo,
+       round(max(val), 6)            AS hi
+FROM v GROUP BY dim
+""",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column — the
+    normalization/whitening input (feature-wise mean/std for centering,
+    degenerate-dimension detection before PCA/IVF training).
+
+    posexplode keys the aggregation on dimension index: a BOUNDED key
+    space (|dims|), so the big value stream partial-aggregates map-side
+    to |dims| state rows per task and the shuffle is |tasks| x |dims|
+    tiny rows regardless of corpus size — the correct 100 TB shape for
+    any per-feature statistic. Same float policy as ``label_purity``:
+    synthetic-margin-safe round-6 on the aggregate outputs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        F.col("dim").cast("int").alias("dim"), F.col("val").cast("double").alias("val")
+    )
+    return v.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.stddev_samp("val"), 6).alias("sd"),
+        F.round(F.min("val"), 6).alias("lo"),
+        F.round(F.max("val"), 6).alias("hi"),
+    )
