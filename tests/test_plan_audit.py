@@ -54,6 +54,8 @@ CARTESIAN_OK = {
     "dedup_near_simhash",  # 1-row hyperplane codebook broadcast
     "join_bloom_prefilter",  # 1-row bloom bit-set broadcast onto the fact scan
     "ml_naive_bayes",  # per-lang model rows (bounded by |langs|) broadcast
+    "emb_knn_outlier",  # exact brute-force pair pass (broadcast query side)
+    "graph_modularity",  # 1-row edge-count scalar crossJoined into terms
     "text_langid",  # language-profile constant table broadcast
     "text_tfidf",  # 1-row corpus-size scalar for the IDF term
     "win_rfm_segments",  # 1-row quintile cut points crossJoined
