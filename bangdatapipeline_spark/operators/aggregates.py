@@ -1772,8 +1772,22 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    ).withColumnRenamed("cents", "v")
+    m = exact_median2(o, width=100000)
+    return m.select(
+        "grp", "n", (F.col("m2") / F.lit(2.0)).alias("median_cents")
     )
-    hist = o.groupBy("grp", (F.col("cents") - F.col("cents") % 100000).alias("bucket")).agg(
+
+
+def exact_median2(df: DataFrame, width: int) -> DataFrame:
+    """Two-phase exact median selection over ``(grp, v)`` integer rows:
+    returns ``(grp, n, m2)`` with ``m2 = v_(k1) + v_(k2)`` (twice the
+    interpolated median, always an exact integer). ``width`` is the
+    phase-1 histogram bucket size — pick it so per-(grp,bucket) row
+    counts stay task-sized; the machinery is the one documented on
+    ``agg_median_exact`` and is reused by the MAD operator (which
+    medians twice: values, then absolute deviations)."""
+    hist = df.groupBy("grp", (F.col("v") - F.col("v") % width).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     wcum = (
@@ -1787,7 +1801,7 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wcum).alias("cum"),
         (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
     )
-    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    n = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     targets = n.select(
         "grp",
         "n",
@@ -1802,10 +1816,10 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
         .select("grp", "n", "bucket", "k", (F.col("k") - F.col("cum_prev")).alias("off"))
     )
-    in_bucket = o.withColumn(
-        "bucket", F.col("cents") - F.col("cents") % 100000
+    in_bucket = df.withColumn(
+        "bucket", F.col("v") - F.col("v") % width
     ).join(F.broadcast(spec.select("grp", "bucket").distinct()), ["grp", "bucket"])
-    wrk = Window.partitionBy("grp", "bucket").orderBy("cents")
+    wrk = Window.partitionBy("grp", "bucket").orderBy("v")
     ranked = in_bucket.withColumn("rn", F.row_number().over(wrk))
     spec_r = spec.select(
         F.col("grp").alias("s_grp"),
@@ -1818,11 +1832,12 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("grp") == F.col("s_grp"))
         & (F.col("bucket") == F.col("s_bucket"))
         & (F.col("rn") == F.col("s_off")),
-    ).select(F.col("s_grp").alias("g"), F.col("s_n").alias("gn"), F.col("cents").alias("v"))
-    return picked.groupBy("g").agg(
-        F.max("gn").alias("n"),
-        (F.sum("v") / F.lit(2.0)).alias("median_cents"),
-    ).select(F.col("g").alias("grp"), "n", "median_cents")
+    ).select(F.col("s_grp").alias("g"), F.col("s_n").alias("gn"), F.col("v").alias("v"))
+    return (
+        picked.groupBy("g")
+        .agg(F.max("gn").alias("n"), F.sum("v").alias("m2"))
+        .select(F.col("g").alias("grp"), "n", "m2")
+    )
 
 
 @register(
@@ -2041,4 +2056,78 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return s.select(F.explode(F.array(*pair_rows)).alias("p")).select(
         "p.x_col", "p.y_col", "p.n", "p.cov_pop", "p.corr"
+    )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type AS grp, CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(2 * median(v) AS BIGINT) AS m2
+  FROM c GROUP BY grp
+),
+dev AS (
+  SELECT c.grp, abs(2 * c.v - m.m2) AS d
+  FROM c JOIN med m USING (grp)
+),
+mad AS (SELECT grp, CAST(2 * median(d) AS BIGINT) AS md2 FROM dev GROUP BY grp)
+SELECT m.grp,
+       m.n,
+       CAST(m.m2 AS DOUBLE) / 2                                       AS med,
+       CAST(a.md2 AS DOUBLE) / 4                                      AS mad,
+       CAST(sum(CASE WHEN 2 * dv.d > 3 * a.md2 THEN 1 ELSE 0 END)
+            AS BIGINT)                                                AS n_outliers
+FROM dev dv JOIN med m USING (grp) JOIN mad a USING (grp)
+GROUP BY m.grp, m.n, m.m2, a.md2
+""",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier report per event type — the
+    breakdown-resistant sibling of the z-score anomaly op: mean/stddev
+    move with the outliers they're meant to find, while the median and
+    the median absolute deviation have a 50% breakdown point.
+
+    Medians twice with the shared two-phase selection kernel
+    (``exact_median2``) — values first, then absolute deviations — in
+    doubled-integer space: m2 = 2*median(v) and md2 = 2*median(|2v-m2|)
+    = 4*MAD are exact integers, so the flag rule |v - med| > 3*MAD is
+    the pure-integer comparison 2*|2v - m2| > 3*md2 and the whole
+    report hash-matches with zero float hazards (the emitted med/mad
+    are single exact divisions). Scale: two bounded-histogram passes +
+    two gated re-scans; deviations join the per-group scalar table
+    broadcast, so facts shuffle only into the histogram partial aggs.
+    """
+    c = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    med = exact_median2(c, width=10000)  # (grp, n, m2)
+    dev = c.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("v") - F.col("m2")).alias("v")
+    )
+    mad = exact_median2(dev, width=10000).select(
+        "grp", F.col("m2").alias("md2")
+    )
+    flagged = (
+        dev.withColumnRenamed("v", "d")
+        .join(F.broadcast(med), "grp")
+        .join(F.broadcast(mad), "grp")
+        .groupBy("grp", "n", "m2", "md2")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("md2"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return flagged.select(
+        "grp",
+        "n",
+        (F.col("m2").cast("double") / 2).alias("med"),
+        (F.col("md2").cast("double") / 4).alias("mad"),
+        "n_outliers",
     )

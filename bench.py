@@ -167,6 +167,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("graph_modularity_lpa", "graph_modularity"),
     ("emb_knn_outliers", "emb_knn_outlier"),
     ("lineitem_cov_matrix", "agg_covariance_matrix"),
+    ("events_mad_outliers", "agg_mad_outliers"),
 ]
 
 RUNS = 3
