@@ -719,3 +719,180 @@ def hist_quantiles(daily: DataFrame) -> DataFrame:
         .cast("int")
         .alias("p95_lo"),
     )
+
+
+@register(
+    "ts_xcorr_leadlag",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS HUGEINT) AS v
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+joined AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.v AS x, b.v AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b
+    ON b.event_type > a.event_type
+   AND b.day = a.day + l.lag
+),
+s AS (
+  SELECT type_a, type_b, lag,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM joined GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS xcorr
+FROM s
+""",
+)
+def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between event-type daily series — does
+    signal A today predict signal B in k days? — for every ordered type
+    pair at lags -2..+2. The classic product-metric question (clicks
+    lead purchases?) answered as pure relational algebra: facts reduce
+    to a bounded (type, day) daily table FIRST (map-side combined; at
+    100 TB this is the only pass over raw events), and the lag joins,
+    power sums, and Pearson formula all run on that tiny table.
+    Integer-cent daily sums + wide-integer power sums (decimal38 /
+    HUGEINT) leave ONE float division+sqrt of bit-identical operands —
+    the moment-sketch determinism pattern of agg_ols_trend /
+    agg_covariance_matrix.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast(dec)
+            .alias("v")
+        )
+    )
+    lags = spark.range(-2, 3).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), F.col("day").alias("day_a"), F.col("v").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), F.col("day").alias("day_b"), F.col("v").alias("y")
+    )
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag"))),
+        )
+    )
+    s = joined.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double"))).alias("xcorr"),
+    )
+
+
+@register(
+    "ts_up_streaks",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, day, v,
+         CASE WHEN v > lag(v) OVER w THEN 1 ELSE 0 END AS up
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+grouped AS (
+  SELECT event_type, day, up,
+         sum(CASE WHEN up = 1 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY event_type ORDER BY day) AS streak_id
+  FROM flagged
+),
+streaks AS (
+  SELECT event_type, streak_id,
+         CAST(count(*) AS BIGINT) AS len_days,
+         min(day) AS streak_start, max(day) AS streak_end
+  FROM grouped WHERE up = 1
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       len_days,
+       strftime(streak_start, '%Y-%m-%d') AS streak_start,
+       strftime(streak_end, '%Y-%m-%d')   AS streak_end
+FROM streaks
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY len_days DESC, streak_start ASC
+) = 1
+""",
+)
+def ts_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive day-over-day increases per event type
+    (monitoring/anomaly vocabulary: momentum streaks) via the
+    gaps-and-islands RESET trick: a running count of non-increase days
+    is constant exactly across one streak, so it IS the streak id — no
+    iteration, two window passes over the bounded (type, day) daily
+    table. Everything is integer cents and dates; the daily reduction
+    is the only pass over raw facts (same 100 TB shape as
+    ``ts_xcorr_leadlag``).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    flagged = daily.withColumn(
+        "up", F.when(F.col("v") > F.lag("v").over(w), 1).otherwise(0)
+    )
+    grouped = flagged.withColumn(
+        "streak_id",
+        F.sum(F.when(F.col("up") == 1, 0).otherwise(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    streaks = (
+        grouped.filter(F.col("up") == 1)
+        .groupBy("event_type", "streak_id")
+        .agg(
+            F.count(F.lit(1)).alias("len_days"),
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("len_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "len_days",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
+        )
+    )

@@ -168,6 +168,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_knn_outliers", "emb_knn_outlier"),
     ("lineitem_cov_matrix", "agg_covariance_matrix"),
     ("events_mad_outliers", "agg_mad_outliers"),
+    ("events_xcorr_leadlag", "ts_xcorr_leadlag"),
+    ("events_up_streaks", "ts_up_streaks"),
 ]
 
 RUNS = 3
