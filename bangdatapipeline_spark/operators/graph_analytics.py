@@ -1490,3 +1490,97 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(4).cast(dec) * F.max("m") * F.max("m")).cast("double")
         ).alias("modularity"),
     )
+
+
+_WALK_STEPS = 3
+_WALK_SEED_BELOW = 40  # start set: customer nodes (even ids) < 40 -> <=20 walks
+
+
+def _walks_oracle() -> str:
+    ctes = [
+        f"""w0 AS (
+  SELECT DISTINCT src AS start, src AS cur
+  FROM edges WHERE src % 2 = 0 AND src < {_WALK_SEED_BELOW}
+)"""
+    ]
+    prev = "w0"
+    for t in range(1, _WALK_STEPS + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT p.start, e.dst AS cur
+  FROM {prev} p JOIN edges e ON e.src = p.cur
+  QUALIFY row_number() OVER (
+    PARTITION BY p.start
+    ORDER BY md5(CAST(p.cur AS VARCHAR) || '|{t}|' || CAST(e.dst AS VARCHAR)),
+             e.dst
+  ) = 1
+)"""
+        )
+        prev = f"w{t}"
+    steps = ",\n".join(ctes)
+    sel = ", ".join(f"CAST(w{t}.cur AS BIGINT) AS s{t}" for t in range(1, _WALK_STEPS + 1))
+    joins = " ".join(f"JOIN w{t} ON w{t}.start = w0.start" for t in range(1, _WALK_STEPS + 1))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+{steps}
+SELECT CAST(w0.start AS BIGINT) AS start, {sel}
+FROM w0 {joins}
+"""
+
+
+@register("graph_walks_det", oracle=_walks_oracle())
+def graph_walks_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "random" walks over the trade graph — the corpus
+    generator for graph-embedding training (DeepWalk/node2vec feed
+    sequences of neighbors into a skip-gram model): from each seed
+    customer, {_WALK_STEPS} steps where the next hop is the neighbor
+    minimizing md5(cur || '|' || step || '|' || neighbor). The hash
+    argmin IS the walk's randomness — uniform-ish over neighbors yet
+    bit-reproducible across engines, partitionings, and reruns, the
+    same determinism contract as the md5 samplers (a seeded PRNG walk
+    is partition-order-dependent in Spark; a hash walk never is).
+
+    Each step is one frontier-to-edges equi-join + per-walk argmin
+    window — Pregel supersteps over the session-cached edge list. At
+    100 TB with millions of walks, the frontier join co-locates on the
+    cached edge partitioning and the window keys on walk id; neither
+    moves the full edge list after the first shuffle.
+    """
+    contrib, _init, _n = _trade_contrib(spark, sf_dir)
+    edges = contrib.select("src", "dst")
+    w0 = (
+        edges.filter((F.col("src") % 2 == 0) & (F.col("src") < _WALK_SEED_BELOW))
+        .select(F.col("src").alias("start"))
+        .distinct()
+        .withColumn("cur", F.col("start"))
+    )
+    frontier = w0
+    hops = []
+    for t in range(1, _WALK_STEPS + 1):
+        gate = F.md5(
+            F.concat(
+                F.col("cur").cast("string"),
+                F.lit(f"|{t}|"),
+                F.col("dst").cast("string"),
+            )
+        )
+        wname = Window.partitionBy("start").orderBy(gate.asc(), F.col("dst").asc())
+        frontier = (
+            frontier.join(edges, frontier["cur"] == edges["src"])
+            .withColumn("rn", F.row_number().over(wname))
+            .filter(F.col("rn") == 1)
+            .select("start", F.col("dst").alias("cur"))
+        )
+        hops.append(frontier.select("start", F.col("cur").alias(f"s{t}")))
+    out = w0.select(F.col("start").cast("bigint").alias("start"))
+    for t, h in enumerate(hops, start=1):
+        out = out.join(
+            h.select(F.col("start").cast("bigint").alias("start"),
+                     F.col(f"s{t}").cast("bigint").alias(f"s{t}")),
+            "start",
+        )
+    return out

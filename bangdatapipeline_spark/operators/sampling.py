@@ -19,7 +19,7 @@ oracle is the very same predicate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
@@ -371,4 +371,45 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_date"),
             F.sum("cents").alias("cents_checksum"),
         )
+    )
+
+
+PER_GROUP_K = 5
+
+
+@register(
+    "sample_per_group_fixed",
+    oracle=f"""
+SELECT lang, doc_id, n_chars, rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS rk
+  FROM documents
+) t
+WHERE rk <= {PER_GROUP_K}
+""",
+)
+def sample_per_group_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample (reservoir semantics, deterministic):
+    exactly {PER_GROUP_K} documents per language, chosen by md5-rank —
+    the hash order is a uniform shuffle that every engine / partitioning
+    / rerun reproduces, unlike a seeded reservoir whose keep-set depends
+    on encounter order. The eval-set builder's primitive: "give me K
+    per stratum, stable across pipeline reruns".
+
+    Plan: one window per stratum key; at 100 TB group counts are
+    unbounded but WindowGroupLimit pushes the rank<=K filter into the
+    sort, so per-partition state is K rows per group, not the group.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= PER_GROUP_K)
+        .select("lang", "doc_id", "n_chars", "rk")
     )

@@ -170,6 +170,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_mad_outliers", "agg_mad_outliers"),
     ("events_xcorr_leadlag", "ts_xcorr_leadlag"),
     ("events_up_streaks", "ts_up_streaks"),
+    ("graph_det_walks", "graph_walks_det"),
+    ("doc_per_lang_sample", "sample_per_group_fixed"),
 ]
 
 RUNS = 3
