@@ -56,6 +56,7 @@ CARTESIAN_OK = {
     "ml_naive_bayes",  # per-lang model rows (bounded by |langs|) broadcast
     "emb_knn_outlier",  # exact brute-force pair pass (broadcast query side)
     "graph_modularity",  # 1-row edge-count scalar crossJoined into terms
+    "ts_xcorr_leadlag",  # 5-row lag spine crossJoined onto the bounded daily table
     "text_langid",  # language-profile constant table broadcast
     "text_tfidf",  # 1-row corpus-size scalar for the IDF term
     "win_rfm_segments",  # 1-row quintile cut points crossJoined
