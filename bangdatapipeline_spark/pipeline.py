@@ -374,3 +374,28 @@ class Frame:
             *[F.max(c).alias(c) for c in maxs],
         )
         return Frame(merged)
+
+    def median(self, col: str, by: str, scale: int = 100,
+               width: int = 100000) -> "Frame":
+        """EXACT per-group median of a numeric column without a global
+        sort — the ``exact_median2`` two-phase selection kernel as a
+        facade verb (pandas ``groupby(by)[col].median()`` vocabulary).
+        ``scale`` lifts the value onto an integer lattice (100 = cent
+        precision) so the selection and the final halving are exact;
+        ``width`` is the phase-1 histogram bucket size. Returns
+        ``(by, n, median)`` with ``median`` back in input units.
+        """
+        from bangdatapipeline_spark.operators.aggregates import exact_median2
+
+        v = self.df.select(
+            F.col(by).alias("grp"),
+            F.round(F.col(col) * scale, 0).cast("bigint").alias("v"),
+        )
+        m = exact_median2(v, width=width)
+        return Frame(
+            m.select(
+                F.col("grp").alias(by),
+                "n",
+                (F.col("m2") / F.lit(2.0 * scale)).alias("median"),
+            )
+        )

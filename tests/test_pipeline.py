@@ -310,3 +310,27 @@ def test_merge_state_verb_equals_full_recompute(spark, sf_dir):
     }
     want = {r.o_orderpriority: (r.n, r.lo, r.hi) for r in st(orders).collect()}
     assert got == want
+
+
+def test_median_verb_matches_sorted_truth(spark, sf_dir):
+    """Frame.median reproduces the interpolated median a full sort gives."""
+    from bangdatapipeline_spark.pipeline import Frame
+    from bangdatapipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        r.o_orderpriority: (r.n, r.median)
+        for r in Frame(orders)
+        .median("o_totalprice", by="o_orderpriority")
+        .df.collect()
+    }
+    cents = {}
+    for r in orders.select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    ).collect():
+        cents.setdefault(r.o_orderpriority, []).append(r.c)
+    for g, vals in cents.items():
+        vals.sort()
+        n = len(vals)
+        want = (vals[(n - 1) // 2] + vals[n // 2]) / 200.0
+        assert got[g] == (n, want), (g, got[g], (n, want))
