@@ -658,3 +658,92 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(prec * 10000 + 0.5) / 10000).alias("precision_b"),
         (F.floor(rec * 10000 + 0.5) / 10000).alias("recall_b"),
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH hashed AS (
+{DUCK_HASHED_CTE}
+), sig AS (
+    SELECT doc_id, hs, {_duck_minhash_sig()} AS sig FROM hashed
+), bexp AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(0, {BANDS - 1}),
+               g -> g || ':' || array_to_string(
+                   list_slice(sig, g * {ROWS_PER_BAND} + 1, g * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ','))) AS key
+    FROM sig
+), cand AS (
+    SELECT DISTINCT d.doc_id AS id_new, b.doc_id AS id_base
+    FROM bexp d JOIN bexp b ON b.key = d.key
+    WHERE d.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+), verified AS (
+    SELECT c.id_new
+    FROM cand c
+    JOIN hashed ha ON ha.doc_id = c.id_new
+    JOIN hashed hb ON hb.doc_id = c.id_base
+    WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+          / len(list_distinct(ha.hs || hb.hs)) >= {JACCARD_TAU}
+), counts AS (
+    SELECT id_new, CAST(count(*) AS BIGINT) AS n_dups FROM verified GROUP BY 1
+)
+SELECT h.doc_id, coalesce(c.n_dups, 0) AS n_dups, c.id_new IS NULL AS kept
+FROM hashed h LEFT JOIN counts c ON c.id_new = h.doc_id
+WHERE h.doc_id % 4 = 0
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: screen a DELTA batch of documents
+    (doc_id % 4 == 0) against the already-curated BASE corpus — the
+    production shape for a continuously-fed training corpus, where
+    re-pairing the base with itself on every drop would be quadratic
+    in corpus age. Only delta band keys probe the base band table, so
+    the candidate join is |delta| x collision-rate — base x base pairs
+    never form. Candidates are exact-verified (same hashed-shingle
+    Jaccard >= tau as ``dedup_near_minhash``); output is the per-delta-doc
+    audit: verified base-duplicate count and the keep decision.
+
+    At 100 TB the base band table is a bucketed, persisted artifact
+    (written once per epoch by the batch dedup); each delta batch
+    shuffles only its own (key, id) pairs into the probe — the dedup
+    sibling of ``incremental_agg_merge``'s state-not-facts rule.
+    """
+    hashed = _hashed_shingles(spark, sf_dir).cache()
+    sig = hashed.withColumn("sig", F.expr(_minhash_sig_expr()))
+    bexp = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {BANDS - 1}), g -> concat(g, ':', "
+                f"concat_ws(',', slice(sig, g * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
+            )
+        ).alias("key"),
+    )
+    delta_b = bexp.filter(F.col("doc_id") % 4 == 0).select(
+        "key", F.col("doc_id").alias("id_new")
+    )
+    base_b = bexp.filter(F.col("doc_id") % 4 != 0).select(
+        "key", F.col("doc_id").alias("id_base")
+    )
+    cand = delta_b.join(base_b, "key").select("id_new", "id_base").distinct()
+    verified = (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("id_new"), F.col("hs").alias("sa")),
+            "id_new",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("id_base"), F.col("hs").alias("sb")),
+            "id_base",
+        )
+        .filter(F.expr(_JACCARD_SPARK) >= JACCARD_TAU)
+        .groupBy("id_new")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    delta_docs = hashed.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return delta_docs.join(
+        verified.withColumnRenamed("id_new", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        F.col("n_dups").isNull().alias("kept"),
+    )

@@ -172,6 +172,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_up_streaks", "ts_up_streaks"),
     ("graph_det_walks", "graph_walks_det"),
     ("doc_per_lang_sample", "sample_per_group_fixed"),
+    ("doc_incremental_dedup", "dedup_incremental_minhash"),
 ]
 
 RUNS = 3
