@@ -24,11 +24,37 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
+
+
+# Size gate for the adjacency-table broadcasts in the triangle/Jaccard
+# family: the per-node out-neighbor arrays are O(|V| * sqrt(2|E|)) — fine
+# to broadcast at survey scale, a driver/executor OOM at billion-node
+# scale. Below the gate the join gets the explicit broadcast hint; above
+# it the hint is withheld so Catalyst plans a shuffled sort-merge join on
+# the node key (the docstring's bucketed-join move — both sides hash on
+# the same key, no new shuffle class).
+_BROADCAST_MAX_BYTES = 256 << 20  # 256 MB, ~executor broadcast comfort zone
+
+
+def _size_gated_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast-hint ``df`` only when Catalyst's own plan-stats estimate
+    fits the gate. The estimate (`optimizedPlan().stats().sizeInBytes`)
+    is pure planning — no job runs — and is exact for materialized cached
+    relations, file-size-derived for scans. Gate override for tests /
+    clusters via ``BDP_BROADCAST_MAX_BYTES``."""
+    limit = int(os.environ.get("BDP_BROADCAST_MAX_BYTES", _BROADCAST_MAX_BYTES))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable -> assume too big, stay shuffled
+        size = limit + 1
+    return F.broadcast(df) if size <= limit else df
 
 
 # --------------------------------------------------------------------------
@@ -244,17 +270,22 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAGERANK_ITERS = 3
 _DAMPING = 0.85
 
-# (session id, sf_dir) -> (cached contribution edges, initial ranks, |V|).
-_graph_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame, int]] = {}
+# (session id, sf_dir) -> (cached contribution edges, initial ranks, |V| df).
+_graph_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
-def _trade_contrib(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+def _trade_contrib(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build-once-per-(session, sf_dir) cached trade graph: the doubled
     (src, dst, w=1/outdeg(src)) edge list of the customer<->supplier
-    graph, its initial uniform rank vector, and |V|. Shared by
-    ``graph_pagerank`` and ``graph_kcore`` — the edge build (join +
-    distinct over the fact table) is the expensive part and is paid once
-    per session, the memo pattern of ``tables.load_table``."""
+    graph, its initial uniform rank vector, and |V| as a LAZY 1-row
+    DataFrame (``n_nodes``) — scalars the formulas need ride in via
+    crossJoin(broadcast(...)), the repo-wide pattern, so building the
+    graph triggers no driver-side action. Shared by ``graph_pagerank``
+    and ``graph_kcore`` — the edge build (join + distinct over the fact
+    table) is the expensive part and is paid once per session, the memo
+    pattern of ``tables.load_table``."""
     key = (id(spark), sf_dir)
     cached = _graph_cache.get(key)
     if cached is not None:
@@ -287,9 +318,22 @@ def _trade_contrib(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         .repartition(n_edge_parts)
         .cache()
     )
-    n_nodes = deg.count()  # one action; |V| is a scalar the formulas need
-    init = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
-    cached = (contrib_src, init, n_nodes)
+    # |V| as a lazy 1-row aggregate OVER THE CACHE (distinct src = every
+    # node, since the doubled edge list gives each node outdegree >= 1) —
+    # no eager action; consumers crossJoin(broadcast(n_df)) it in.
+    n_df = contrib_src.agg(
+        F.count_distinct("src").cast("bigint").alias("n_nodes")
+    )
+    init = (
+        contrib_src.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("src").alias("node"),
+            (F.lit(1.0) / F.col("n_nodes")).alias("r"),
+        )
+    )
+    cached = (contrib_src, init, n_df)
     _graph_cache[key] = cached
     return cached
 
@@ -364,16 +408,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise is ~1e-15 relative, many orders of magnitude inside the
     rounding step.
     """
-    contrib_src, ranks, n_nodes = _trade_contrib(spark, sf_dir)
+    contrib_src, ranks, n_df = _trade_contrib(spark, sf_dir)
     for _ in range(_PAGERANK_ITERS):
         ranks = (
             contrib_src.join(F.broadcast(ranks), contrib_src["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w")).alias("s"))
+            # |V| rides in as a broadcast 1-row aggregate (lazy scalar —
+            # the same (1-d)/n each oracle round computes from n.cnt).
+            .crossJoin(F.broadcast(n_df))
             .select(
                 F.col("dst").alias("node"),
                 (
-                    F.lit((1 - _DAMPING) / n_nodes)
+                    F.lit(1 - _DAMPING) / F.col("n_nodes")
                     + F.lit(_DAMPING) * F.col("s")
                 ).alias("r"),
             )
@@ -653,9 +700,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     6.2 s cold vs 5.3 s for this; more importantly the wedge shuffle
     disappears). The oriented edge list is cached (reused by the
     adjacency build and the probe side); the adjacency table is |V| rows
-    with ≤ sqrt(2|E|)-length arrays and broadcasts twice. At 100 TB the
-    two adjacency joins become bucketed co-located joins on u / v
-    instead of broadcasts — same plan shape, no new shuffle class.
+    with ≤ sqrt(2|E|)-length arrays. Its two joins are SIZE-GATED
+    (``_size_gated_broadcast``): hinted broadcast while the plan-stats
+    estimate fits, else the hint is withheld and Catalyst plans shuffled
+    sort-merge joins on u / v — the 100 TB path, asserted both ways in
+    tests/test_plans.py.
     """
     oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
     # per-node sorted out-neighbor arrays (cached — two broadcast subtrees
@@ -667,8 +716,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     tri = (
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(F.broadcast(au), "u")
-        .join(F.broadcast(av), "v")
+        .join(_size_gated_broadcast(au), "u")
+        .join(_size_gated_broadcast(av), "v")
         .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("k"))
         .agg(F.sum("k").alias("n_triangles"))
     )
@@ -1016,7 +1065,9 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01; zero wedge rows here). Edges in no triangle have Jaccard 0
     and are excluded on both sides. The 100 TB moves: skewed graphs get
     the hub cap (drop top-degree nodes, which carry no similarity
-    signal); the adjacency broadcasts become bucketed joins; MinHash
+    signal); the adjacency joins are size-gated via
+    ``_size_gated_broadcast`` (broadcast under the gate, shuffled
+    sort-merge on the node key above it); MinHash
     over neighbor sets (the dedup_near machinery) when even the
     oriented enumeration is too hot. Jaccard is a small-denominator
     rational -> IEEE floor-round to a 6-dp lattice BEFORE ranking
@@ -1028,8 +1079,8 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     tris = (
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(F.broadcast(au), "u")
-        .join(F.broadcast(av), "v")
+        .join(_size_gated_broadcast(au), "u")
+        .join(_size_gated_broadcast(av), "v")
         .select("u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"))
     )
     e3 = (
@@ -1047,8 +1098,8 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("n_common")
     jac = c * 1.0 / (F.col("d_a") + F.col("d_b") - c)
     scored = (
-        common.join(F.broadcast(da), "pa")
-        .join(F.broadcast(db), "pb")
+        common.join(_size_gated_broadcast(da), "pa")
+        .join(_size_gated_broadcast(db), "pb")
         .select(
             "pa",
             "pb",
@@ -1128,9 +1179,15 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     cached = _lpa_cache.get(key)
     if cached is not None:
         return cached
-    contrib, init, _n = _trade_contrib(spark, sf_dir)
+    contrib, _init, _n = _trade_contrib(spark, sf_dir)
     edges = contrib.select("src", "dst")
-    labels = init.select("node", F.col("node").alias("lab"))
+    # node set straight off the cached edges (not the rank-init vector —
+    # that would drag its |V|-scalar crossJoin into every LPA plan)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
     for _ in range(_LPA_ROUNDS):
         labels = (

@@ -121,6 +121,88 @@ def incremental_state_merge_sink(df: DataFrame, key_cols: list[str], target: str
     return q, target
 
 
+def incremental_join_view_sink(
+    delta_stream: DataFrame,
+    static_side: DataFrame,
+    target: str | None = None,
+):
+    """Streaming materialized-JOIN-view maintenance — the streaming twin
+    of ``operators.incremental.incremental_join_delta``.
+
+    With the orders side static and lineitem streaming, the delta
+    algebra collapses to ``d(View) = orders JOIN dB``: each micro-batch
+    of lineitem rows joins the static orders table (a stream-static
+    join: only the delta shuffles; at cluster scale the static side is
+    bucketed on the join key so the probe co-locates), partial-aggregates
+    to the view's SUPPORTING grain ``(o_orderpriority, o_orderkey)``,
+    and merges into versioned state by sum — the same v{batch_id}
+    replay-idempotence contract as ``incremental_state_merge_sink``.
+
+    The supporting grain exists because ``count(DISTINCT o_orderkey)``
+    is NOT mergeable from per-priority partials; keeping one state row
+    per (priority, orderkey) makes every state column a sum, and the
+    read-time view (``join_view_result``) derives the distinct count as
+    ``count(*)`` over state keys — the standard IVM supporting-view
+    construction for distinct aggregates.
+    """
+    import pyspark.sql.functions as F
+
+    target = target or os.path.join(
+        tempfile.gettempdir(), f"ivm_join_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(target, exist_ok=True)
+    keys = ["o_orderpriority", "o_orderkey"]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.join(
+                static_side, batch_df["l_orderkey"] == static_side["o_orderkey"]
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        prior = _latest_state(spark, target, batch_id)
+        merged = delta if prior is None else (
+            prior.unionByName(delta)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target, f"v{batch_id:05d}")
+        )
+
+    q = (
+        delta_stream.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_ivmj_{uuid.uuid4().hex[:8]}"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, target
+
+
+def join_view_result(state: DataFrame) -> DataFrame:
+    """Read-time projection of the join-view state to the registered
+    query's output shape: distinct orders = count of state keys."""
+    import pyspark.sql.functions as F
+
+    return state.groupBy("o_orderpriority").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def _latest_state(spark: SparkSession, target: str, before_batch: int):
     """Newest committed state version strictly older than ``before_batch``
     (a replayed batch must merge onto the state it saw the first time)."""

@@ -35,6 +35,28 @@ from bangdatapipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The 12 BASELINE.md headline metrics — the only per-query entries in the
+# FINAL compact JSON line (the driver's tail capture is bounded; round 2's
+# single 125-query line overflowed it and parsed as null). The full map goes
+# to BENCH_FULL.json and an earlier stdout line.
+HEADLINE_METRICS = {
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_rank_orders",
+    "setops_segments",
+    "events_tumbling_1d",
+    "events_sessionize_30m",
+    "events_json_extract",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "emb_knn_top5",
+    "asof_last_event_before_order",
+    # canonical-layout q1 (BASELINE.md round-2 note): same aggregate over an
+    # engine-ingested multi-row-group lineitem copy, so the scan splits.
+    "q1_pricing_summary_canonical",
+}
+
 # BASELINE.md metric name -> registry key (same query shape at the same sf).
 # Keys not yet registered are skipped, so the bench degrades gracefully while
 # coverage is still widening.
@@ -178,6 +200,53 @@ BENCH_QUERIES: list[tuple[str, str]] = [
 RUNS = 3
 
 
+def _time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """(median exec sec, median plan sec) for one query; 1 warm-up + RUNS."""
+    fn(spark, sf_dir).toPandas()  # warm-up: JIT, codegen cache, footer cache
+    samples = []
+    plan_samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force analysis/optimization/physical planning pre-stopwatch
+        df._jdf.queryExecution().executedPlan()
+        plan_samples.append(time.perf_counter() - t0)
+        # Full materialization to Python via Arrow batches (the
+        # idiomatic PySpark result path; DuckDB's fetchall() baseline
+        # also materializes).
+        t0 = time.perf_counter()
+        df.toPandas()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples), statistics.median(plan_samples)
+
+
+def _canonical_lineitem_dir(spark) -> str:
+    """Re-ingest the bench sf_dir's lineitem through the engine's canonical
+    layout (8 files / 4 MB row groups) into a temp sf-dir.
+
+    BASELINE.md (round 2) root-caused q1's residual gap to the driver's
+    single-600k-row-row-group lineitem file: Spark cannot split a scan
+    below one row group, so the scan runs serial regardless of
+    ``files.maxPartitionBytes``. The canonical ingest is how the engine
+    itself would lay the table out; `q1_pricing_summary_canonical` times
+    the SAME query over that layout.
+    """
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "bdp_bench_canonical")
+    li_dir = os.path.join(out, "lineitem.parquet")
+    from bangdatapipeline_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    (
+        li.repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(li_dir)
+    )
+    return out
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     registry = load_all()
@@ -194,34 +263,46 @@ def main() -> None:
         q = registry.get(key)
         if q is None:
             continue
-        # warm-up: JIT, codegen cache, parquet footer cache
-        q.fn(spark, SF_DIR).toPandas()
-        samples = []
-        plan_samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = q.fn(spark, SF_DIR)
-            # force analysis/optimization/physical planning pre-stopwatch
-            df._jdf.queryExecution().executedPlan()
-            plan_samples.append(time.perf_counter() - t0)
-            # Full materialization to Python via Arrow batches (the
-            # idiomatic PySpark result path; DuckDB's fetchall() baseline
-            # also materializes).
-            t0 = time.perf_counter()
-            df.toPandas()
-            samples.append(time.perf_counter() - t0)
-        timings[metric] = round(statistics.median(samples), 4)
-        plan_total += statistics.median(plan_samples)
+        exec_s, plan_s = _time_query(spark, q.fn, SF_DIR)
+        timings[metric] = round(exec_s, 4)
+        plan_total += plan_s
+
+    # q1 over the engine's canonical multi-row-group layout (splittable scan)
+    canon_dir = _canonical_lineitem_dir(spark)
+    exec_s, plan_s = _time_query(spark, registry["agg_groupby"].fn, canon_dir)
+    timings["q1_pricing_summary_canonical"] = round(exec_s, 4)
+    plan_total += plan_s
 
     total = round(sum(timings.values()), 4)
+    plan_total = round(plan_total, 4)
+
+    # Full per-query map: side file + an EARLY stdout line (anything long
+    # must not be the final line — the driver's tail capture is bounded).
+    full = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plan_sec_total": plan_total,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full))
+
+    # FINAL line: compact, driver-parseable — headline queries only.
+    headline = {m: s for m, s in timings.items() if m in HEADLINE_METRICS}
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "plan_sec_total": round(plan_total, 4),
+                "queries": headline,
+                "plan_sec_total": plan_total,
+                "n_queries_total": len(timings),
+                "full_map": "BENCH_FULL.json",
                 "sf": sf,
             }
         )

@@ -40,6 +40,7 @@ CARTESIAN_OK = {
     "emb_pca_power",  # 1-row eigvec estimate crossJoined into projections
     "ml_kmeans_2iter",  # k-centroid array broadcast as a 1-row crossJoin
     "graph_triangles",  # 1-row |V|/|E| scalars crossJoined into the output
+    "graph_pagerank",  # 1-row |V| scalar (lazy n_nodes agg) crossJoined per round
     "graph_basket_lift",  # 1-row n_orders scalar crossJoined
     "events_cuped",  # 1-row theta/covariance scalars crossJoined
     "ts_churn_flags",  # corpus as-of anchor (1-row max ts) crossJoined

@@ -319,6 +319,25 @@ def test_triangles_orientation_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
 
 
+def test_triangle_adjacency_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
+    """Above the size gate the adjacency joins must NOT broadcast — the
+    hint is withheld and Catalyst plans shuffled sort-merge joins on the
+    node key (the 100 TB fallback). Forcing the gate to 0 simulates a
+    too-big adjacency; same operators, same oracles, different join
+    strategy only."""
+    monkeypatch.setenv("BDP_BROADCAST_MAX_BYTES", "0")
+    for key in ("graph_triangles", "graph_neighbor_jaccard"):
+        plan = _plan(REGISTRY[key].fn(spark, sf_dir))
+        assert "SortMergeJoin" in plan, f"{key}: no shuffled join above gate\n{plan[:3000]}"
+    # and the gated plan still computes the same answer (sf0.001: cheap)
+    import oracle as _oracle
+
+    ok, msg = _oracle.compare_query(
+        spark, REGISTRY["graph_triangles"], "/root/testdata/sf0.001"
+    )
+    assert ok, msg
+
+
 def test_skyline_sweep_not_quadratic(spark, sf_dir):
     """The skyline must run as the aggregated sort-sweep + broadcast
     rejoin — never the oracle's O(n^2) NOT EXISTS self-join."""

@@ -398,3 +398,41 @@ def test_incremental_state_merge_stream_equals_full_recompute(spark):
         assert prior.count() <= sinks.read_state(spark, target).count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_join_view_stream_equals_batch_identity(spark):
+    """Streaming join-IVM: replaying lineitem as 5 delta micro-batches
+    against static orders and merging each batch's joined partials into
+    the (priority, orderkey) supporting state must land on EXACTLY the
+    output of the registered ``incremental_join_delta`` identity (whose
+    oracle is the one-shot full join)."""
+    import os
+
+    from bangdatapipeline_spark.streaming import sinks
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    d = replay.write_chunks(spark, SF, n_chunks=5, df=li, order_col="l_orderkey")
+    try:
+        stream = replay.read_stream(spark, d)
+        q, target = sinks.incremental_join_view_sink(stream, orders)
+        q.awaitTermination()
+        got = {
+            r.o_orderpriority: (r.n_rows, r.cents, r.n_orders)
+            for r in sinks.join_view_result(
+                sinks.read_state(spark, target)
+            ).collect()
+        }
+        want = {
+            r.o_orderpriority: (r.n_rows, r.cents, r.n_orders)
+            for r in REGISTRY["incremental_join_delta"].fn(spark, SF).collect()
+        }
+        assert got == want
+        # replay-idempotence contract: versions advance per micro-batch
+        versions = [p for p in os.listdir(target) if p.startswith("v")]
+        assert len(versions) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
