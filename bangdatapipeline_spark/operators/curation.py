@@ -368,3 +368,385 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bbox_area"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup via cluster-then-pair (SemDeDup-style)
+# --------------------------------------------------------------------------
+
+_SEM_K = 8       # clusters; production k scales ~ n/avg_cluster_size
+_SEM_TAU = 0.3   # within-cluster cosine threshold (~top 2% of pair sims)
+
+
+def _sem_oracle() -> str:
+    from bangdatapipeline_spark.operators.similarity import _duck_dot
+
+    return f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS INT) AS c_id, embedding AS c_emb,
+         {_duck_dot('embedding', 'embedding')} AS csq
+  FROM embeddings WHERE vec_id < {_SEM_K}
+),
+a1 AS (
+  SELECT e.vec_id, c.c_id, e.embedding,
+         1.0 + c.csq - 2 * {_duck_dot('e.embedding', 'c.c_emb')} AS d2
+  FROM embeddings e CROSS JOIN c0 c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY d2 ASC, c.c_id ASC) = 1
+),
+pairs AS (
+  SELECT a.c_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_duck_dot('a.embedding', 'b.embedding')} AS sim
+  FROM a1 a JOIN a1 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+)
+SELECT id_b AS vec_id, CAST(c_id AS INT) AS cluster,
+       CAST(min(id_a) AS BIGINT) AS dup_of,
+       round(max(sim), 6) AS max_sim
+FROM pairs WHERE sim >= {_SEM_TAU}
+GROUP BY id_b, c_id
+"""
+
+
+@register("dedup_semantic_clustered", oracle=_sem_oracle())
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then compare pairs ONLY
+    within each cluster — a vector is a semantic duplicate if some
+    lower-id vector in its cluster has cosine >= tau. Output: one row
+    per REMOVED vector with its cluster, its keeper (lowest-id dup
+    partner), and its max within-cluster similarity.
+
+    This is the scale answer to the all-pairs threshold join: k-means
+    shrinks the pair space from n^2/2 to sum_c |cluster_c|^2/2 (with
+    k ~ n/|c| that is a ~k-fold cut), and the within-cluster pair join
+    is a plain equi-join on the cluster id. Plan: one streamed pass
+    assigns clusters IN-ROW against the broadcast k-centroid array
+    (zero shuffle, same fold as ``ml_kmeans_2iter``); the pair join
+    shuffles the corpus once on c_id. Deterministic centroids (first k
+    vectors, one assignment round) keep the op hash-checkable; at
+    100 TB use more Lloyd rounds and k in the thousands so cluster
+    keys are high-cardinality (skew: cap cluster size and spill the
+    remainder to the banded-LSH path in ``dedup_near_embedding``).
+    Distances d^2 = 1 + |c|^2 - 2x.c on the unit-norm corpus, dot by
+    the shared left-to-right double fold — bit-identical across
+    engines, so pair sims hash-check exactly at round-6.
+    """
+    pairs = _semantic_pairs(spark, sf_dir)
+    return pairs.groupBy(
+        F.col("id_b").alias("vec_id"), F.col("c_id").alias("cluster")
+    ).agg(
+        F.min("id_a").alias("dup_of"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )
+
+
+def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster embedding pairs with cosine >= _SEM_TAU:
+    (c_id, id_a < id_b, sim). Cluster assignment is the in-row argmin
+    fold against the broadcast k-centroid array (zero shuffle); the
+    pair join shuffles the corpus once on c_id."""
+    from bangdatapipeline_spark.operators.similarity import dot_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c0 = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("csq"),
+    )
+    cand = c0.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "c_emb", "csq"))).alias("cands")
+    )
+    init = F.struct(
+        F.lit(float("inf")).cast("double").alias("d2"),
+        F.lit(-1).alias("c_id"),
+    )
+
+    def step(acc, c):
+        d2 = F.lit(1.0) + c["csq"] - 2 * dot_double(F.col("embedding"), c["c_emb"])
+        return F.when(
+            d2 < acc["d2"], F.struct(d2.alias("d2"), c["c_id"].alias("c_id"))
+        ).otherwise(acc)
+
+    assigned = (
+        e.crossJoin(F.broadcast(cand))
+        .select(
+            "vec_id",
+            "embedding",
+            F.aggregate(F.col("cands"), init, step)["c_id"].alias("c_id"),
+        )
+    )
+    a = assigned.select(
+        "c_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "c_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, "c_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "c_id",
+            "id_a",
+            "id_b",
+            dot_double(F.col("emb_a"), F.col("emb_b")).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SEM_TAU)
+    )
+
+
+def _sem_recall_oracle() -> str:
+    from bangdatapipeline_spark.operators.similarity import _duck_dot
+
+    return f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS INT) AS c_id, embedding AS c_emb,
+         {_duck_dot('embedding', 'embedding')} AS csq
+  FROM embeddings WHERE vec_id < {_SEM_K}
+),
+a1 AS (
+  SELECT e.vec_id, c.c_id, e.embedding,
+         1.0 + c.csq - 2 * {_duck_dot('e.embedding', 'c.c_emb')} AS d2
+  FROM embeddings e CROSS JOIN c0 c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY d2 ASC, c.c_id ASC) = 1
+),
+cap AS (
+  SELECT count(*) AS n_capt
+  FROM a1 a JOIN a1 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE {_duck_dot('a.embedding', 'b.embedding')} >= {_SEM_TAU}
+),
+tru AS (
+  SELECT count(*) AS n_truth
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_duck_dot('a.embedding', 'b.embedding')} >= {_SEM_TAU}
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_capt AS BIGINT)  AS n_capt,
+       floor(n_capt * 1.0 / n_truth * 10000 + 0.5) / 10000 AS recall_b
+FROM tru, cap
+"""
+
+
+@register("eval_semantic_recall", oracle=_sem_recall_oracle())
+def eval_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the clustered semantic dedup: what fraction
+    of the EXACT tau-similar pair set does the within-cluster pass
+    capture? Pairs are lost exactly when a similar pair's endpoints land
+    in different clusters — the recall/cost dial of SemDeDup (more
+    clusters = cheaper but lossier). Precision is 1.0 by construction
+    (both sides use exact sims at the same tau), so only recall is
+    reported. Same evaluator role as ``eval_dedup_recall`` (MinHash) and
+    ``eval_rank_metrics`` (ANN); the truth side is the bounded exact
+    all-pairs baseline those evaluators also pay — production grades a
+    SAMPLE of the corpus instead.
+
+    Metric arithmetic is two scalar counters crossJoined as lazy 1-row
+    broadcasts; the ratio takes the IEEE floor-round (small denominator,
+    docs/dialect_notes.md).
+    """
+    from bangdatapipeline_spark.operators.similarity import (
+        gemm_pairs_tiled,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    truth = gemm_pairs_tiled(
+        e.select("vec_id", "label", "embedding"), attr_col="label", tau=_SEM_TAU
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_capt = _semantic_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_capt")
+    )
+    rec = F.col("n_capt") * 1.0 / F.col("n_truth")
+    return n_truth.crossJoin(n_capt).select(
+        "n_truth",
+        "n_capt",
+        (F.floor(rec * 10000 + 0.5) / 10000).alias("recall_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling toward a target domain
+# --------------------------------------------------------------------------
+
+_DSIR_B = 64              # hashed-unigram feature buckets
+_DSIR_TARGET_LANG = "en"  # stand-in target domain
+
+
+def _dsir_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bt AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM toks
+),
+spine AS (SELECT unnest(generate_series(0, {_DSIR_B} - 1)) AS bucket),
+tcnt AS (SELECT bucket, count(*) AS c FROM bt
+         WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+rcnt AS (SELECT bucket, count(*) AS c FROM bt GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM bt WHERE lang = '{_DSIR_TARGET_LANG}') AS tt,
+               (SELECT count(*) FROM bt) AS tr),
+model AS (
+  SELECT s.bucket,
+         CAST(floor(ln(CAST((coalesce(t.c, 0) + 1) * (tot.tr + {_DSIR_B}) AS DOUBLE)
+                       / CAST((coalesce(r.c, 0) + 1) * (tot.tt + {_DSIR_B}) AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT) AS lr_n
+  FROM spine s LEFT JOIN tcnt t USING (bucket) LEFT JOIN rcnt r USING (bucket), tot
+)
+SELECT b.doc_id, b.lang,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       floor(sum(m.lr_n) / 1000.0 + 0.5) / 1000000.0 AS logw,
+       sum(m.lr_n) > 0 AS selected
+FROM bt b JOIN model m USING (bucket)
+GROUP BY b.doc_id, b.lang
+"""
+
+
+@register("sample_importance_dsir", oracle=_dsir_oracle())
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by its importance weight toward a target
+    domain under hashed-unigram bag-of-buckets language models —
+    log w(doc) = sum over tokens of log(p_target(bucket)/p_raw(bucket))
+    with Laplace smoothing — and flag the docs whose weight is positive
+    (more target-like than raw-like) for resampling. Target here: the
+    '{_DSIR_TARGET_LANG}' slice standing in for the curated domain.
+
+    Cross-engine exactness: the smoothed ratio is formed from EXACT
+    integer counts ((c_t+1)(T_r+B)) / ((c_r+1)(T_t+B)) so both engines
+    divide identical doubles; the single ln() lands on a 1e-9 lattice
+    (floor(x*1e9+0.5) as BIGINT) and per-doc scores then accumulate in
+    exact integer arithmetic — order-independent, so the aggregate
+    hash-checks despite float logs. `selected` is an integer-sign test.
+
+    Scale: the model is {_DSIR_B} rows built from one token-bucket
+    aggregation (map-side combined; shuffle cardinality = B) and
+    BROADCAST into the scoring join; scoring shuffles only per-doc
+    partial sums keyed on doc_id. 100 TB of raw text streams once —
+    this is the 'cheap bag-of-hashed-ngrams proxy beats a neural
+    scorer you cannot afford to run' argument of the paper. (The
+    exact-int ratio products stay far under 2^53 here; at larger
+    corpora compute the two log terms separately before the lattice.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bt = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("long") % _DSIR_B
+        ).alias("bucket"),
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("bucket"))
+    tcnt = (
+        bt.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    rcnt = bt.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    tot = bt.agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("tr"),
+    )
+    model = (
+        spine.join(tcnt, "bucket", "left")
+        .join(rcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("c_t"), F.lit(0)) + 1) * (F.col("tr") + _DSIR_B)).cast("double")
+                    / ((F.coalesce(F.col("c_r"), F.lit(0)) + 1) * (F.col("tt") + _DSIR_B)).cast("double")
+                )
+                * 1e9
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lr_n"),
+        )
+    )
+    return (
+        bt.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.floor(F.sum("lr_n") / 1000.0 + 0.5) / 1000000.0).alias("logw"),
+            (F.sum("lr_n") > 0).alias("selected"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-shard layout)
+# --------------------------------------------------------------------------
+
+_EPOCHS = 2
+_SHUF_SHARDS = 8
+
+
+@register(
+    "layout_epoch_shuffle",
+    oracle=f"""
+WITH ep AS (SELECT unnest(generate_series(0, {_EPOCHS} - 1)) AS epoch),
+r AS (
+  SELECT ep.epoch, d.doc_id,
+         md5(CAST(ep.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS gate
+  FROM documents d, ep
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(CAST(('0x' || substr(gate, 1, 13)) AS BIGINT) % {_SHUF_SHARDS} AS INT)
+         AS shard,
+       doc_id,
+       CAST(row_number() OVER (
+           PARTITION BY epoch,
+                        CAST(('0x' || substr(gate, 1, 13)) AS BIGINT) % {_SHUF_SHARDS}
+           ORDER BY gate, doc_id) AS INT) AS pos
+FROM r
+""",
+)
+def layout_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training shards: each
+    (epoch, doc) gets a pseudo-random gate md5(epoch:doc_id); the gate's
+    52-bit prefix picks the shard and ordering by gate within the shard
+    gives the read position — a different, reproducible permutation per
+    epoch with NO stored shuffle state (the data-loader contract of
+    large-scale training: any worker can recompute its shard order from
+    (epoch, shard) alone).
+
+    Scale: the gate is a scan-stage projection (narrow, codegen'd —
+    epochs via explode, no join) and the only wide op is the per-(epoch,
+    shard) row_number window — shard count scales with the cluster, so
+    each window partition is one task-sized run; nothing global is
+    sorted. Same md5-determinism contract as the ``sample_*`` family:
+    partition-count and arrival-order invariant, so the layout
+    hash-checks exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    r = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_EPOCHS - 1))).alias("epoch"),
+        "doc_id",
+    ).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        gate.alias("gate"),
+    )
+    shard = (
+        F.conv(F.substring(F.col("gate"), 1, 13), 16, 10).cast("long") % _SHUF_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy("gate", "doc_id")
+    return (
+        r.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("epoch", "shard", "doc_id", "pos")
+    )

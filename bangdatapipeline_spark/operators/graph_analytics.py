@@ -320,10 +320,12 @@ def _trade_contrib(
     )
     # |V| as a lazy 1-row aggregate OVER THE CACHE (distinct src = every
     # node, since the doubled edge list gives each node outdegree >= 1) —
-    # no eager action; consumers crossJoin(broadcast(n_df)) it in.
+    # no eager action; consumers crossJoin(broadcast(n_df)) it in. The
+    # 1-row result is itself cached: the PageRank loop references it per
+    # round and would otherwise rescan the edge cache each time.
     n_df = contrib_src.agg(
         F.count_distinct("src").cast("bigint").alias("n_nodes")
-    )
+    ).cache()
     init = (
         contrib_src.select("src")
         .distinct()

@@ -326,16 +326,27 @@ def test_triangle_adjacency_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
     too-big adjacency; same operators, same oracles, different join
     strategy only."""
     monkeypatch.setenv("BDP_BROADCAST_MAX_BYTES", "0")
-    for key in ("graph_triangles", "graph_neighbor_jaccard"):
-        plan = _plan(REGISTRY[key].fn(spark, sf_dir))
-        assert "SortMergeJoin" in plan, f"{key}: no shuffled join above gate\n{plan[:3000]}"
-    # and the gated plan still computes the same answer (sf0.001: cheap)
-    import oracle as _oracle
+    # also suppress Catalyst's stats-based auto-broadcast: at survey scale
+    # the (materialized, cached) adjacency is tiny enough that Catalyst
+    # would broadcast it even WITHOUT the hint — at the simulated scale its
+    # stats would exceed the threshold, which this conf emulates.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key in ("graph_triangles", "graph_neighbor_jaccard"):
+            plan = _plan(REGISTRY[key].fn(spark, sf_dir))
+            assert "SortMergeJoin" in plan, (
+                f"{key}: no shuffled join above gate\n{plan[:3000]}"
+            )
+        # and the gated plan still computes the same answer (sf0.001: cheap)
+        import oracle as _oracle
 
-    ok, msg = _oracle.compare_query(
-        spark, REGISTRY["graph_triangles"], "/root/testdata/sf0.001"
-    )
-    assert ok, msg
+        ok, msg = _oracle.compare_query(
+            spark, REGISTRY["graph_triangles"], "/root/testdata/sf0.001"
+        )
+        assert ok, msg
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_skyline_sweep_not_quadratic(spark, sf_dir):
