@@ -78,7 +78,13 @@ _MODULE_PRIORITY = [
 
 
 def _correctness_history() -> tuple[set[str], set[str]]:
-    """(keys green in some prior round, keys that errored/failed somewhere)."""
+    """(keys green in some prior round, keys that errored/failed somewhere).
+
+    A pass with 0 rows on both sides is NOT counted green: a 0=0 match is
+    vacuous evidence (both engines agreeing on an empty result proves only
+    the schema), so such keys rotate back into the re-verify tier until a
+    round records a non-empty match.
+    """
     green: set[str] = set()
     failed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
@@ -93,7 +99,10 @@ def _correctness_history() -> tuple[set[str], set[str]]:
             if not isinstance(row, dict):
                 continue
             flags = [row.get("rows_match"), row.get("schema_match"), row.get("hash_match")]
-            if row.get("err") is None and False not in flags and True in flags:
+            passed = row.get("err") is None and False not in flags and True in flags
+            if passed and row.get("spark_rows", 0) == 0 == row.get("oracle_rows", 0):
+                failed.add(key)  # vacuous 0=0 pass: re-verify
+            elif passed:
                 green.add(key)
             else:
                 failed.add(key)
