@@ -444,7 +444,16 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cluster embedding pairs with cosine >= _SEM_TAU:
     (c_id, id_a < id_b, sim). Cluster assignment is the in-row argmin
     fold against the broadcast k-centroid array (zero shuffle); the
-    pair join shuffles the corpus once on c_id."""
+    pair pass is a per-cluster GEMM (one Arrow-grouped BLAS matmul per
+    cluster — SemDeDup's own per-cluster numpy shape, and the same
+    float64-matmul-vs-fold numeric contract ``gemm_pairs_tiled``
+    hash-proves; the JVM fold-join form measured 4.2 s at sf0.1 vs
+    ~1 s for this). One cluster must fit a task — production caps
+    cluster size (split oversized clusters on a secondary hash) which
+    also bounds the c_id-key skew of the single shuffle."""
+    import numpy as np
+    import pandas as pd
+
     from bangdatapipeline_spark.operators.similarity import dot_double
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -475,22 +484,27 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("cands"), init, step)["c_id"].alias("c_id"),
         )
     )
-    a = assigned.select(
-        "c_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
-    )
-    b = assigned.select(
-        "c_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
-    )
-    return (
-        a.join(b, "c_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "c_id",
-            "id_a",
-            "id_b",
-            dot_double(F.col("emb_a"), F.col("emb_b")).alias("sim"),
+    empty = {"c_id": [], "id_a": [], "id_b": [], "sim": []}
+
+    def cluster_pairs(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        sims = m @ m.T  # one BLAS call per cluster
+        mask = (sims >= _SEM_TAU) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "c_id": np.full(len(r), key[0]),
+                "id_a": ids[r],
+                "id_b": ids[c],
+                "sim": sims[r, c],
+            }
         )
-        .filter(F.col("sim") >= _SEM_TAU)
+
+    return assigned.groupBy("c_id").applyInPandas(
+        cluster_pairs, "c_id int, id_a long, id_b long, sim double"
     )
 
 

@@ -1099,9 +1099,14 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
     c = F.col("n_common")
     jac = c * 1.0 / (F.col("d_a") + F.col("d_b") - c)
+    # da/db stay HINTED broadcasts: the degree table is |V| rows of two
+    # longs (not the heavy adjacency arrays the size gate protects), and
+    # its UNCACHED plan-stats estimate is wildly pessimistic — gating on
+    # it withheld the hint and forced two extra sort-merge shuffles
+    # (measured 2.8 s -> 4.9 s on the sf0.1 bench before this revert).
     scored = (
-        common.join(_size_gated_broadcast(da), "pa")
-        .join(_size_gated_broadcast(db), "pb")
+        common.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
         .select(
             "pa",
             "pb",

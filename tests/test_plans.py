@@ -349,6 +349,22 @@ def test_triangle_adjacency_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_semantic_dedup_runs_per_cluster_gemm(spark, sf_dir):
+    """The SemDeDup pair pass must be the per-cluster Arrow-grouped GEMM
+    (FlatMapGroupsInPandas after one c_id shuffle) — never a pair
+    self-join of the corpus (no SortMergeJoin anywhere in the plan)."""
+    plan = _plan(REGISTRY["dedup_semantic_clustered"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dsir_model_broadcasts_onto_token_stream(spark, sf_dir):
+    """The 64-row hashed-unigram model must broadcast into the scoring
+    join — the token stream (the 100 TB side) never shuffles for it."""
+    plan = _plan(REGISTRY["sample_importance_dsir"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
 def test_skyline_sweep_not_quadratic(spark, sf_dir):
     """The skyline must run as the aggregated sort-sweep + broadcast
     rejoin — never the oracle's O(n^2) NOT EXISTS self-join."""
