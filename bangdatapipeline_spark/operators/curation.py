@@ -764,3 +764,199 @@ def layout_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("epoch", "shard", "doc_id", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (deterministic, integer-exact)
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 90
+# mean word length band [4.0, 4.9], tested as integer cross-products
+_GOPHER_MWL_LO10, _GOPHER_MWL_HI10 = 40, 49
+_GOPHER_MIN_STOP = 2
+_GOPHER_REP_DEN = 8  # most frequent word must be <= 1/8 of tokens
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_transform(toks, w -> len(w)), (a, b) -> a + b)
+              AS BIGINT) AS n_tok_chars,
+         CAST(len(list_filter(toks, w -> w IN ({stops}))) AS BIGINT) AS n_stop
+  FROM t
+),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, m.lang, m.n_words, m.n_tok_chars, m.n_stop, r.top_n,
+       m.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS r_words,
+       {_GOPHER_MWL_LO10} * m.n_words <= 10 * m.n_tok_chars
+         AND 10 * m.n_tok_chars <= {_GOPHER_MWL_HI10} * m.n_words    AS r_mwl,
+       m.n_stop >= {_GOPHER_MIN_STOP}                                 AS r_stop,
+       {_GOPHER_REP_DEN} * r.top_n <= m.n_words                       AS r_rep,
+       (m.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+         AND {_GOPHER_MWL_LO10} * m.n_words <= 10 * m.n_tok_chars
+         AND 10 * m.n_tok_chars <= {_GOPHER_MWL_HI10} * m.n_words
+         AND m.n_stop >= {_GOPHER_MIN_STOP}
+         AND {_GOPHER_REP_DEN} * r.top_n <= m.n_words                 AS passes
+FROM m JOIN rep r USING (doc_id)
+"""
+
+
+@register("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021,
+    arXiv:2112.11446 Table A1, adapted to the synthetic corpus): per doc,
+    word-count bounds, mean-word-length band, minimum stopword hits, and
+    a max-repetition rule (most frequent word <= 1/{_GOPHER_REP_DEN} of
+    tokens), plus the conjunction. Every counter and every rule is
+    INTEGER arithmetic (mean word length tested by cross-multiplication,
+    never divided), so the report is hash-exact by construction.
+
+    Plan/scale: the whole op is ONE scan-stage projection — even the
+    repetition counter stays in-row (sort the token array, fold a
+    (prev, run, best) struct to the longest equal-run = max frequency;
+    the oracle states it relationally, same counts). Zero shuffles,
+    zero joins: exactly what a per-document filter must look like when
+    100 TB of text streams through it (asserted in tests/test_plans.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("bigint")
+    n_tok_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).cast(
+        "bigint"
+    )
+    # in-row max word frequency: longest equal-run of the sorted tokens
+    run_init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def run_step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_n = F.aggregate(
+        F.array_sort(toks), run_init, run_step, lambda acc: acc["best"]
+    )
+    m = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_tok_chars.alias("n_tok_chars"),
+        n_stop.alias("n_stop"),
+        top_n.alias("top_n"),
+    )
+    r_words = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_mwl = (_GOPHER_MWL_LO10 * F.col("n_words") <= 10 * F.col("n_tok_chars")) & (
+        10 * F.col("n_tok_chars") <= _GOPHER_MWL_HI10 * F.col("n_words")
+    )
+    r_stop = F.col("n_stop") >= _GOPHER_MIN_STOP
+    r_rep = _GOPHER_REP_DEN * F.col("top_n") <= F.col("n_words")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_tok_chars",
+        "n_stop",
+        "top_n",
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mwl"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_words & r_mwl & r_stop & r_rep).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space eval decontamination
+# --------------------------------------------------------------------------
+
+_DECON_SEM_TAU = 0.3  # same tau family as the pair ops
+
+
+def _decon_sem_oracle() -> str:
+    from bangdatapipeline_spark.operators.similarity import _duck_dot
+
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ev_emb FROM embeddings
+  WHERE vec_id % {EVAL_MOD} = 0
+),
+hits AS (
+  SELECT t.vec_id, e.eval_id, {_duck_dot('t.embedding', 'e.ev_emb')} AS sim
+  FROM embeddings t CROSS JOIN ev e
+  WHERE t.vec_id % {EVAL_MOD} <> 0
+),
+flagged AS (SELECT * FROM hits WHERE sim >= {_DECON_SEM_TAU})
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       CAST(min(eval_id) FILTER (WHERE (sim, -eval_id) = mx) AS BIGINT)
+         AS closest_eval,
+       round(max(sim), 6) AS max_sim
+FROM (SELECT *, max((sim, -eval_id)) OVER (PARTITION BY vec_id) AS mx
+      FROM flagged)
+GROUP BY vec_id
+"""
+
+
+@register("decontaminate_semantic", oracle=_decon_sem_oracle())
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination — the semantic sibling of
+    ``decontaminate_ngram``: a training vector is contaminated when its
+    cosine to ANY eval-set vector (same deterministic id-gate, every
+    {EVAL_MOD}th) reaches tau. Near-paraphrases of eval items slip past
+    n-gram matching; this is the standard second net. Output per flagged
+    train vector: hit count, the closest eval item (sim desc, eval_id
+    asc tie-break via the (sim, -id) struct-max), max sim at round-6.
+
+    Plan/scale: the EVAL side is bounded and broadcast (the knn
+    query-side pattern) — 100 TB of train vectors stream through one
+    narrow pass with zero corpus shuffle; only per-vector flagged rows
+    (a tiny fraction) reach the aggregate. The dot is the shared
+    left-to-right double fold — bit-identical to the oracle.
+    """
+    from bangdatapipeline_spark.operators.similarity import dot_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_emb")
+    )
+    hits = (
+        e.filter(F.col("vec_id") % EVAL_MOD != 0)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            dot_double(F.col("embedding"), F.col("ev_emb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= _DECON_SEM_TAU)
+    )
+    best = F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg_id")))
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        (-best["neg_id"]).cast("bigint").alias("closest_eval"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )

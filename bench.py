@@ -198,6 +198,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_semantic_dedup", "dedup_semantic_clustered"),
     ("doc_dsir_select", "sample_importance_dsir"),
     ("doc_epoch_shuffle", "layout_epoch_shuffle"),
+    ("doc_gopher_rules", "text_gopher_rules"),
+    ("emb_decontaminate", "decontaminate_semantic"),
 ]
 
 RUNS = 3

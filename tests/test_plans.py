@@ -358,6 +358,14 @@ def test_semantic_dedup_runs_per_cluster_gemm(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
+def test_gopher_rules_single_scan_no_shuffle(spark, sf_dir):
+    """The quality gate must be one scan-stage projection: no Exchange,
+    no join — even the max-word-frequency counter stays in-row."""
+    plan = _plan(REGISTRY["text_gopher_rules"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
 def test_dsir_model_broadcasts_onto_token_stream(spark, sf_dir):
     """The 64-row hashed-unigram model must broadcast into the scoring
     join — the token stream (the 100 TB side) never shuffles for it."""
