@@ -960,3 +960,33 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-best["neg_id"]).cast("bigint").alias("closest_eval"),
         F.round(F.max("sim"), 6).alias("max_sim"),
     )
+
+
+@register("decontaminate_semantic_tiled", oracle=_decon_sem_oracle())
+def decontaminate_semantic_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate_semantic`` through the cross-table tiled GEMM
+    (``similarity.gemm_cross_tiled``) — the kernel for when the EVAL set
+    itself outgrows a broadcast (org-wide benchmark suites at corpus
+    scale): neither side is collected or broadcast; train and eval rows
+    both stream through Arrow into (ia, ib) tiles, one BLAS matmul per
+    tile, survivors only. Registered against the SAME oracle as the
+    broadcast form — the hash-equality of the two plans is the proof the
+    kernel swap preserves semantics (the knn_threshold_pairs /
+    knn_threshold_gemm precedent).
+    """
+    from bangdatapipeline_spark.operators.similarity import gemm_cross_tiled
+
+    e = load_table(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % EVAL_MOD != 0)
+    ev = e.filter(F.col("vec_id") % EVAL_MOD == 0)
+    hits = gemm_cross_tiled(train, ev, tau=_DECON_SEM_TAU).select(
+        F.col("a_id").alias("vec_id"),
+        F.col("b_id").alias("eval_id"),
+        "sim",
+    )
+    best = F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg_id")))
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        (-best["neg_id"]).cast("bigint").alias("closest_eval"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )

@@ -661,6 +661,70 @@ def gemm_pairs_tiled(
     return tiles.groupBy("ti", "tj").applyInPandas(tile_pairs, schema=schema)
 
 
+def gemm_cross_tiled(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tau: float = PAIR_TAU,
+    a_blocks: int = 4,
+    b_blocks: int = 2,
+) -> DataFrame:
+    """Cross-TABLE threshold similarity join (A x B) as a distributed
+    tiled GEMM — the two-relation generalization of ``gemm_pairs_tiled``,
+    with no driver-side materialization of EITHER side.
+
+    A splits into ``a_blocks`` row-blocks, B into ``b_blocks``; every
+    (ia, ib) block pair is one tile. An A row ships to its row's
+    ``b_blocks`` tiles, a B row to its ``a_blocks`` tiles — shuffle
+    volume is |A| x b_blocks + |B| x a_blocks rows into one groupBy on
+    the tile key, then ONE BLAS matmul per tile emits only the
+    sim >= tau survivors.
+
+    This is the kernel for train-vs-eval similarity (semantic
+    decontamination) once the eval set outgrows a broadcast: neither
+    side is collected, both stream through Arrow, and the block counts
+    tune the shuffle-fanout/tile-memory trade independently per side
+    (keep b_blocks small when B is the smaller relation). Returns
+    ``(a_id, b_id, sim)`` with raw double sims.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = (
+        a_df.select(F.col(id_col).alias("pid"), F.col(emb_col).alias("emb"))
+        .withColumn("blk", F.pmod(F.col("pid"), F.lit(a_blocks)).cast("int"))
+        .withColumn("ib", F.explode(F.sequence(F.lit(0), F.lit(b_blocks - 1))))
+        .select(F.col("blk").alias("ia"), "ib", "pid", "emb", F.lit(0).alias("side"))
+    )
+    b = (
+        b_df.select(F.col(id_col).alias("pid"), F.col(emb_col).alias("emb"))
+        .withColumn("blk", F.pmod(F.col("pid"), F.lit(b_blocks)).cast("int"))
+        .withColumn("ia", F.explode(F.sequence(F.lit(0), F.lit(a_blocks - 1))))
+        .select("ia", F.col("blk").alias("ib"), "pid", "emb", F.lit(1).alias("side"))
+    )
+    tiles = a.unionByName(b)
+
+    def tile(key, pdf):
+        av = pdf[pdf["side"] == 0]
+        bv = pdf[pdf["side"] == 1]
+        if av.empty or bv.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []})
+        ids_a = av["pid"].to_numpy()
+        ids_b = bv["pid"].to_numpy()
+        amat = np.vstack(av["emb"].to_numpy()).astype(np.float64)
+        bmat = np.vstack(bv["emb"].to_numpy()).astype(np.float64)
+        sims = amat @ bmat.T
+        r, c = np.nonzero(sims >= tau)
+        return pd.DataFrame(
+            {"a_id": ids_a[r], "b_id": ids_b[c], "sim": sims[r, c]}
+        )
+
+    return tiles.groupBy("ia", "ib").applyInPandas(
+        tile, "a_id long, b_id long, sim double"
+    )
+
+
 @register(
     "knn_threshold_gemm",
     oracle=f"""

@@ -200,6 +200,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_epoch_shuffle", "layout_epoch_shuffle"),
     ("doc_gopher_rules", "text_gopher_rules"),
     ("emb_decontaminate", "decontaminate_semantic"),
+    ("emb_decontaminate_tiled", "decontaminate_semantic_tiled"),
 ]
 
 RUNS = 3

@@ -358,6 +358,15 @@ def test_semantic_dedup_runs_per_cluster_gemm(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
+def test_decontaminate_tiled_no_broadcast_no_collect(spark, sf_dir):
+    """The cross-table GEMM form must contain no nested-loop/broadcast
+    pair pass — both relations stream into Arrow tile groups."""
+    plan = _plan(REGISTRY["decontaminate_semantic_tiled"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
 def test_gopher_rules_single_scan_no_shuffle(spark, sf_dir):
     """The quality gate must be one scan-stage projection: no Exchange,
     no join — even the max-word-frequency counter stays in-row."""
