@@ -201,6 +201,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_gopher_rules", "text_gopher_rules"),
     ("emb_decontaminate", "decontaminate_semantic"),
     ("emb_decontaminate_tiled", "decontaminate_semantic_tiled"),
+    ("customers_er_matching", "er_blocked_matching"),
 ]
 
 RUNS = 3
