@@ -158,12 +158,13 @@ def knn_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH x AS (
     SELECT d.lang, e.label,
            unnest(generate_series(1, len(e.embedding))) - 1 AS dim,
-           unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS val
+           CAST(floor(unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE)))
+                      * 100000000 + 0.5) AS BIGINT) AS vq
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
 )
 SELECT lang, label, CAST(dim AS INT) AS dim,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(avg(val), 6) AS centroid
+       floor(sum(vq) / (count(*) * 100.0) + 0.5) / 1000000.0 AS centroid
 FROM x GROUP BY lang, label, dim
 """,
 )
@@ -174,7 +175,12 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join key (vec_id = doc_id) is a plain equi-join; the centroid agg
     keys on (lang, label, dim) — bounded cardinality, map-side partials do
-    almost all the work.
+    almost all the work. Centroids accumulate on the exact-integer 1e-8
+    lattice (each value quantized BEFORE the sum) so the mean is
+    summation-order independent — `round(avg(double))` flipped 6-dp
+    boundaries at sf0.1 group sizes (dialect_notes.md, log-lattice
+    family); the emitted centroid divides the integer sum once and
+    floor-rounds to 6 dp, bit-identical on both engines.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     e = load_table(spark, sf_dir, "embeddings")
@@ -182,9 +188,16 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = j.select(
         "lang", "label", F.posexplode("embedding").alias("dim", "val")
     )
-    return x.groupBy("lang", "label", "dim").agg(
-        F.count("*").alias("n_vecs"),
-        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+    vq = F.floor(F.col("val").cast("double") * 100000000 + 0.5).cast("bigint")
+    return (
+        x.withColumn("vq", vq)
+        .groupBy("lang", "label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.floor(F.sum("vq") / (F.count("*") * 100.0) + 0.5) / 1000000.0
+            ).alias("centroid"),
+        )
     )
 
 

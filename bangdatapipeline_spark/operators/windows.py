@@ -163,10 +163,13 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     single sorted pass per partition.
     """
     ev = load_table(spark, sf_dir, "events")
-    # NTZ-safe epoch seconds (no session-timezone dependence, unlike a
-    # cast through TIMESTAMP): integer ordering for the RANGE frame.
-    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-    w = Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, 0)
+    # NTZ-safe epoch MICROSECONDS (no session-timezone dependence, unlike
+    # a cast through TIMESTAMP): integer ordering for the RANGE frame at
+    # the data's full precision. Second-truncated ordering diverged from
+    # the oracle's INTERVAL bound for events within 1 s of the exact
+    # one-hour boundary — surfaced only at sf0.1 density (1/100k rows).
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy(us).rangeBetween(-3_600_000_000, 0)
     return ev.select(
         "event_id",
         "user_id",
