@@ -90,3 +90,21 @@ def test_salted_aggregation_equivalence(spark, sf_dir):
     for k in d:
         assert d[k][0] == s[k][0]
         assert abs(d[k][1] - s[k][1]) < 0.02  # float re-association tolerance
+
+
+def test_sf01_boundary_sensitive_keys_match_oracle(spark):
+    """Regression pin for the two divergences only sf0.1 density exposed
+    (round 3): the RANGE-frame hour boundary at microsecond precision
+    (win_range_time) and summation-order-independent centroids
+    (multimodal_cols). Both must hash-match their oracles at sf0.1, not
+    just at the sf0.01 driver gate."""
+    import oracle as _oracle
+
+    from bangdatapipeline_spark.registry import load_all
+
+    registry = load_all()
+    for key in ("win_range_time", "multimodal_cols"):
+        ok, msg = _oracle.compare_query(
+            spark, registry[key], "/root/testdata/sf0.1"
+        )
+        assert ok, f"{key} @ sf0.1: {msg}"
