@@ -911,3 +911,29 @@ def test_gopher_top_word_fold_matches_relational_count(spark, sf_dir):
     )
     want = {r.doc_id: r.top_n for r in rel.collect()}
     assert got == want
+
+
+def test_er_matching_recovers_exactly_the_clone_pairs(spark, sf_dir):
+    """On the synthetic dirty registry the blocked matcher must achieve
+    precision = recall = 1: every match is an (original, its clone) pair
+    and every clone is matched — no false merges across customers (the
+    balance check is what rejects same-block neighbors whose names are
+    within edit distance)."""
+    from bangdatapipeline_spark.operators.curation import (
+        _ER_CLONE_EVERY,
+        _ER_CLONE_OFFSET,
+    )
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["er_blocked_matching"].fn(spark, sf_dir).collect()
+    }
+    keys = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _ER_CLONE_EVERY == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    want = {(k, k + _ER_CLONE_OFFSET) for k in keys}
+    assert got == want
