@@ -266,3 +266,72 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("revenue").alias("revenue"),
         F.first("first_line_qty").alias("first_line_qty"),
     ).select("order_key", "n_items", "sum_qty", "revenue", "first_line_qty")
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union (old/new table generations)
+# --------------------------------------------------------------------------
+
+_EVO_SPLIT = "1996-01-01"
+
+
+@register(
+    "schema_evolution_union",
+    oracle=f"""
+WITH gen1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority,
+         1 AS generation
+  FROM orders WHERE o_orderdate < DATE '{_EVO_SPLIT}'
+),
+gen2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+         2 AS generation
+  FROM orders WHERE o_orderdate >= DATE '{_EVO_SPLIT}'
+),
+unioned AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+SELECT CAST(generation AS INT) AS generation,
+       coalesce(o_orderpriority, '<missing>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority
+FROM unioned
+GROUP BY 1, 2
+""",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — the everyday lakehouse situation where an
+    old table generation lacks a column the new generation added (here:
+    orders before {_EVO_SPLIT} simulate the pre-`o_orderpriority` era).
+    ``unionByName(allowMissingColumns=True)`` aligns columns BY NAME and
+    null-fills the missing one — positional ``union`` would silently
+    misalign columns, the classic schema-drift corruption. The aggregate
+    then proves the fill semantics: old-generation groups carry the
+    '<missing>' bucket and n_with_priority = 0 (COUNT skips the fill
+    nulls), new-generation groups count fully.
+
+    Scale: the union is a zero-shuffle plan concatenation (each leg keeps
+    its own scan partitions); only the final bounded-key aggregate
+    shuffles. At 100 TB this is how N parquet generations with drifting
+    schemas read as one logical table without a rewrite.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = (
+        o.filter(F.col("o_orderdate") < F.lit(_EVO_SPLIT).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("generation", F.lit(1))
+    )
+    gen2 = (
+        o.filter(F.col("o_orderdate") >= F.lit(_EVO_SPLIT).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("generation", F.lit(2))
+    )
+    unioned = gen1.unionByName(gen2, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.col("generation").cast("int").alias("generation"),
+        F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )

@@ -202,6 +202,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_decontaminate", "decontaminate_semantic"),
     ("emb_decontaminate_tiled", "decontaminate_semantic_tiled"),
     ("customers_er_matching", "er_blocked_matching"),
+    ("orders_schema_evolution", "schema_evolution_union"),
 ]
 
 RUNS = 3
