@@ -179,6 +179,82 @@ CDC_KEY_SHIFT = 1450
 
 
 @register(
+    "merge_cdc_with_deletes",
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id + {CDC_KEY_SHIFT} AS key,
+         value AS new_bal,
+         event_type = 'error' AS is_delete
+  FROM (SELECT user_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type IN ('purchase', 'error'))
+  WHERE rn = 1
+)
+SELECT coalesce(c.c_custkey, l.key)               AS key,
+       coalesce(c.c_name, 'cdc-insert')           AS name,
+       round(CASE WHEN l.is_delete THEN c.c_acctbal
+                  ELSE coalesce(l.new_bal, c.c_acctbal) END, 2) AS acctbal,
+       CASE WHEN l.is_delete            THEN 'deleted'
+            WHEN c.c_custkey IS NULL    THEN 'inserted'
+            WHEN l.key IS NULL          THEN 'unchanged'
+            ELSE 'updated' END                    AS merge_action
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.key
+WHERE NOT (c.c_custkey IS NULL AND l.is_delete)
+""",
+)
+def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with DELETE semantics — the full CDC triple: the changelog
+    carries upserts ('purchase' events) AND tombstones ('error' events),
+    latest-wins per key decides which applies. The merge-audit output
+    labels every surviving base/changelog row inserted / updated /
+    unchanged / deleted (deleted rows keep their last base value for the
+    audit trail); a tombstone for a key that never existed is a no-op
+    and emits nothing — exactly `MERGE ... WHEN MATCHED AND is_delete
+    THEN DELETE` of the table formats.
+
+    Same scale shape as ``merge_cdc_upsert``: compaction shuffle sized
+    by the changelog, one full-outer merge join on the key (shuffle-free
+    with both sides bucketed). The tombstone leg adds no join — it is a
+    flag on the compacted changelog row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select("user_id", "value", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") + CDC_KEY_SHIFT).alias("key"),
+            F.col("value").alias("new_bal"),
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+    )
+    merged = c.join(latest, c.c_custkey == latest.key, "full_outer")
+    return merged.filter(
+        ~(F.col("c_custkey").isNull() & F.coalesce("is_delete", F.lit(False)))
+    ).select(
+        F.coalesce("c_custkey", "key").alias("key"),
+        F.coalesce("c_name", F.lit("cdc-insert")).alias("name"),
+        F.round(
+            F.when(F.col("is_delete"), F.col("c_acctbal")).otherwise(
+                F.coalesce("new_bal", "c_acctbal")
+            ),
+            2,
+        ).alias("acctbal"),
+        F.when(F.col("is_delete"), "deleted")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
     "merge_cdc_upsert",
     oracle=f"""
 WITH latest AS (

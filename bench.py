@@ -203,6 +203,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_decontaminate_tiled", "decontaminate_semantic_tiled"),
     ("customers_er_matching", "er_blocked_matching"),
     ("orders_schema_evolution", "schema_evolution_union"),
+    ("customers_cdc_deletes", "merge_cdc_with_deletes"),
 ]
 
 RUNS = 3
