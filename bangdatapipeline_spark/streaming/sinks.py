@@ -191,6 +191,94 @@ def incremental_join_view_sink(
     return q, target
 
 
+def cdc_merge_sink(changelog_stream: DataFrame, target: str | None = None):
+    """Streaming CDC state maintenance with DELETE tombstones — the
+    streaming twin of ``operators.curation.merge_cdc_with_deletes``.
+
+    Each micro-batch compacts its changelog rows latest-wins per key and
+    merges them into the versioned per-key state (keeping whichever row
+    is later in the (ts_us, event_id) total order across batches — so
+    arrival order across micro-batches cannot change the outcome). The
+    state row carries the tombstone flag; the DELETE is applied at
+    READ time (``cdc_merge_result``), exactly how table formats defer
+    deletes to scan-time via delete vectors. Same v{batch_id}
+    replay-idempotence contract as the other versioned sinks.
+
+    Expects changelog columns: user_id, value, is_delete, ts_us,
+    event_id.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    target = target or os.path.join(
+        tempfile.gettempdir(), f"cdc_state_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(target, exist_ok=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value", "is_delete", "ts_us", "event_id")
+        )
+        prior = _latest_state(spark, target, batch_id)
+        merged = delta if prior is None else (
+            prior.unionByName(delta)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target, f"v{batch_id:05d}")
+        )
+
+    q = (
+        changelog_stream.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_cdc_{uuid.uuid4().hex[:8]}"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, target
+
+
+def cdc_merge_result(base: DataFrame, state: DataFrame, key_shift: int) -> DataFrame:
+    """Scan-time application of the CDC state onto the base snapshot —
+    the same merge-audit projection as the batch operator."""
+    import pyspark.sql.functions as F
+
+    latest = state.select(
+        (F.col("user_id") + key_shift).alias("key"),
+        F.col("value").alias("new_bal"),
+        "is_delete",
+    )
+    merged = base.join(latest, base["c_custkey"] == latest["key"], "full_outer")
+    return merged.filter(
+        ~(F.col("c_custkey").isNull() & F.coalesce("is_delete", F.lit(False)))
+    ).select(
+        F.coalesce("c_custkey", "key").alias("key"),
+        F.coalesce("c_name", F.lit("cdc-insert")).alias("name"),
+        F.round(
+            F.when(F.col("is_delete"), F.col("c_acctbal")).otherwise(
+                F.coalesce("new_bal", "c_acctbal")
+            ),
+            2,
+        ).alias("acctbal"),
+        F.when(F.col("is_delete"), "deleted")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
 def join_view_result(state: DataFrame) -> DataFrame:
     """Read-time projection of the join-view state to the registered
     query's output shape: distinct orders = count of state keys."""

@@ -400,6 +400,48 @@ def test_incremental_state_merge_stream_equals_full_recompute(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_cdc_merge_with_deletes_stream_equals_batch(spark):
+    """Streaming CDC with tombstones: replaying the changelog in 5
+    micro-batches and folding each into the versioned latest-wins state
+    must produce, at read time, EXACTLY the batch merge-audit table of
+    ``merge_cdc_with_deletes`` (inserted/updated/unchanged/deleted)."""
+    from bangdatapipeline_spark.operators.curation import CDC_KEY_SHIFT
+    from bangdatapipeline_spark.streaming import sinks
+
+    ev = load_table(spark, SF, "events")
+    changelog = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "value",
+        (F.col("event_type") == "error").alias("is_delete"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_id",
+    )
+    d = replay.write_chunks(spark, SF, n_chunks=5, df=changelog, order_col="event_id")
+    try:
+        stream = replay.read_stream(spark, d)
+        q, target = sinks.cdc_merge_sink(stream)
+        q.awaitTermination()
+        base = load_table(spark, SF, "customer")
+        out = sinks.cdc_merge_result(
+            base, sinks.read_state(spark, target), CDC_KEY_SHIFT
+        )
+        got = {r.key: (r.name, r.acctbal, r.merge_action) for r in out.collect()}
+        want = {
+            r.key: (r.name, r.acctbal, r.merge_action)
+            for r in REGISTRY["merge_cdc_with_deletes"].fn(spark, SF).collect()
+        }
+        assert got == want
+        # the tombstone path must actually run: state carries deletes
+        # (at sf0.001 no changelog key overlaps the 150-customer base,
+        # so the merge-audit shows them only as suppressed no-ops)
+        st = sinks.read_state(spark, target)
+        assert st.filter("is_delete").count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_incremental_join_view_stream_equals_batch_identity(spark):
     """Streaming join-IVM: replaying lineitem as 5 delta micro-batches
     against static orders and merging each batch's joined partials into
