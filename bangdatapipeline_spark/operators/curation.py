@@ -1014,7 +1014,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a tiny fraction) reach the aggregate. The dot is the shared
     left-to-right double fold — bit-identical to the oracle.
     """
-    from bangdatapipeline_spark.operators.similarity import dot_double
+    from bangdatapipeline_spark.operators.similarity import dot_double_vec
 
     e = load_table(spark, sf_dir, "embeddings")
     ev = e.filter(F.col("vec_id") % EVAL_MOD == 0).select(
@@ -1026,7 +1026,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "eval_id",
-            dot_double(F.col("embedding"), F.col("ev_emb")).alias("sim"),
+            dot_double_vec(F.col("embedding"), F.col("ev_emb")).alias("sim"),
         )
         .filter(F.col("sim") >= _DECON_SEM_TAU)
     )

@@ -1166,7 +1166,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-{_RRF_TOP}. At scale the dense ranking
     swaps in any ANN family member as its candidate generator.
     """
-    from bangdatapipeline_spark.operators.similarity import dot_double
+    from bangdatapipeline_spark.operators.similarity import dot_double_vec
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1200,7 +1200,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense = e.crossJoin(F.broadcast(q)).select(
         F.col("vec_id").alias("doc_id"),
-        F.round(dot_double(F.col("q_emb"), F.col("embedding")), 6).alias("s"),
+        F.round(dot_double_vec(F.col("q_emb"), F.col("embedding")), 6).alias("s"),
     )
     w_de = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
     dense_rank = dense.select("doc_id", F.row_number().over(w_de).alias("dense_rank"))

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -53,6 +55,50 @@ def dot_double(a, b) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+_DOT_VEC_UDF = None
+
+
+def dot_double_vec(a, b) -> Column:
+    """Arrow-batched twin of :func:`dot_double` — bit-identical, ~20× faster.
+
+    The Catalyst higher-order fold is interpreted per element (no codegen
+    for lambda bodies), which made the ``dot_double`` sites the hottest
+    kernels in the sf0.1 bench (the 200k-pair kNN candidate stage alone was
+    ~1.5 s; this kernel does it in <0.1 s). The pandas_udf computes every
+    dot product in one vectorized pass per Arrow batch while preserving the
+    EXACT left-to-right fold order: ``acc += X[:, d] * Y[:, d]`` runs
+    d = 0..dim-1 sequentially, so each row's sum adds terms in the same
+    sequence as ``dot_double`` / DuckDB's ``list_reduce`` — IEEE-identical
+    doubles, hence unchanged round-6 oracle hashes (np.dot / BLAS
+    reassociation is deliberately avoided). NULL in → NULL out, matching
+    ``F.aggregate`` on a null array.
+
+    Construction is deferred (module imports precede any SparkSession) and
+    cached — one UDF object per process, like the udfs.py pattern.
+    """
+    global _DOT_VEC_UDF
+    if _DOT_VEC_UDF is None:
+
+        @F.pandas_udf("double")
+        def _dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+            n = len(xa)
+            out = np.full(n, np.nan)
+            mask = (xa.notna() & xb.notna()).to_numpy()
+            if mask.any():
+                x = np.vstack(xa[mask].to_numpy()).astype(np.float64)
+                y = np.vstack(xb[mask].to_numpy()).astype(np.float64)
+                acc = np.zeros(x.shape[0])
+                for d in range(x.shape[1]):  # sequential over dims == fold order
+                    acc += x[:, d] * y[:, d]
+                out[mask] = acc
+            res = pd.array(out, dtype="Float64")
+            res[~mask] = pd.NA
+            return pd.Series(res)
+
+        _DOT_VEC_UDF = _dot
+    return _DOT_VEC_UDF(a, b)
 
 
 # DuckDB spelling of the same fold (bit-identical result).
@@ -100,7 +146,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            dot_double(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
@@ -146,7 +192,7 @@ def knn_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", dot_double(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("sim", dot_double_vec(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("sim") >= PAIR_TAU)
         .select("id_a", "id_b", "label_a", "label_b", F.round("sim", 6).alias("sim"))
     )
@@ -283,13 +329,45 @@ def _hyperplane(table: int, bit: int) -> list[float]:
     return out
 
 
-def _signature(emb: Column, table: int) -> Column:
-    """Bucket id for one hash table: b sign-bits packed into an int."""
-    acc = F.lit(0)
-    for bit in range(LSH_BITS):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(table, bit)])
-        acc = acc + F.when(dot_double(emb, plane) > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-    return acc
+def _lsh_buckets_udf():
+    """Arrow-batched kernel: all LSH_TABLES bucket ids for one embedding.
+
+    The naive spelling (LSH_TABLES*LSH_BITS separate ``dot_double`` calls,
+    one Catalyst higher-order fold per plane) is interpreted per element —
+    it was the slowest kernel in the repo (~4 s of the sf0.1 bench on the
+    corpus signature pass alone). This pandas_udf computes every plane
+    projection in one vectorized pass per Arrow batch while preserving the
+    EXACT left-to-right fold semantics the DuckDB oracle replicates: the
+    accumulator update ``acc += X[:, d] * W[d]`` runs d = 0..EMB_DIM-1 in
+    order, so each (row, plane) sum adds terms in the same sequence as
+    ``dot_double`` / ``list_reduce`` — bit-identical doubles, hence
+    identical sign bits and identical buckets (no BLAS reassociation:
+    np.dot is deliberately avoided).
+    """
+    # W[d, p] = weight d of plane p, planes ordered (table, bit).
+    w = np.array(
+        [
+            _hyperplane(t, bit)
+            for t in range(LSH_TABLES)
+            for bit in range(LSH_BITS)
+        ],
+        dtype=np.float64,
+    ).T  # EMB_DIM x (LSH_TABLES*LSH_BITS)
+    pows = np.array([1 << bit for bit in range(LSH_BITS)], dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        x = np.vstack(emb.to_numpy()).astype(np.float64)  # n x EMB_DIM
+        acc = np.zeros((x.shape[0], w.shape[1]))
+        for d in range(EMB_DIM):  # sequential over dims == the fold order
+            acc += x[:, d, None] * w[d][None, :]
+        bits = (acc > 0).reshape(-1, LSH_TABLES, LSH_BITS)
+        bkts = (bits * pows).sum(axis=2).astype(np.int32)  # n x LSH_TABLES
+        return pd.Series(list(bkts))
+
+    return buckets
 
 
 def _lsh_plane_dot_duck(plane: list[float]) -> str:
@@ -352,19 +430,14 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica of the signature computation (see ``_lsh_oracle``).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # signature per table, exploded to (vec_id, table, bucket)
+    # signature per table, exploded to (vec_id, table, bucket); the bucket
+    # array comes from ONE vectorized Arrow kernel per batch (see
+    # _lsh_buckets_udf) instead of 48 interpreted fold expressions per row.
     sigs = e.select(
         "vec_id",
         "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), _signature(F.col("embedding"), t).alias("bkt"))
-                    for t in range(LSH_TABLES)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "embedding", F.col("s.t").alias("t"), F.col("s.bkt").alias("bkt"))
+        F.posexplode(_lsh_buckets_udf()(F.col("embedding"))).alias("t", "bkt"),
+    )
 
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "t", "bkt"
@@ -376,7 +449,7 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["q_id", "n_id"])  # same pair may collide in several tables
     )
     sims = cand.select(
-        "q_id", "n_id", dot_double(F.col("q_emb"), F.col("embedding")).alias("sim")
+        "q_id", "n_id", dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -501,7 +574,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed("embedding", "q_emb"), "q_id")
         .join(emb.withColumnRenamed("vec_id", "n_id").withColumnRenamed("embedding", "n_emb"), "n_id")
     )
-    sims = cand.select("q_id", "n_id", dot_double(F.col("q_emb"), F.col("n_emb")).alias("sim"))
+    sims = cand.select("q_id", "n_id", dot_double_vec(F.col("q_emb"), F.col("n_emb")).alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -854,6 +927,8 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def step(acc, c):
+            # Catalyst fold, NOT dot_double_vec: a Python UDF inside a
+            # higher-order-function lambda is unsupported (0A000).
             d2 = F.lit(1.0) + c["csq"] - 2 * dot_double(F.col("embedding"), c["c_emb"])
             return F.when(
                 d2 < acc["d2"],
@@ -875,7 +950,7 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").cast("int").alias("c_id"),
         F.col("embedding").alias("c_emb"),
-        dot_double(F.col("embedding"), F.col("embedding")).alias("csq"),
+        dot_double_vec(F.col("embedding"), F.col("embedding")).alias("csq"),
     )
     a1 = assign(c0)
     # embedding rides along the assignment row — no corpus rejoin
@@ -889,7 +964,7 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
             ).alias("c_emb")
         )
-        .withColumn("csq", dot_double(F.col("c_emb"), F.col("c_emb")))
+        .withColumn("csq", dot_double_vec(F.col("c_emb"), F.col("c_emb")))
     )
     a2 = assign(c1)
     return a2.select(
@@ -1253,9 +1328,14 @@ def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     double literal computed once (fixed summation order) so the NDCG
     denominators are bit-identical across engines.
     """
-    sys_rank = knn_ann_lsh(spark, sf_dir).select("q_id", "n_id", "rn")
-    truth = knn_cosine_topk(spark, sf_dir).select(
-        F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"), F.lit(1).alias("rel")
+    # Both ranker outputs are k rows/query (tiny); .cache() pins them so the
+    # join + aggregate below never re-derives the full ANN / exact-kNN
+    # lineages (the r3 bench showed the composed plan recomputing both).
+    sys_rank = knn_ann_lsh(spark, sf_dir).select("q_id", "n_id", "rn").cache()
+    truth = (
+        knn_cosine_topk(spark, sf_dir)
+        .select(F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"), F.lit(1).alias("rel"))
+        .cache()
     )
     j = sys_rank.join(
         truth,
@@ -1471,16 +1551,23 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.col("vec_id").alias("n_id"),
             F.col("embedding").alias("n_emb"),
-            F.round(dot_double(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+            F.round(dot_double_vec(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    # cand is _MMR_CAND rows/query (tiny) but feeds FIVE consumers (a, b, d,
+    # p1 and the per-round joins); without a pin each consumer re-derives the
+    # broadcast-crossJoin + window lineage — this was the slowest query in
+    # the r3 bench (3.15 s). .cache() computes it once.
     cand = (
         allsims.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_CAND)
+        .cache()
     )
     a = cand.select("q_id", F.col("n_id").alias("id_a"), F.col("n_emb").alias("emb_a"))
     b = cand.select("q_id", F.col("n_id").alias("id_b"), F.col("n_emb").alias("emb_b"))
+    # pair is k² rows/query and feeds the s2 scoring plus both per-pick
+    # renames (pa, pb) — pin it for the same single-computation reason.
     pair = (
         a.join(b, "q_id")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -1488,8 +1575,9 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "id_a",
             "id_b",
-            F.round(dot_double(F.col("emb_a"), F.col("emb_b")), 6).alias("sim_ab"),
+            F.round(dot_double_vec(F.col("emb_a"), F.col("emb_b")), 6).alias("sim_ab"),
         )
+        .cache()
     )
     d = cand.select("q_id", "n_id", "sim")
     p1 = cand.filter(F.col("rn") == 1).select(
@@ -1637,7 +1725,7 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         pref.alias("p"),
-        F.sqrt(dot_double(pref, pref)).alias("pn"),
+        F.sqrt(dot_double_vec(pref, pref)).alias("pn"),
     )
     q = (
         side.filter(F.col("vec_id") < N_QUERIES)
@@ -1654,8 +1742,8 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            dot_double(F.col("q_emb"), F.col("embedding")).alias("simf"),
-            (dot_double(F.col("q_p"), F.col("p")) / (F.col("q_pn") * F.col("pn"))).alias(
+            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("simf"),
+            (dot_double_vec(F.col("q_p"), F.col("p")) / (F.col("q_pn") * F.col("pn"))).alias(
                 "simp"
             ),
         )
@@ -1729,7 +1817,7 @@ def emb_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            dot_double(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
     wnn = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
