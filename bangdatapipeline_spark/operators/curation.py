@@ -180,6 +180,7 @@ CDC_KEY_SHIFT = 1450
 
 @register(
     "merge_cdc_with_deletes",
+    tags=("stream_twin",),
     oracle=f"""
 WITH latest AS (
   SELECT user_id + {CDC_KEY_SHIFT} AS key,
@@ -256,6 +257,7 @@ def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_cdc_upsert",
+    tags=("stream_twin",),
     oracle=f"""
 WITH latest AS (
   SELECT user_id + {CDC_KEY_SHIFT} AS key,
@@ -612,7 +614,9 @@ tru AS (
 )
 SELECT CAST(n_truth AS BIGINT) AS n_truth,
        CAST(n_capt AS BIGINT)  AS n_capt,
-       floor(n_capt * 1.0 / n_truth * 10000 + 0.5) / 10000 AS recall_b
+       CASE WHEN n_truth = 0 THEN NULL
+            ELSE floor(n_capt * 1.0 / n_truth * 10000 + 0.5) / 10000
+       END AS recall_b
 FROM tru, cap
 """
 
@@ -646,11 +650,16 @@ def eval_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_capt = _semantic_pairs(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_capt")
     )
+    # Zero-pair guard: div-by-zero semantics differ across engines (Spark
+    # NULL, DuckDB inf/NaN) — an explicit NULL makes the empty-truth case
+    # well-defined and identical on both sides.
     rec = F.col("n_capt") * 1.0 / F.col("n_truth")
     return n_truth.crossJoin(n_capt).select(
         "n_truth",
         "n_capt",
-        (F.floor(rec * 10000 + 0.5) / 10000).alias("recall_b"),
+        F.when(
+            F.col("n_truth") == 0, F.lit(None).cast("double")
+        ).otherwise(F.floor(rec * 10000 + 0.5) / 10000).alias("recall_b"),
     )
 
 

@@ -293,7 +293,8 @@ unioned AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
 SELECT CAST(generation AS INT) AS generation,
        coalesce(o_orderpriority, '<missing>') AS priority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS revenue,
        CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority
 FROM unioned
 GROUP BY 1, 2
@@ -332,6 +333,12 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        # exact-cents lattice: groups here are whole-table-sized (one per
+        # generation×priority), where an order-dependent double sum can
+        # flip the 2-dp boundary; integer cents sum exactly at any scale
+        # (max |sum| << 2^53, so the final /100.0 is lossless).
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("revenue"),
         F.count("o_orderpriority").alias("n_with_priority"),
     )

@@ -34,6 +34,7 @@ ARRIVAL = "(event_id * 1103515245 + 12345) % 2147483647"
 
 @register(
     "stream_tumbling",
+    tags=("stream_twin",),
     oracle="""
 SELECT date_trunc('day', ts) AS w_start, event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -56,6 +57,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding",
+    tags=("stream_twin",),
     oracle="""
 WITH expanded AS (
     SELECT make_timestamp((epoch_us(ts) // 21600000000 - k) * 21600000000) AS w_start,
@@ -83,6 +85,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session",
+    tags=("stream_twin",),
     oracle=f"""
 WITH o AS (
     SELECT user_id, ts, event_id, value,
@@ -134,6 +137,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
+    tags=("stream_twin",),
     oracle="""
 SELECT DISTINCT event_id, ts, user_id, event_type, round(value, 2) AS value
 FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
@@ -152,6 +156,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_join",
+    tags=("stream_twin",),
     oracle="""
 SELECT c.c_mktsegment, e.event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -181,6 +186,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late",
+    tags=("stream_twin",),
     oracle=f"""
 WITH arr AS (
     SELECT event_id, ts, user_id,
@@ -216,6 +222,7 @@ def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful",
+    tags=("stream_twin",),
     oracle="""
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_so_far,
@@ -247,6 +254,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_join",
+    tags=("stream_twin",),
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
@@ -286,6 +294,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_left_join",
+    tags=("stream_twin",),
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
@@ -328,6 +337,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_full_join",
+    tags=("stream_twin",),
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        coalesce(p.user_id, c.user_id) AS user_id,
@@ -511,6 +521,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_topk",
+    tags=("stream_twin",),
     oracle="""
 WITH counts AS (
   SELECT date_trunc('day', ts) AS w_start, event_type,
@@ -549,6 +560,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cdc_latest",
+    tags=("stream_twin",),
     oracle="""
 SELECT user_id, event_id, round(value, 2) AS latest_value
 FROM (SELECT user_id, event_id, value,

@@ -396,3 +396,44 @@ def daily_value_histogram(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("day"), "bin", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Twin registry: batch registry key -> streaming twin entry point
+# ---------------------------------------------------------------------------
+# Every registry key tagged ``stream_twin`` maps here to the Structured
+# Streaming construction that replays to the same final result as the
+# hash-checked batch operator. Enumerated (not derived) so the audit test
+# in tests/test_streaming.py fails loudly when a new stateful batch twin
+# is registered without its streaming counterpart — the list IS the claim
+# that a replay-equivalence test exists for each entry.
+def _stream_twins():
+    from bangdatapipeline_spark.streaming import sinks
+
+    return {
+        "stream_tumbling": tumbling_counts,
+        "stream_sliding": sliding_counts,
+        "stream_session": session_aggregate,
+        "stream_dedup": dedup_stream,
+        "stream_static_join": static_enrich,
+        # the late-data batch diagnostic replays through the watermarked
+        # tumbling aggregate (the watermark IS the operator under test)
+        "stream_late": tumbling_counts,
+        "stream_stateful": stateful_counts,
+        "stream_stream_join": interval_join_streams,
+        "stream_stream_left_join": interval_left_join_streams,
+        "stream_stream_full_join": interval_full_join_streams,
+        # complete-mode aggregate + foreachBatch re-rank (leaderboard)
+        "stream_topk": tumbling_counts,
+        "stream_cdc_latest": cdc_latest,
+        "ts_hist_quantile_sliding": daily_value_histogram,
+        "incremental_agg_merge": sinks.incremental_state_merge_sink,
+        "incremental_join_delta": sinks.incremental_join_view_sink,
+        "merge_cdc_with_deletes": sinks.cdc_merge_sink,
+        # upsert-only CDC runs through the same sink; the changelog just
+        # carries no tombstones (is_delete = false for every row)
+        "merge_cdc_upsert": sinks.cdc_merge_sink,
+    }
+
+
+STREAM_TWINS = _stream_twins()

@@ -52,9 +52,10 @@ HEADLINE_METRICS = {
     "doc_exact_dedup",
     "emb_knn_top5",
     "asof_last_event_before_order",
-    # canonical-layout q1 (BASELINE.md round-2 note): same aggregate over an
-    # engine-ingested multi-row-group lineitem copy, so the scan splits.
+    # canonical-layout twins (BASELINE.md round-2/3 notes): same queries over
+    # engine-ingested multi-row-group table copies, so the scans split.
     "q1_pricing_summary_canonical",
+    "events_json_extract_canonical",
 }
 
 # BASELINE.md metric name -> registry key (same query shape at the same sf).
@@ -229,30 +230,35 @@ def _time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
     return statistics.median(samples), statistics.median(plan_samples)
 
 
-def _canonical_lineitem_dir(spark) -> str:
-    """Re-ingest the bench sf_dir's lineitem through the engine's canonical
-    layout (8 files / 4 MB row groups) into a temp sf-dir.
+def _canonical_dir(spark, tables: list[str]) -> str:
+    """Re-ingest selected tables through the engine's canonical layout
+    (8 files / 4 MB row groups) into a per-run unique temp sf-dir.
 
     BASELINE.md (round 2) root-caused q1's residual gap to the driver's
     single-600k-row-row-group lineitem file: Spark cannot split a scan
     below one row group, so the scan runs serial regardless of
-    ``files.maxPartitionBytes``. The canonical ingest is how the engine
-    itself would lay the table out; `q1_pricing_summary_canonical` times
-    the SAME query over that layout.
+    ``files.maxPartitionBytes`` — and the same applies to ``events``.
+    The canonical ingest is how the engine itself would lay the tables
+    out; the `*_canonical` metrics time the SAME queries over that
+    layout. The uuid suffix keeps concurrent bench runs from clobbering
+    each other's layout mid-timing; the caller removes the dir after use.
     """
     import tempfile
+    import uuid
 
-    out = os.path.join(tempfile.gettempdir(), "bdp_bench_canonical")
-    li_dir = os.path.join(out, "lineitem.parquet")
+    out = os.path.join(
+        tempfile.gettempdir(), f"bdp_bench_canonical_{uuid.uuid4().hex[:12]}"
+    )
     from bangdatapipeline_spark.tables import load_table
 
-    li = load_table(spark, SF_DIR, "lineitem")
-    (
-        li.repartition(8)
-        .write.mode("overwrite")
-        .option("parquet.block.size", 4 * 1024 * 1024)
-        .parquet(li_dir)
-    )
+    for name in tables:
+        (
+            load_table(spark, SF_DIR, name)
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 4 * 1024 * 1024)
+            .parquet(os.path.join(out, f"{name}.parquet"))
+        )
     return out
 
 
@@ -276,11 +282,21 @@ def main() -> None:
         timings[metric] = round(exec_s, 4)
         plan_total += plan_s
 
-    # q1 over the engine's canonical multi-row-group layout (splittable scan)
-    canon_dir = _canonical_lineitem_dir(spark)
-    exec_s, plan_s = _time_query(spark, registry["agg_groupby"].fn, canon_dir)
-    timings["q1_pricing_summary_canonical"] = round(exec_s, 4)
-    plan_total += plan_s
+    # q1 + events JSON extraction over the engine's canonical multi-row-group
+    # layout (splittable scans); removed afterwards so runs stay independent.
+    import shutil
+
+    canon_dir = _canonical_dir(spark, ["lineitem", "events"])
+    try:
+        for metric, key in (
+            ("q1_pricing_summary_canonical", "agg_groupby"),
+            ("events_json_extract_canonical", "json_funcs"),
+        ):
+            exec_s, plan_s = _time_query(spark, registry[key].fn, canon_dir)
+            timings[metric] = round(exec_s, 4)
+            plan_total += plan_s
+    finally:
+        shutil.rmtree(canon_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     plan_total = round(plan_total, 4)

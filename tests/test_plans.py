@@ -466,3 +466,35 @@ def test_incremental_merge_final_shuffle_is_state_rows(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     assert "Union" in plan, plan[:3000]
     assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
+
+
+def test_mmr_candidate_stage_computed_once(spark, sf_dir):
+    """The MMR candidate stage feeds five consumers; the pin must show up
+    as InMemoryRelation reuse (one computation) rather than five
+    re-derivations of the crossJoin+window lineage — the r3 bench's
+    slowest query until cached."""
+    df = REGISTRY["knn_mmr_diversify"].fn(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        # both the candidate stage and the pair table must be pinned:
+        # InMemoryTableScan at each consumer site means the runtime
+        # computes each lineage once (the plan text repeats the cached
+        # child under every scan site, so occurrence counts of inner
+        # operators prove nothing — the relation itself is the pin).
+        assert "InMemoryRelation" in plan, plan[:3000]
+        assert plan.count("InMemoryTableScan") >= 4, plan[:3000]
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_rank_eval_ranker_outputs_cached(spark, sf_dir):
+    """eval_rank_metrics composes two full ranker plans (ANN + exact);
+    both outputs are k rows/query and must be pinned so the join +
+    aggregate reads cached data instead of recomputing both lineages
+    (the one r2->r3 bench regression)."""
+    df = REGISTRY["eval_rank_metrics"].fn(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    finally:
+        spark.catalog.clearCache()

@@ -891,6 +891,9 @@ def test_dsir_selection_stable_across_partitionings(spark, sf_dir):
     finally:
         if orig is not None:
             tables._df_cache[key] = orig
+        else:
+            # leave no repartitioned DataFrame behind for later tests
+            tables._df_cache.pop(key, None)
     assert base == rep
 
 

@@ -43,13 +43,8 @@ def _rows(df, cols):
 
 def test_tumbling_stream_equals_batch(spark, chunks):
     stream = replay.read_stream(spark, chunks)
-    # no watermark + complete mode => every window present at stream end
-    out = replay.run_stream(
-        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
-        ).select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"),
-        mode="complete",
-    )
+    # complete mode => every window present at stream end (no eviction)
+    out = replay.run_stream(streaming.tumbling_counts(stream), mode="complete")
     batch = REGISTRY["stream_tumbling"].fn(spark, SF)
     cols = ["w_start", "event_type", "n", "sum_value"]
     assert _rows(out, cols) == _rows(batch, cols)
@@ -125,12 +120,7 @@ def test_static_join_stream(spark, chunks):
 
 def test_sliding_stream_equals_batch(spark, chunks):
     stream = replay.read_stream(spark, chunks)
-    out = replay.run_stream(
-        stream.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type").agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
-        ).select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"),
-        mode="complete",
-    )
+    out = replay.run_stream(streaming.sliding_counts(stream), mode="complete")
     batch = REGISTRY["stream_sliding"].fn(spark, SF)
     cols = ["w_start", "event_type", "n", "sum_value"]
     assert _rows(out, cols) == _rows(batch, cols)
@@ -478,3 +468,70 @@ def test_incremental_join_view_stream_equals_batch_identity(spark):
         assert len(versions) == 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_merge_upsert_stream_equals_batch(spark):
+    """Upsert-only CDC through the same versioned sink: replaying a
+    tombstone-free changelog (purchases only, is_delete = false) in 5
+    micro-batches and applying the state at read time must produce
+    EXACTLY the batch merge-audit table of ``merge_cdc_upsert``
+    (inserted/updated/unchanged, no delete path)."""
+    from bangdatapipeline_spark.operators.curation import CDC_KEY_SHIFT
+    from bangdatapipeline_spark.streaming import sinks
+
+    ev = load_table(spark, SF, "events")
+    changelog = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        F.lit(False).alias("is_delete"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_id",
+    )
+    d = replay.write_chunks(spark, SF, n_chunks=5, df=changelog, order_col="event_id")
+    try:
+        stream = replay.read_stream(spark, d)
+        q, target = sinks.cdc_merge_sink(stream)
+        q.awaitTermination()
+        base = load_table(spark, SF, "customer")
+        out = sinks.cdc_merge_result(
+            base, sinks.read_state(spark, target), CDC_KEY_SHIFT
+        )
+        got = {r.key: (r.name, r.acctbal, r.merge_action) for r in out.collect()}
+        want = {
+            r.key: (r.name, r.acctbal, r.merge_action)
+            for r in REGISTRY["merge_cdc_upsert"].fn(spark, SF).collect()
+        }
+        assert got == want
+        assert "deleted" not in {a for (_, _, a) in got.values()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_twin_registry_is_complete_and_tested():
+    """Enumerated twin audit (round-3 verdict task): the STREAM_TWINS
+    mapping, the registry's ``stream_twin`` tag set, and this test
+    module's replay coverage must agree exactly.
+
+    - every tagged batch key has a streaming twin entry point;
+    - every STREAM_TWINS entry is tagged (no orphan twins);
+    - every twin callable is exercised by name somewhere in this module
+      (the replay-equivalence tests above), so registering a new stateful
+      batch twin without streaming coverage fails loudly here."""
+    import inspect
+    import os as _os
+
+    tagged = {k for k, q in REGISTRY.items() if "stream_twin" in q.tags}
+    assert set(streaming.STREAM_TWINS) == tagged, (
+        set(streaming.STREAM_TWINS) ^ tagged
+    )
+    src = open(_os.path.abspath(__file__)).read()
+    for key, twin in streaming.STREAM_TWINS.items():
+        assert callable(twin), key
+        assert twin.__name__ in src, (
+            f"streaming twin {twin.__name__!r} (for {key}) has no "
+            "replay-equivalence test in tests/test_streaming.py"
+        )
+        # each twin is a real streaming construction, not a stub
+        assert inspect.getsource(twin).strip(), key
