@@ -25,6 +25,8 @@ at 100 TB widen to 64-bit and band it like MinHash).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -65,6 +67,81 @@ SPARK_STRHASH = (
     "aggregate(sequence(1, length({s})), CAST(0 AS BIGINT), "
     f"(acc, i) -> (acc * 31 + ascii(substring({{s}}, i, 1))) % {P})"
 )
+
+
+def _hash_words_np(flat):
+    """Vectorized twin of SPARK_STRHASH / DUCK_STRHASH over a flat word
+    list — the SAME integer fold ((acc*31 + codepoint) % P), stepped over
+    char positions with numpy, so results are bit-identical BY
+    CONSTRUCTION (pure int64 arithmetic: max intermediate P*31 + 0x10FFFF
+    << 2^63). The per-character Catalyst fold this replaces was the
+    hottest expression in the repo (~50 s of interpreted substring/ascii
+    calls on the sf0.1 shingle pass)."""
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.int64)
+    u = np.asarray(flat, dtype="U")  # NUL-padded fixed-width codepoints
+    width = u.dtype.itemsize // 4
+    codes = u.view(np.uint32).reshape(len(u), width)
+    h = np.zeros(len(u), dtype=np.int64)
+    for i in range(width):  # position-major: each step is one vector op
+        c = codes[:, i].astype(np.int64)
+        m = c != 0  # words are left-aligned; 0 == padding
+        if not m.any():
+            break
+        h[m] = (h[m] * 31 + c[m]) % P
+    return h
+
+
+_WORDHASH_UDF = None
+
+
+def wordhash(col):
+    """string -> bigint word hash (Arrow-batched scalar twin)."""
+    global _WORDHASH_UDF
+    if _WORDHASH_UDF is None:
+
+        @F.pandas_udf("bigint")
+        def _one(tok: pd.Series) -> pd.Series:
+            return pd.Series(_hash_words_np(tok.to_numpy()))
+
+        _WORDHASH_UDF = _one
+    return _WORDHASH_UDF(col)
+
+
+_HSHINGLE_UDF = None
+
+
+def hashed_shingles_arr(col):
+    """array<string> words -> array<bigint> DISTINCT hashed 3-shingles —
+    the vectorized twin of the per-word hash + shingle combine in one
+    Arrow pass. Same integer lattice: word hashes from _hash_words_np, mixed
+    ((h0*SH_MIX + h1) % P * SH_MIX + h2) % P (max intermediate ≈ P·SH_MIX
+    ≈ 2.1e15 << 2^63 — exact). Downstream consumers treat the shingle
+    set as a SET (explode+distinct, min-fold signatures, array_intersect
+    verify), so np.unique's sorted order is equivalent to array_distinct's
+    first-occurrence order."""
+    global _HSHINGLE_UDF
+    if _HSHINGLE_UDF is None:
+
+        @F.pandas_udf("array<bigint>")
+        def _sh(ws: pd.Series) -> pd.Series:
+            lists = ws.tolist()
+            flat = [w for lst in lists for w in lst]
+            h = _hash_words_np(flat)
+            out, pos = [], 0
+            for lst in lists:
+                n = len(lst)
+                wh = h[pos : pos + n]
+                pos += n
+                if n < 3:
+                    out.append([])
+                    continue
+                hs = ((wh[:-2] * SH_MIX + wh[1:-1]) % P * SH_MIX + wh[2:]) % P
+                out.append(np.unique(hs).tolist())
+            return pd.Series(out, dtype=object)
+
+        _HSHINGLE_UDF = _sh
+    return _HSHINGLE_UDF(col)
 DUCK_STRHASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(generate_series(1, length({s})), "
@@ -96,10 +173,8 @@ def _shingled(spark: SparkSession, sf_dir: str, bound: int | None = None) -> Dat
 
 SH_MIX = 1000003  # shingle-combine multiplier (> max word count, prime)
 
-SPARK_HSHINGLES = (
-    f"array_distinct(transform(sequence(1, size(ws) - 2), "
-    f"i -> ((wh[i-1] * {SH_MIX} + wh[i]) % {P} * {SH_MIX} + wh[i+1]) % {P}))"
-)
+# Spark side computes the same combine inside hashed_shingles_arr (one
+# Arrow pass over the words); DuckDB spells it out:
 DUCK_HSHINGLES = (
     f"list_distinct(list_transform(generate_series(1, len(ws) - 2), "
     f"i -> ((wh[i] * {SH_MIX} + wh[i+1]) % {P} * {SH_MIX} + wh[i+2]) % {P}))"
@@ -111,10 +186,7 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.withColumn("ws", F.split("text", " "))
         .filter(F.size("ws") >= 3)
-        .withColumn(
-            "wh", F.expr("transform(ws, w -> " + SPARK_STRHASH.replace("{s}", "w") + ")")
-        )
-        .withColumn("hs", F.expr(SPARK_HSHINGLES))
+        .withColumn("hs", hashed_shingles_arr(F.col("ws")))
         .select("doc_id", "hs")
     )
 
@@ -310,7 +382,7 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    th = toks.select("doc_id", F.expr(SPARK_STRHASH.replace("{s}", "tok")).alias("h"))
+    th = toks.select("doc_id", wordhash(F.col("tok")).alias("h"))
     bit_ids = spark.range(0, 16).select(F.col("id").cast("int").alias("b"))
     bits = (
         th.crossJoin(F.broadcast(bit_ids))

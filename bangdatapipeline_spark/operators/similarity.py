@@ -1393,33 +1393,49 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     visualization/drift primitive that never materializes the d x d
     covariance, just two passes of per-row projections.
 
-    Per round: the current direction is a 1-row broadcast array; each
-    vector's projection s = x·v happens IN-ROW (zip_with fold — no join
-    for the projection), and the only shuffle is the d-key weighted sum
-    Xᵀs (64 groups, map-side partials). The direction is re-rounded to
-    the 6-dp lattice between rounds on BOTH engines, so round-2 inputs
-    are identical despite summation-order ulp noise in the corpus sums
-    (the IVF codebook-lattice recipe). Sign is pinned by the all-positive
-    init. At 100 TB: two corpus scans, shuffle volume 64 doubles per
-    partition per round.
+    Per round: the current direction is a 1-row broadcast array and each
+    partition contributes ONE {EMB_DIM}-value partial XᵀXv computed in a
+    single Arrow/BLAS pass (mapInPandas) — no per-element explode, and
+    the only shuffle is {EMB_DIM} doubles per partition per round. The
+    direction is re-rounded to the 6-dp lattice between rounds on BOTH
+    engines, so round-2 inputs are identical despite summation-order ulp
+    noise in the corpus sums (the IVF codebook-lattice recipe; BLAS
+    reassociation lands on the same lattice point — the gemm_pairs_tiled
+    precedent). Sign is pinned by the all-positive init. At 100 TB: two
+    corpus scans, shuffle volume {EMB_DIM} doubles per partition per
+    round.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
 
+    def _partials(batches):
+        """Per-partition partial w = Σ_rows (x·v)·x, one BLAS pass."""
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = np.asarray(pdf["v"].iloc[0], dtype=np.float64)
+            part = x.T @ (x @ v)
+            acc = part if acc is None else acc + part
+        if acc is not None:
+            yield pd.DataFrame({"dim": np.arange(len(acc)), "w": acc})
+
+    def corpus_w(v_row: DataFrame) -> DataFrame:
+        """(dim, w) = XᵀXv via partition partials + a 64-key final sum."""
+        j = e.crossJoin(F.broadcast(v_row)).select("embedding", "v")
+        return (
+            j.mapInPandas(_partials, schema="dim long, w double")
+            .groupBy("dim")
+            .agg(F.sum("w").alias("w"))
+        )
+
     def power_round(v_row: DataFrame) -> DataFrame:
-        """One iteration: project in-row, weighted-sum per dim, normalize
-        to the shared 6-dp lattice; returns a 1-row array DataFrame."""
-        j = e.crossJoin(F.broadcast(v_row))
-        s = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), F.col("v"), lambda a, b: a.cast("double") * b
-            ),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-        x = j.select(s.alias("s"), F.posexplode("embedding").alias("dim", "val"))
-        w = x.groupBy("dim").agg(
-            F.sum(F.col("s") * F.col("val").cast("double")).alias("w")
-        )
+        """One iteration: normalize the corpus sums to the shared 6-dp
+        lattice; returns a 1-row array DataFrame."""
+        w = corpus_w(v_row)
         n = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         return (
             w.crossJoin(F.broadcast(n))
@@ -1437,14 +1453,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = power_round(v0)
     # final round, long-form output (dim, loading)
-    j = e.crossJoin(F.broadcast(v1))
-    s = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("v"), lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    x = j.select(s.alias("s"), F.posexplode("embedding").alias("dim", "val"))
-    w = x.groupBy("dim").agg(F.sum(F.col("s") * F.col("val").cast("double")).alias("w"))
+    w = corpus_w(v1)
     n = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     return (
         w.crossJoin(F.broadcast(n))

@@ -29,8 +29,11 @@ def test_no_duplicate_bench_metrics_or_keys():
 
 def test_headline_metrics_resolve():
     """Every headline metric must be produced by the run: either a
-    BENCH_QUERIES entry or the canonical-layout q1 the runner adds."""
-    produced = {m for m, _ in bench.BENCH_QUERIES} | {"q1_pricing_summary_canonical"}
+    BENCH_QUERIES entry or a canonical-layout twin the runner adds."""
+    produced = {m for m, _ in bench.BENCH_QUERIES} | {
+        "q1_pricing_summary_canonical",
+        "events_json_extract_canonical",
+    }
     dangling = bench.HEADLINE_METRICS - produced
     assert dangling == set(), f"headline metrics never produced: {dangling}"
 
