@@ -1183,3 +1183,88 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("int").alias("name_ed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE through the transactional table format (ACID sink, hash-checked)
+# --------------------------------------------------------------------------
+
+# Keys straddle the base custkey range so update / insert / delete /
+# unchanged all occur at every sf (user_id max ≈ custkey max / 10).
+_TXN_SHIFT = 100
+
+
+@register(
+    "txn_cdc_merge_table",
+    oracle=f"""
+WITH ch AS (
+  SELECT user_id + {_TXN_SHIFT}                  AS key,
+         'cdc-' || CAST(user_id AS VARCHAR)      AS name,
+         round(value, 2)                         AS bal,
+         event_type = 'error'                    AS is_delete,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+latest AS (SELECT key, name, bal, is_delete FROM ch WHERE rn = 1)
+SELECT coalesce(l.key, c.c_custkey)   AS c_custkey,
+       coalesce(l.name, c.c_name)     AS c_name,
+       coalesce(l.bal, c.c_acctbal)   AS c_acctbal
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.key
+WHERE NOT coalesce(l.is_delete, false)
+""",
+)
+def txn_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE through the toy delta-log table format
+    (``sources.txn_table``): CREATE the customer snapshot as a
+    hash-bucketed transactional table, MERGE the events changelog
+    (latest-wins upserts + 'error' tombstones) with file-level
+    copy-on-write, and return the COMMITTED table's final state.
+
+    Unlike ``merge_cdc_with_deletes`` (which returns the merge-audit
+    DataFrame), the thing hash-checked here is what a reader of the
+    table sees AFTER the transaction log commits — create, bucketed data
+    files, manifest, merge commit, snapshot resolution all sit on the
+    verified path. The oracle is the equivalent one-shot MERGE in SQL.
+
+    The result is pinned via ``localCheckpoint`` (block storage, not the
+    temp table files) so the on-disk demo table can be removed before
+    returning — the returned plan reads materialized blocks, never the
+    deleted directory. Scale shape: the merge rewrites only touched
+    buckets (O(changed data)); the checkpoint stands in for the table
+    living permanently on object storage.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from bangdatapipeline_spark.sources.txn_table import TxnTable
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(tempfile.gettempdir(), f"txn_q_{uuid.uuid4().hex[:8]}")
+    try:
+        table = TxnTable.create(
+            spark,
+            path,
+            c.select("c_custkey", "c_name", "c_acctbal"),
+            key_col="c_custkey",
+            n_buckets=8,
+        )
+        changelog = ev.filter(
+            F.col("event_type").isin("purchase", "error")
+        ).select(
+            (F.col("user_id") + _TXN_SHIFT).alias("c_custkey"),
+            F.concat(F.lit("cdc-"), F.col("user_id").cast("string")).alias("c_name"),
+            F.round("value", 2).alias("c_acctbal"),
+            (F.col("event_type") == "error").alias("is_delete"),
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
+            "event_id",
+        )
+        table.merge_cdc(changelog, app_id="txn-q", version=1)
+        return table.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,239 @@
+"""Transactional-table (toy delta-log) tests: atomic commits, file-level
+copy-on-write MERGE, idempotent replay (SURVEY.md §2.12 production sink).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark.sources.txn_table import TxnTable
+from bangdatapipeline_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# sf0.001 has user_id 0..14 and c_custkey 0..149; +140 straddles the base
+# key boundary so update, delete, insert AND unchanged paths all occur.
+_SHIFT = 140
+
+
+def _changelog(spark):
+    """CDC changelog shaped like the merge_cdc_with_deletes family:
+    purchases upsert acctbal, errors are tombstones; key shifted to
+    straddle the customer key range (see _SHIFT)."""
+    ev = load_table(spark, SF, "events")
+    return ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        (F.col("user_id") + _SHIFT).alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("user_id").cast("string")).alias("c_name"),
+        F.round("value", 2).alias("c_acctbal"),
+        (F.col("event_type") == "error").alias("is_delete"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_id",
+    )
+
+
+def _expected_after_merge(spark, base, changelog):
+    """Reference MERGE semantics in plain DataFrame algebra."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("n"),
+            F.col("c_acctbal").alias("b"),
+            "is_delete",
+        )
+    )
+    j = base.join(latest, base.c_custkey == F.col("k"), "full_outer")
+    return j.filter(~F.coalesce("is_delete", F.lit(False))).select(
+        F.coalesce("k", "c_custkey").alias("c_custkey"),
+        F.coalesce("n", "c_name").alias("c_name"),
+        F.coalesce("b", "c_acctbal").alias("c_acctbal"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("c_custkey", "c_name", "c_acctbal").collect())
+
+
+def test_txn_merge_correct_idempotent_and_file_pruned(spark, tmp_path):
+    path = str(tmp_path / "cust_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=8)
+
+    assert _rows(t.read()) == _rows(base)
+    pre_snapshot = {e["path"]: e for e in t.snapshot()}
+
+    changelog = _changelog(spark)
+    stats = t.merge_cdc(changelog, app_id="cdc-pipe", version=1)
+    assert not stats["skipped"]
+    want = _rows(_expected_after_merge(spark, base, changelog))
+    assert _rows(t.read()) == want
+
+    # merge semantics actually exercised all three mutation paths
+    base_keys = {r[0] for r in base.select("c_custkey").collect()}
+    got_keys = {r[0] for r in t.read().select("c_custkey").collect()}
+    assert got_keys - base_keys, "no inserts happened"
+    assert base_keys - got_keys, "no deletes happened"
+
+    # file-level copy-on-write: untouched buckets' files carry over by
+    # reference — their exact paths survive the commit
+    post_snapshot = {e["path"]: e for e in t.snapshot()}
+    touched = set(stats["touched_buckets"])
+    carried = {
+        p for p, e in pre_snapshot.items() if e["bucket"] not in touched
+    }
+    assert stats["files_carried"] == len(carried)
+    assert carried <= set(post_snapshot), "untouched files were rewritten"
+    if touched != set(range(8)):
+        assert carried, "pruning never applied (all buckets touched)"
+
+    # idempotent replay: same (app_id, version) is a no-op
+    n_commits = len(t._commits())
+    stats2 = t.merge_cdc(changelog, app_id="cdc-pipe", version=1)
+    assert stats2["skipped"]
+    assert len(t._commits()) == n_commits
+    assert {e["path"] for e in t.snapshot()} == set(post_snapshot)
+    assert _rows(t.read()) == want
+
+    # a LOWER version (late replay of an old batch) is also a no-op
+    assert t.merge_cdc(changelog, app_id="cdc-pipe", version=0)["skipped"]
+    # a different app's version counter is independent
+    assert t.last_txn_version("other-app") is None
+
+    # file-level pruning, forced: a single-key delta touches exactly one
+    # bucket, so every other bucket's files must carry over by reference
+    one_key = changelog.filter(F.col("c_custkey") == _SHIFT)
+    before = {e["path"] for e in t.snapshot()}
+    stats3 = t.merge_cdc(one_key, app_id="cdc-pipe", version=2)
+    assert not stats3["skipped"]
+    assert len(stats3["touched_buckets"]) == 1
+    assert stats3["files_carried"] > 0
+    after = {e["path"] for e in t.snapshot()}
+    carried_now = {
+        e["path"]
+        for e in t.snapshot()
+        if e["bucket"] not in set(stats3["touched_buckets"])
+    }
+    assert carried_now and carried_now <= before, (
+        "untouched buckets were rewritten by a single-key merge"
+    )
+    assert after != before
+
+
+def test_txn_uncommitted_files_are_invisible(spark, tmp_path):
+    """Crash between data write and commit: orphan data files must not be
+    visible to readers (the log, not the directory, defines the table)."""
+    path = str(tmp_path / "orphan_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+    before = _rows(t.read())
+
+    # simulate a writer that died after writing data, before committing
+    orphan = os.path.join(path, "data", "txn-99999999-deadbeef", "_bucket=0")
+    os.makedirs(orphan)
+    base.limit(5).write.mode("overwrite").parquet(os.path.join(orphan, "part"))
+
+    assert _rows(t.read()) == before
+    shutil.rmtree(os.path.join(path, "data", "txn-99999999-deadbeef"))
+
+
+def test_txn_sequential_merges_advance_versions(spark, tmp_path):
+    """Two different batches (version 1 then 2) both apply; replaying
+    batch 1 after batch 2 is rejected by the txn stamp."""
+    path = str(tmp_path / "seq_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+
+    ch = _changelog(spark)
+    # split by TIME, not arbitrarily: MERGE is last-batch-wins, so the
+    # composition equals the one-shot merge only when batch order agrees
+    # with the (ts_us, event_id) change order per key — which a time
+    # split guarantees and e.g. an event_id-parity split would not.
+    lo, hi = ch.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (lo + hi) // 2
+    first = ch.filter(F.col("ts_us") <= mid)
+    second = ch.filter(F.col("ts_us") > mid)
+    assert first.count() > 0 and second.count() > 0
+
+    assert not t.merge_cdc(first, app_id="pipe", version=1)["skipped"]
+    assert not t.merge_cdc(second, app_id="pipe", version=2)["skipped"]
+    assert t.last_txn_version("pipe") == 2
+    assert t.merge_cdc(first, app_id="pipe", version=1)["skipped"]
+
+    # end state equals applying the full changelog at once to the base
+    want = _rows(_expected_after_merge(spark, base, ch))
+    assert _rows(t.read()) == want
+
+
+def test_txn_time_travel_compact_vacuum(spark, tmp_path):
+    """Time travel reads any log prefix; OPTIMIZE compacts to one file
+    per bucket without changing rows (and is a no-op when already
+    compact); VACUUM physically reclaims files outside the retention
+    horizon, including uncommitted orphans, while the current snapshot
+    stays readable."""
+    path = str(tmp_path / "tt_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    # multi-partition source: the zero-shuffle CREATE ingest then writes
+    # several files per bucket — the fragmentation OPTIMIZE exists for
+    t = TxnTable.create(
+        spark, path, base.repartition(5), key_col="c_custkey", n_buckets=4
+    )
+    v0_rows = _rows(t.read())
+
+    # the zero-shuffle ingest left several files per bucket — exactly the
+    # fragmentation OPTIMIZE exists for
+    pre = t.snapshot()
+    assert any(
+        sum(1 for e in pre if e["bucket"] == b) > 1 for b in range(4)
+    ), "multi-partition ingest produced no fragmentation"
+    stats = t.compact()
+    assert not stats["skipped"]
+    assert _rows(t.read()) == v0_rows
+    per_bucket = {}
+    for e in t.snapshot():
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values()), per_bucket
+    assert t.compact()["skipped"]  # idempotent: already compact
+
+    ch = _changelog(spark)
+    lo, hi = ch.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (lo + hi) // 2
+    t.merge_cdc(ch.filter(F.col("ts_us") <= mid), app_id="p", version=1)
+    v1_rows = _rows(t.read())
+    t.merge_cdc(ch.filter(F.col("ts_us") > mid), app_id="p", version=2)
+    v2_rows = _rows(t.read())
+
+    # time travel: every log prefix is still readable — the fragmented
+    # ingest (v0), the compacted twin (v1), and the first merge (v2)
+    assert _rows(t.read(at_version=0)) == v0_rows
+    assert _rows(t.read(at_version=1)) == v0_rows
+    assert _rows(t.read(at_version=2)) == v1_rows
+    assert v0_rows != v1_rows != v2_rows
+
+    # VACUUM: reclaim everything outside the latest snapshot (+ orphans)
+    orphan_dir = os.path.join(path, "data", "txn-77777777-orphan", "_bucket=0")
+    os.makedirs(orphan_dir)
+    base.limit(3).write.mode("overwrite").parquet(os.path.join(orphan_dir, "p"))
+    live = {e["path"] for e in t.snapshot()}
+    res = t.vacuum(retain_last=1)
+    assert res["files_deleted"] > 0
+    data_root = os.path.join(path, "data")
+    remaining = {
+        os.path.relpath(os.path.join(dp, f), data_root)
+        for dp, _, fs in os.walk(data_root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert remaining == live, "vacuum kept non-live or deleted live files"
+    assert _rows(t.read()) == v2_rows
