@@ -1196,6 +1196,7 @@ _TXN_SHIFT = 100
 
 @register(
     "txn_cdc_merge_table",
+    tags=("stream_twin",),
     oracle=f"""
 WITH ch AS (
   SELECT user_id + {_TXN_SHIFT}                  AS key,

@@ -433,6 +433,9 @@ def _stream_twins():
         # upsert-only CDC runs through the same sink; the changelog just
         # carries no tombstones (is_delete = false for every row)
         "merge_cdc_upsert": sinks.cdc_merge_sink,
+        # CDC merge landing in the transactional table format: the
+        # (app_id, version=batch_id) txn stamp gives exactly-once
+        "txn_cdc_merge_table": sinks.txn_table_merge_sink,
     }
 
 

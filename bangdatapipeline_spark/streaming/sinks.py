@@ -310,3 +310,36 @@ def read_state(spark: SparkSession, target: str) -> DataFrame:
         if d.startswith("v") and d[1:].isdigit()
     )
     return spark.read.parquet(os.path.join(target, f"v{versions[-1]:05d}"))
+
+
+def txn_table_merge_sink(changelog_stream: DataFrame, table, app_id: str = "stream"):
+    """Stream a CDC changelog into a transactional table
+    (``sources.txn_table.TxnTable``) — the production ACID sink for the
+    CDC/MERGE family, and the streaming twin of ``txn_cdc_merge_table``.
+
+    Each micro-batch MERGEs with ``version=batch_id``: the table's
+    (app_id, version) transaction stamp turns foreachBatch's
+    at-least-once replay contract into exactly-once — a re-delivered
+    batch is a logged no-op, no ``v{batch_id}`` directory convention
+    needed. Batch ids are monotone, so versions are too; within a batch
+    the merge compacts latest-wins on (ts_us, event_id), and across
+    batches the stream's time order makes last-batch-wins equal the
+    one-shot merge.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_cdc(batch_df, app_id=app_id, version=batch_id)
+
+    q = (
+        changelog_stream.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_txn_{uuid.uuid4().hex[:8]}"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q

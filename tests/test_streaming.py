@@ -535,3 +535,130 @@ def test_stream_twin_registry_is_complete_and_tested():
         )
         # each twin is a real streaming construction, not a stub
         assert inspect.getsource(twin).strip(), key
+
+
+def test_txn_table_stream_merge_equals_batch(spark, tmp_path):
+    """Streaming CDC into the transactional table format: replaying the
+    changelog as 5 time-ordered micro-batches through
+    ``txn_table_merge_sink`` must land the table on EXACTLY the state
+    the one-shot registered query (``txn_cdc_merge_table``) computes,
+    with one MERGE commit per non-empty batch and exactly-once replay
+    (re-merging a committed batch id is a logged no-op)."""
+    from pyspark.sql import Window
+
+    from bangdatapipeline_spark.operators.curation import _TXN_SHIFT
+    from bangdatapipeline_spark.sources.txn_table import TxnTable
+    from bangdatapipeline_spark.streaming import sinks
+
+    ev = load_table(spark, SF, "events")
+    changelog = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            (F.col("user_id") + _TXN_SHIFT).alias("c_custkey"),
+            F.concat(F.lit("cdc-"), F.col("user_id").cast("string")).alias("c_name"),
+            F.round("value", 2).alias("c_acctbal"),
+            (F.col("event_type") == "error").alias("is_delete"),
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
+            "event_id",
+        )
+        # time-ordered chunking: last-batch-wins == one-shot latest-wins
+        # only when batch order agrees with the (ts_us, event_id) order
+        .withColumn(
+            "ord", F.row_number().over(Window.orderBy("ts_us", "event_id"))
+        )
+    )
+    base = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    table = TxnTable.create(
+        spark, str(tmp_path / "stream_txn"), base, key_col="c_custkey", n_buckets=8
+    )
+    d = replay.write_chunks(spark, SF, n_chunks=5, df=changelog, order_col="ord")
+    try:
+        stream = replay.read_stream(spark, d).drop("ord")
+        q = sinks.txn_table_merge_sink(stream, table, app_id="stream")
+        q.awaitTermination()
+
+        got = {
+            r.c_custkey: (r.c_name, r.c_acctbal) for r in table.read().collect()
+        }
+        want = {
+            r.c_custkey: (r.c_name, r.c_acctbal)
+            for r in REGISTRY["txn_cdc_merge_table"].fn(spark, SF).collect()
+        }
+        assert got == want
+        # one MERGE commit per batch, all stamped for exactly-once
+        assert table.last_txn_version("stream") == 4
+        # replaying an already-committed batch id is a no-op
+        n_commits = len(table._commits())
+        res = table.merge_cdc(
+            changelog.drop("ord").limit(3), app_id="stream", version=2
+        )
+        assert res["skipped"]
+        assert len(table._commits()) == n_commits
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
+    """Kill/restart recovery: a checkpointed stream processes the first
+    half of the input, terminates, more input arrives, and a RESTARTED
+    query with the same checkpoint + sink processes ONLY the new files —
+    the union of both runs equals the batch result exactly (no gaps, no
+    reprocessing)."""
+    import os
+
+    staged = str(tmp_path / "arriving_chunks")
+    target = str(tmp_path / "eo_target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staged)
+
+    full = replay.write_chunks(spark, SF, n_chunks=6)
+    try:
+        chunk_dirs = sorted(os.listdir(full))
+        assert len(chunk_dirs) == 6
+
+        def arrive(names):
+            for name in names:
+                shutil.copytree(
+                    os.path.join(full, name), os.path.join(staged, name)
+                )
+
+        def run_once():
+            schema = spark.read.parquet(os.path.join(full, "chunk_001")).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(staged, "chunk_*"))
+            )
+
+            def write_batch(batch_df, batch_id):
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(target, f"batch_id={batch_id}")
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        arrive(chunk_dirs[:3])
+        run_once()  # run 1: first half, then the query terminates
+        n_after_first = spark.read.parquet(os.path.join(target, "batch_id=*")).count()
+        assert n_after_first > 0
+
+        arrive(chunk_dirs[3:])
+        run_once()  # run 2: SAME checkpoint — resumes past run 1's files
+
+        out = spark.read.parquet(os.path.join(target, "batch_id=*"))
+        ev = load_table(spark, SF, "events")
+        assert out.count() == ev.count(), "gap or reprocessing after restart"
+        assert out.select("event_id").distinct().count() == ev.count()
+        assert n_after_first < ev.count()  # run 1 really was partial
+    finally:
+        shutil.rmtree(full, ignore_errors=True)
