@@ -13,7 +13,14 @@ Timing protocol: each timed run builds a FRESH DataFrame (fresh RDD
 lineage, so every shuffle genuinely re-executes — re-collecting one
 DataFrame would silently reuse completed shuffle stages), but Catalyst
 analysis/optimization/physical planning is forced BEFORE the stopwatch
-starts and reported separately (``plan_sec_total``). Planning is a fixed
+starts and reported separately (``plan_sec_total``). One caveat on the
+fresh-lineage rule: queries that ``.cache()`` a shared intermediate
+stage (knn_mmr_diversify, eval_rank_metrics, the minhash shingle table)
+keep that materialization in the session's CacheManager, so their timed
+runs read the cached stage computed during warm-up — analogous to
+DuckDB's warm buffer cache in the baseline, but worth naming: for those
+queries the COLD cost is the warm-up run, and the reported median is
+the steady-state serving cost of the pinned plan. Planning is a fixed
 per-submission cost (~0.15-1 s per plan shape here, measured) that is
 noise against hours of execution at the 100 TB design point; keeping it
 out of the per-query execution medians while still publishing it keeps
