@@ -1079,11 +1079,14 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _out_adjacency(spark, sf_dir)
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    # |triangles| rows of three longs, consumed by THREE unionAll legs —
+    # pinned so the adjacency joins + intersect explode run once, not 3x
     tris = (
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .join(_size_gated_broadcast(au), "u")
         .join(_size_gated_broadcast(av), "v")
         .select("u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"))
+        .cache()
     )
     e3 = (
         tris.select(F.least("u", "v").alias("pa"), F.greatest("u", "v").alias("pb"))
