@@ -819,3 +819,150 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
         F.col("n_dups").isNull().alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document exact shared spans (substring-level dedup)
+# --------------------------------------------------------------------------
+
+SPAN_N = 8          # n-gram width for positional shingles
+SPAN_DF_CAP = 10    # stop-shingles: drop n-grams in more than this many docs
+SPAN_MIN_TOKENS = 12  # report pairs sharing a verbatim run of >= this many tokens
+
+_NGRAM_POS_UDF = None
+
+
+def ngram_hashes_positional(col):
+    """array<string> words -> array<bigint> POSITIONAL n-gram hashes
+    (index i = hash of words[i..i+SPAN_N-1]; NOT distinct — order and
+    position carry the signal). Same integer lattice as the 3-shingle
+    kernel, folded over SPAN_N words: h = fold((h*SH_MIX + wh) % P).
+    Max intermediate = (P-1)*SH_MIX + (P-1) ≈ 2.1e15 << 2^63 — exact."""
+    global _NGRAM_POS_UDF
+    if _NGRAM_POS_UDF is None:
+
+        @F.pandas_udf("array<bigint>")
+        def _ng(ws: pd.Series) -> pd.Series:
+            lists = ws.tolist()
+            flat = [w for lst in lists for w in lst]
+            h = _hash_words_np(flat)
+            out, pos = [], 0
+            for lst in lists:
+                n = len(lst)
+                wh = h[pos : pos + n]
+                pos += n
+                if n < SPAN_N:
+                    out.append([])
+                    continue
+                acc = wh[: n - SPAN_N + 1].copy()
+                for k in range(1, SPAN_N):
+                    acc = (acc * SH_MIX + wh[k : n - SPAN_N + 1 + k]) % P
+                out.append(acc.tolist())
+            return pd.Series(out, dtype=object)
+
+        _NGRAM_POS_UDF = _ng
+    return _NGRAM_POS_UDF(col)
+
+
+def _duck_ngram_fold() -> str:
+    """DuckDB spelling of the positional SPAN_N-gram hash at index i
+    (1-based): the same left fold over SPAN_N word hashes."""
+    expr = "wh[i]"
+    for k in range(1, SPAN_N):
+        expr = f"(({expr}) * {SH_MIX} + wh[i+{k}]) % {P}"
+    return expr
+
+
+def _shared_spans_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+                                w -> {DUCK_STRHASH.format(s='w')}) AS wh
+  FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_N}
+),
+g AS (
+  SELECT doc_id, i AS pos, {_duck_ngram_fold()} AS h
+  FROM base, unnest(generate_series(1, len(wh) - {SPAN_N - 1})) AS t(i)
+),
+keep AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) <= {SPAN_DF_CAP}),
+gk AS (SELECT g.* FROM g JOIN keep USING (h)),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp,
+         pos_a
+  FROM pr
+),
+spans AS (
+  SELECT doc_a, doc_b, CAST(count(*) + {SPAN_N - 1} AS BIGINT) AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       CAST(max(span_tokens) AS BIGINT) AS longest_span,
+       CAST(count(*) AS BIGINT)         AS n_runs
+FROM spans
+GROUP BY doc_a, doc_b
+HAVING max(span_tokens) >= {SPAN_MIN_TOKENS}
+"""
+
+
+@register("dedup_shared_spans", oracle=_shared_spans_oracle())
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT shared spans — substring-level duplication
+    (the train-set analogue of Lee et al.'s exact-substring dedup): for
+    every document pair, the longest run of verbatim-identical tokens of
+    length >= {SPAN_MIN_TOKENS}, plus how many such maximal runs exist.
+    Doc-level detectors (MinHash, containment) miss a long quote inside
+    two otherwise-different documents; this catches exactly that.
+
+    Mechanics: positional {SPAN_N}-gram hashes (one Arrow kernel pass,
+    integer lattice — no text leaves the scan); a df-capped equi-join on
+    the hash yields match coordinates (pos_a, pos_b); matches on one
+    DIAGONAL (pos_a - pos_b constant) that are consecutive in pos_a form
+    a shared run, recovered with the gap-islands trick (pos_a minus its
+    rank along the diagonal is constant within a run) — no per-pair
+    alignment ever materializes, just a groupBy over match coordinates.
+
+    Scale: the only quadratic hazard is a shingle shared by many docs —
+    capped at df <= {SPAN_DF_CAP} (the standard stop-shingle guard; a
+    boilerplate header in k docs would otherwise join k^2). Everything
+    shuffled is (hash, doc, pos) ints; runs aggregate with map-side
+    combine on (pair, diag, grp) keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.withColumn("ws", F.split("text", " ")).filter(
+        F.size("ws") >= SPAN_N
+    )
+    g = ws.select(
+        "doc_id",
+        F.posexplode(ngram_hashes_positional(F.col("ws"))).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    keep = g.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter(F.col("df") <= SPAN_DF_CAP).select("h")
+    gk = g.join(keep, "h")
+    a = gk.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
+    b = gk.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
+    pr = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pr.withColumn("grp", F.col("pos_a") - F.row_number().over(wd))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (SPAN_N - 1)).cast("bigint").alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").cast("bigint").alias("longest_span"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("longest_span") >= SPAN_MIN_TOKENS)
+    )

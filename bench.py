@@ -203,6 +203,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("graph_det_walks", "graph_walks_det"),
     ("doc_per_lang_sample", "sample_per_group_fixed"),
     ("doc_incremental_dedup", "dedup_incremental_minhash"),
+    ("doc_shared_spans", "dedup_shared_spans"),
     ("emb_semantic_dedup", "dedup_semantic_clustered"),
     ("doc_dsir_select", "sample_importance_dsir"),
     ("doc_epoch_shuffle", "layout_epoch_shuffle"),
