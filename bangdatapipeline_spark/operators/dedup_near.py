@@ -641,7 +641,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = x.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= CONTAIN_DF_CAP
     )
-    xk = x.join(keep.select("h"), "h")
+    # df-capped (doc, shingle) pairs feed THREE consumers (sizes + both
+    # join sides) — pinned so the explode/distinct/cap lineage runs once
+    # (same posture as the cached MinHash shingle table it derives from)
+    xk = x.join(keep.select("h"), "h").cache()
     sz = xk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = xk.select(F.col("doc_id").alias("id_a"), "h")
     b = xk.select(F.col("doc_id").alias("id_b"), "h")
@@ -711,11 +714,16 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy 1-row broadcasts; ratios take the IEEE floor-round (small
     denominators, docs/dialect_notes.md).
     """
-    truth = dedup_near_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # Both pair tables are tiny (hundreds of rows) but their lineages are
+    # the full quadratic baseline / LSH pipeline; each feeds TWO
+    # consumers (the tp join and its own counter) — pinned so each heavy
+    # lineage computes once (the eval_rank_metrics pattern).
+    truth = dedup_near_jaccard(spark, sf_dir).select("id_a", "id_b").cache()
     sys_p = (
         dedup_near_minhash(spark, sf_dir)
         .select("id_a", "id_b")
         .filter(F.col("id_b") < EXACT_BOUND)
+        .cache()
     )
     tp = truth.join(sys_p, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_tp"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
