@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1651,3 +1653,193 @@ def graph_walks_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start",
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH neighbor similarity (the 100 TB fallback for neighbor-Jaccard)
+# --------------------------------------------------------------------------
+
+# Neighbor-set jaccards live in the LOW-similarity regime (~0.1 on the
+# dense co-purchase graph), so the banding is 16 bands x 1 row:
+# P(capture) = 1-(1-j)^16 (~0.8 at j=0.1), vs the dedup family's 4x4
+# tuned for j >= 0.7. Rows-per-band 1 means the bucket IS the signature.
+_NBR_MH_BANDS, _NBR_MH_ROWS = 16, 1
+# Stop-bucket guard: a hot (band, bucket) pairs every member with every
+# other (n^2) while carrying little similarity signal — the same guard as
+# the shingle DF caps. 20 bounds sf0.1's candidate mass at ~260k pairs
+# (uncapped: ~20M, which OOMs the verify join's array shuffle).
+_NBR_MH_BUCKET_CAP = 20
+
+_NBR_BANDS_UDF = None
+
+
+def _nbr_band_buckets(col):
+    """array<bigint> neighbor ids -> array<bigint> LSH band buckets.
+
+    The dedup_near MinHash machinery applied to NEIGHBOR SETS: signature
+    j = min over neighbors x of (MH_A[j]*x + MH_B[j]) % P (no string
+    hashing — node ids are already ints), then each band of
+    ROWS_PER_BAND signatures folds to one bucket via the SH_MIX combine.
+    Pure int64 arithmetic (max intermediate ≈ P·SH_MIX ≈ 2.1e15), so the
+    DuckDB spelling is bit-identical and the CANDIDATE SET itself —
+    not just the verified output — matches across engines.
+    """
+    from bangdatapipeline_spark.operators.dedup_near import MH_A, MH_B, P, SH_MIX
+
+    BANDS, ROWS_PER_BAND = _NBR_MH_BANDS, _NBR_MH_ROWS
+
+    global _NBR_BANDS_UDF
+    if _NBR_BANDS_UDF is None:
+        a = np.array(MH_A, dtype=np.int64)[:, None]
+        b = np.array(MH_B, dtype=np.int64)[:, None]
+
+        @F.pandas_udf("array<bigint>")
+        def _bands(nbrs: pd.Series) -> pd.Series:
+            out = []
+            for lst in nbrs.tolist():
+                x = np.asarray(lst, dtype=np.int64)[None, :]
+                sig = ((a * x + b) % P).min(axis=1)  # K signatures
+                bkts = []
+                for band in range(BANDS):
+                    acc = np.int64(0)
+                    for r in range(ROWS_PER_BAND):
+                        acc = (acc * SH_MIX + sig[band * ROWS_PER_BAND + r]) % P
+                    bkts.append(int(acc))
+                out.append(bkts)
+            return pd.Series(out, dtype=object)
+
+        _NBR_BANDS_UDF = _bands
+    return _NBR_BANDS_UDF(col)
+
+
+def _nbr_minhash_oracle() -> str:
+    from bangdatapipeline_spark.operators.dedup_near import MH_A, MH_B, P, SH_MIX
+
+    BANDS, ROWS_PER_BAND = _NBR_MH_BANDS, _NBR_MH_ROWS
+
+    sigs = ", ".join(
+        f"list_min(list_transform(nbrs, x -> ({MH_A[j]} * x + {MH_B[j]}) % {P}))"
+        for j in range(len(MH_A))
+    )
+    band_rows = []
+    for band in range(BANDS):
+        expr = f"s[{band * ROWS_PER_BAND + 1}]"
+        for r in range(1, ROWS_PER_BAND):
+            expr = f"(({expr}) * {SH_MIX} + s[{band * ROWS_PER_BAND + r + 1}]) % {P}"
+        band_rows.append(f"SELECT u, {band} AS b, {expr} AS bkt FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+),
+nb AS (SELECT u, list_sort(list(DISTINCT v)) AS nbrs FROM und GROUP BY u),
+sig AS (SELECT u, [{sigs}] AS s FROM nb),
+bands AS ({bands_sql}),
+keep AS (
+  SELECT b, bkt FROM bands GROUP BY b, bkt
+  HAVING count(*) <= {_NBR_MH_BUCKET_CAP}
+),
+bk AS (SELECT bands.* FROM bands JOIN keep USING (b, bkt)),
+cand AS (
+  SELECT DISTINCT x.u AS pa, y.u AS pb
+  FROM bk x JOIN bk y ON x.b = y.b AND x.bkt = y.bkt AND x.u < y.u
+),
+ver AS (
+  SELECT c.pa, c.pb,
+         len(list_intersect(na.nbrs, nbb.nbrs)) AS cnum,
+         len(na.nbrs) AS d_a, len(nbb.nbrs) AS d_b
+  FROM cand c
+  JOIN nb na  ON na.u  = c.pa
+  JOIN nb nbb ON nbb.u = c.pb
+),
+scored AS (
+  SELECT pa, pb,
+         CAST(cnum AS BIGINT) AS n_common,
+         CAST(d_a AS BIGINT)  AS d_a,
+         CAST(d_b AS BIGINT)  AS d_b,
+         floor(cnum * 1.0 / (d_a + d_b - cnum) * 1000000 + 0.5) / 1000000
+           AS jaccard
+  FROM ver
+)
+SELECT pa, pb, n_common, d_a, d_b, jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, pa, pb) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {_NBR_TOP}
+"""
+
+
+@register("graph_neighbor_minhash", oracle=_nbr_minhash_oracle())
+def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH neighbor similarity — the documented 100 TB fallback
+    of ``graph_neighbor_jaccard``: when even the oriented triangle
+    enumeration is too hot, per-node MinHash signatures over NEIGHBOR
+    SETS band-bucket into candidates and only candidate pairs pay the
+    exact intersection. No triangle pass, no per-edge enumeration —
+    signature cost is |und| minhash updates, the band join shuffles
+    (band, bucket, node) ints, and exact verification touches candidate
+    pairs only.
+
+    All arithmetic is the dedup_near integer lattice over node ids (no
+    string hashing), so the DuckDB oracle reproduces the IDENTICAL
+    candidate set; output is the verified top-{_NBR_TOP} captured pairs
+    (jaccard floor-rounded to the shared 6-dp lattice before ranking),
+    directly comparable against the exact detector's top-{_NBR_TOP} —
+    the recall-vs-cost dial of the banded scheme.
+    """
+    _oriented, _deg, edges = _oriented_copurchase(spark, sf_dir)
+    und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    nb = und.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
+    bands = nb.select(
+        "u", F.posexplode(_nbr_band_buckets(F.col("nbrs"))).alias("b", "bkt")
+    )
+    keep = (
+        bands.groupBy("b", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _NBR_MH_BUCKET_CAP)
+        .select("b", "bkt")
+    )
+    # stop-bucket guard applied once; bk feeds both self-join sides
+    bk = bands.join(keep, ["b", "bkt"]).cache()
+    x = bk.select(F.col("u").alias("pa"), "b", "bkt")
+    y = bk.select(F.col("u").alias("pb"), "b", "bkt")
+    cand = (
+        x.join(y, ["b", "bkt"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    na = nb.select(F.col("u").alias("pa"), F.col("nbrs").alias("nbrs_a"))
+    nbb = nb.select(F.col("u").alias("pb"), F.col("nbrs").alias("nbrs_b"))
+    ver = (
+        cand.join(na, "pa")
+        .join(nbb, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.size(F.array_intersect("nbrs_a", "nbrs_b")).cast("bigint").alias("n_common"),
+            F.size("nbrs_a").cast("bigint").alias("d_a"),
+            F.size("nbrs_b").cast("bigint").alias("d_b"),
+        )
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("d_a") + F.col("d_b") - F.col("n_common"))
+    scored = ver.select(
+        "pa",
+        "pb",
+        "n_common",
+        "d_a",
+        "d_b",
+        (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NBR_TOP)
+    )
