@@ -1818,9 +1818,14 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = nb.select(F.col("u").alias("pa"), F.col("nbrs").alias("nbrs_a"))
     nbb = nb.select(F.col("u").alias("pb"), F.col("nbrs").alias("nbrs_b"))
+    # broadcast the |V|-row neighbor-array table (~20 MB here) so the
+    # candidate verify is a stream probe, never a sort-merge that sorts
+    # array rows (the memory hazard in a long cache-laden session); at
+    # cluster scale with |V| past the broadcast limit, bucket both sides
+    # on the node key instead — same note as the triangle machinery
     ver = (
-        cand.join(na, "pa")
-        .join(nbb, "pb")
+        cand.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nbb), "pb")
         .select(
             "pa",
             "pb",
