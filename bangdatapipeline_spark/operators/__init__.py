@@ -21,3 +21,12 @@ from bangdatapipeline_spark.operators import (  # noqa: F401
     udfs,
     windows,
 )
+
+# round-4 additions, imported LAST on purpose: registration order feeds the
+# driver's self-steering correctness window (never-checked keys sort first
+# within their tier by insertion index), so new keys appending here land at
+# the tail and never displace an already-soaked window prefix mid-round.
+from bangdatapipeline_spark.operators import (  # noqa: E402,F401
+    dataquality,
+    layout_ops,
+)

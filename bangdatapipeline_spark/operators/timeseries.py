@@ -897,3 +897,123 @@ def ts_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
         )
     )
+
+
+_LTTB_K = 8  # output buckets per series
+_LTTB_ORIGIN = "2024-01-01 00:00:00"  # epoch origin inside the data range
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, value,
+         date_diff('microsecond', TIMESTAMP '{_LTTB_ORIGIN}', ts) AS x,
+         CAST(round(value * 100) AS BIGINT)                       AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*)    OVER (PARTITION BY user_id)   AS n
+  FROM events
+),
+pb AS (SELECT *, ((rn - 1) * {_LTTB_K}) // n AS bucket FROM pts),
+bk AS (
+  SELECT user_id, bucket,
+         CAST(sum(x) AS BIGINT) // count(*) AS xb,
+         CAST(sum(y) AS BIGINT) // count(*) AS yb
+  FROM pb GROUP BY user_id, bucket
+),
+bl AS (
+  SELECT user_id, bucket,
+         lag(xb)  OVER w AS xp, lag(yb)  OVER w AS yp,
+         lead(xb) OVER w AS xn, lead(yb) OVER w AS yn
+  FROM bk WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+),
+a AS (
+  SELECT p.user_id, p.bucket, p.ts, p.event_id, p.rn, p.value,
+         CASE WHEN l.xp IS NULL THEN p.rn
+              WHEN l.xn IS NULL THEN -p.rn
+              ELSE -abs((l.xp - l.xn) * (p.y - l.yp)
+                        - (l.xp - p.x) * (l.yn - l.yp)) END AS sel_key
+  FROM pb p JOIN bl l ON p.user_id = l.user_id AND p.bucket = l.bucket
+)
+SELECT user_id, bucket, ts, round(value, 2) AS value_r
+FROM a
+QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+                           ORDER BY sel_key, ts, event_id) = 1
+""",
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) series downsampling, the
+    bucket-average variant: each user's series splits into K=8 equal
+    row-count buckets; within a bucket the kept point maximizes the
+    triangle area spanned with the *previous and next bucket averages*
+    (the standard parallelizable LTTB approximation — the sequential
+    original anchors on the previously SELECTED point, an inherently
+    serial chain). First/last buckets keep their first/last point, as
+    LTTB always retains the endpoints.
+
+    Exactness: x = microseconds from a fixed origin (bigint), y = value
+    on the cents lattice (bigint), bucket averages are floor-divided
+    sums — the doubled triangle area is then pure int64 arithmetic
+    (|x-span| * |y-span| ~ 1e17 max here; at multi-year spans rescale x
+    to ms), so the per-bucket argmax cannot flip between engines; ties
+    break on (ts, event_id).
+
+    Plan shape: two windows partitioned by user_id + one groupBy
+    (user_id, bucket) + a co-keyed join — everything shuffles once on
+    the series key and the result is K rows per series regardless of
+    input length, which is the whole point of downsampling 100 TB of
+    telemetry into a plottable table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{_LTTB_ORIGIN}', ts)"
+    )
+    y = F.round(F.col("value") * 100).cast("long")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        x.alias("x"),
+        y.alias("y"),
+        F.row_number().over(w_u).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    ).withColumn("bucket", F.expr(f"(rn - 1) * {_LTTB_K} div n"))
+    bk = pts.groupBy("user_id", "bucket").agg(
+        F.expr("sum(x) div count(1)").alias("xb"),
+        F.expr("sum(y) div count(1)").alias("yb"),
+    )
+    w_b = Window.partitionBy("user_id").orderBy("bucket")
+    bl = bk.select(
+        "user_id",
+        "bucket",
+        F.lag("xb").over(w_b).alias("xp"),
+        F.lag("yb").over(w_b).alias("yp"),
+        F.lead("xb").over(w_b).alias("xn"),
+        F.lead("yb").over(w_b).alias("yn"),
+    )
+    joined = pts.join(bl, ["user_id", "bucket"])
+    sel_key = (
+        F.when(F.col("xp").isNull(), F.col("rn"))
+        .when(F.col("xn").isNull(), -F.col("rn"))
+        .otherwise(
+            -F.abs(
+                (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+                - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+            )
+        )
+    )
+    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
+        "sel_key", "ts", "event_id"
+    )
+    return (
+        joined.withColumn("sel_key", sel_key)
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id", "bucket", "ts", F.round("value", 2).alias("value_r")
+        )
+    )

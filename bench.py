@@ -213,6 +213,13 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_er_matching", "er_blocked_matching"),
     ("orders_schema_evolution", "schema_evolution_union"),
     ("customers_cdc_deletes", "merge_cdc_with_deletes"),
+    ("doc_compaction_plan", "layout_compaction_plan"),
+    ("orders_zonemap_skip", "layout_zonemap_skip"),
+    ("doc_txn_optimize", "txn_optimize_table"),
+    ("tpch_fk_integrity", "dq_referential_integrity"),
+    ("events_hot_keys", "dq_hot_keys"),
+    ("emb_calibration_bins", "eval_calibration_bins"),
+    ("events_lttb_downsample", "ts_lttb_downsample"),
 ]
 
 RUNS = 3

@@ -68,6 +68,9 @@ CARTESIAN_OK = {
     "events_dau_wau",  # ~30-row day spine, trailing-7d range predicate
     "ts_wau_bitmap_sliding",  # same day-spine range join (bitmap path)
     "ts_wau_hll_sliding",  # same day-spine range join (HLL path)
+    "dq_referential_integrity",  # two 1-row aggregates combined per FK relation
+    "dq_hot_keys",  # 1-row denominator aggregate crossJoined onto top-5 rows
+    "eval_calibration_bins",  # 1-row min/max scalar crossJoined for the bin cut
 }
 
 
