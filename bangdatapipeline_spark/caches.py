@@ -1,0 +1,60 @@
+"""Engine cache hygiene for long-running host sessions.
+
+Operators cache reusable intermediates (``.cache()`` on oriented edge
+lists, adjacency arrays, candidate stages, ...) because within one query
+— and across a bench run — reuse beats recompute. But Spark's
+CacheManager holds every registered relation until it is explicitly
+unpersisted, so a host session that executes hundreds of engine queries
+(a verification sweep, a notebook that lives for days) accumulates
+pinned storage blocks without bound. In local mode that heap is the
+driver JVM's; a later broadcast build can then fail with "Not enough
+memory to build and broadcast" even though every individual query is
+well within budget — observed on the 249-query sf0.1 sweep in a
+default-heap session (graph_triangles' 33 MiB AQE auto-broadcast was
+the straw, not the cause).
+
+The engine cannot raise ``spark.driver.memory`` on an externally built
+session (static config), so being a bounded-memory citizen is its only
+lever: ``release(spark)`` drops every cached relation in the session
+and resets the engine's memo registries so the next query re-caches
+fresh. Hosts that run many engine queries back-to-back should call it
+periodically (the bundled sweep harness does, every
+``RELEASE_EVERY`` queries); single-query or bench hosts never need to.
+
+At 100 TB the same discipline applies unchanged — executor storage
+memory is evictable, but CacheManager entries and their disk-spilled
+blocks are not released until unpersist, so a long-lived service that
+never calls this leaks cluster storage just as surely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Suggested cadence for hosts that run the full registry in one session.
+RELEASE_EVERY = 40
+
+
+def release(spark: SparkSession) -> None:
+    """Unpersist everything the engine cached in ``spark`` and reset the
+    memo registries that hand out cached plans.
+
+    ``clearCache()`` empties the session's CacheManager — both the
+    storage blocks and the registry entries — so DataFrames memoized by
+    the engine would otherwise silently run *uncached* afterwards;
+    clearing the memo dicts too means the next call path re-caches.
+    Plain plan memos (``tables._df_cache`` holds lazy scans, no blocks)
+    are kept: they cost nothing to hold and save the per-query
+    file-listing job.
+    """
+    spark.catalog.clearCache()
+    from bangdatapipeline_spark.operators import graph_analytics as ga
+
+    for memo in (
+        ga._graph_cache,
+        ga._op_cache,
+        ga._oriented_cache,
+        ga._adj_cache,
+        ga._lpa_cache,
+    ):
+        memo.clear()

@@ -45,12 +45,20 @@ def main() -> int:
     print(f"t1 smoke: rows={len(rows)} schema={df.schema.simpleString()} "
           f"ok={smoke_ok} ({time.time()-t0:.1f}s)")
 
+    from bangdatapipeline_spark import caches
+
     qs = e.queries()
     oracles = e.oracle_sql()
     registry = load_all()
     results: dict[str, str] = {}
     failed = []
-    for key in sorted(qs):
+    for i, key in enumerate(sorted(qs)):
+        # Long-session hygiene: this sweep runs ~5x more queries than the
+        # real driver window in ONE default-heap session; without periodic
+        # cache release the accumulated pinned blocks eventually fail a
+        # mid-sweep broadcast build (see bangdatapipeline_spark/caches.py).
+        if i and i % caches.RELEASE_EVERY == 0:
+            caches.release(spark)
         t0 = time.time()
         try:
             ok, msg = compare_query(spark, registry[key], sf_dir)
