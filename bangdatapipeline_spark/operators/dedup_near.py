@@ -402,7 +402,10 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTER_ORACLE = f"""
+# shared CTE chain: minhash candidates -> exact-verified pairs -> recursive
+# connected components -> `lab(doc_id, cluster_id)`. Used by dedup_clusters
+# and dedup_keep_best_quality, which differ only in the final projection.
+_CLUSTER_CTES = f"""
 WITH RECURSIVE hashed AS (
 {DUCK_HASHED_CTE}
 ), sig AS (
@@ -435,11 +438,16 @@ WITH RECURSIVE hashed AS (
     SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
 ), lab AS (
     SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-)
+)"""
+
+_CLUSTER_ORACLE = (
+    _CLUSTER_CTES
+    + """
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM lab
 """
+)
 
 
 @register("dedup_clusters", oracle=_CLUSTER_ORACLE)
@@ -491,6 +499,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_CLUSTER_CTES
+    + """
+, q AS (
+  SELECT doc_id,
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+           // len(string_split(text, ' ')) AS q_ppm
+  FROM documents
+),
+scored AS (
+  SELECT l.cluster_id, l.doc_id, q.q_ppm,
+         count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+  FROM lab l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT cluster_id,
+       CAST(cluster_size AS BIGINT)     AS cluster_size,
+       doc_id                           AS kept_doc,
+       CAST(q_ppm AS BIGINT)            AS kept_q_ppm,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY q_ppm DESC, doc_id) = 1
+""",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (MinHash pairs -> connected components, the ``dedup_clusters``
+    machinery), KEEP the highest-quality document instead of the naive
+    min-id — the policy real pretraining dedup uses, because near-dup
+    groups often pair a clean original with truncated/boilerplated
+    copies and min-id keeps an arbitrary one.
+
+    Quality here is lexical diversity on an exact integer lattice
+    (distinct-token ppm of token count — the ``uniq_ratio`` signal from
+    ``text_quality`` made order-free), ties broken by doc_id, so the
+    per-cluster argmax cannot flip between engines.
+
+    Scale shape: cluster labels are |clustered docs| rows; the quality
+    feature is computed AFTER the doc_id equi-join, so token splitting
+    touches only clustered documents, not the corpus; the final pick is
+    one window over cluster_id — every stage is keyed, nothing
+    quadratic beyond the already-banded pair detection.
+    """
+    labels = REGISTRY["dedup_clusters"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = labels.join(d, "doc_id").withColumn(
+        "q_ppm",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' '))"
+        ),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_ppm").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("doc_id").alias("kept_doc"),
+            F.col("q_ppm").cast("long").alias("kept_q_ppm"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
     )
 
 

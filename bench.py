@@ -220,6 +220,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_hot_keys", "dq_hot_keys"),
     ("emb_calibration_bins", "eval_calibration_bins"),
     ("events_lttb_downsample", "ts_lttb_downsample"),
+    ("orders_file_bloom", "layout_file_bloom"),
+    ("doc_dedup_keep_best", "dedup_keep_best_quality"),
 ]
 
 RUNS = 3

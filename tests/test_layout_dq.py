@@ -221,3 +221,55 @@ def test_new_keys_nonvacuous_at_smoke_sf(spark, key):
     """Every new key returns >0 rows at sf0.001 too (the degenerate-at-
     small-sf failure class from VERDICT round 2/3)."""
     assert REG[key].fn(spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_file_bloom_soundness_and_skipping(spark, sf_dir):
+    """A Bloom filter never false-negatives (n_missed == 0 for every
+    probe), pass-count bounds match count from above, and the two
+    certainly-absent probe keys demonstrate real skipping (they can only
+    pass via false positives, bounded well below all-files)."""
+    rows = REG["layout_file_bloom"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_missed == 0, f"bloom false-negative on {r.probe_key}"
+        assert r.n_pass_bloom >= r.n_match
+        assert r.n_false_pos == r.n_pass_bloom - r.n_match
+    absent = [r for r in rows if r.probe_key >= 1_000_000_000]
+    assert len(absent) == 2
+    for r in absent:
+        assert r.n_match == 0
+        # fp-rate sanity: an absent key must skip most files
+        assert r.n_pass_bloom <= max(1, r.n_files // 4)
+
+
+def test_keep_best_quality_picks_cluster_max(spark, sf_dir):
+    """The kept doc per cluster has the maximal integer quality (min
+    doc_id on ties) among the cluster's members, and cluster shapes match
+    dedup_clusters exactly."""
+    kept = {
+        r.cluster_id: r
+        for r in REG["dedup_keep_best_quality"].fn(spark, sf_dir).collect()
+    }
+    labels = REG["dedup_clusters"].fn(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.q_ppm
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.expr(
+                "size(array_distinct(split(text, ' '))) * 1000000L"
+                " div size(split(text, ' '))"
+            ).alias("q_ppm"),
+        )
+        .collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(kept) == set(by_cluster)
+    for cid, members in by_cluster.items():
+        k = kept[cid]
+        assert k.cluster_size == len(members) == members[0].cluster_size
+        assert k.n_dropped == len(members) - 1
+        best = min(((-docs[m.doc_id], m.doc_id) for m in members))
+        assert (k.kept_doc, k.kept_q_ppm) == (best[1], -best[0])

@@ -71,6 +71,7 @@ CARTESIAN_OK = {
     "dq_referential_integrity",  # two 1-row aggregates combined per FK relation
     "dq_hot_keys",  # 1-row denominator aggregate crossJoined onto top-5 rows
     "eval_calibration_bins",  # 1-row min/max scalar crossJoined for the bin cut
+    "layout_file_bloom",  # #files x 21-row broadcast probe grid (declared)
 }
 
 
