@@ -222,6 +222,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_lttb_downsample", "ts_lttb_downsample"),
     ("orders_file_bloom", "layout_file_bloom"),
     ("doc_dedup_keep_best", "dedup_keep_best_quality"),
+    ("emb_knn_hamming", "knn_hamming_topk"),
 ]
 
 RUNS = 3

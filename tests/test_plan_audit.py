@@ -33,6 +33,7 @@ CARTESIAN_OK = {
     "knn_cosine_topk",  # exact brute-force baseline (broadcast query side)
     "knn_threshold_pairs",  # exact all-pairs baseline
     "knn_matryoshka_topk",  # same pair pass, prefix + full sims together
+    "knn_hamming_topk",  # broadcast packed query side (knn pattern)
     "knn_mmr_diversify",  # candidate re-rank over the exact pair set
     "dedup_near_jaccard",  # bounded exact ground truth (EXACT_BOUND)
     "eval_rank_metrics",  # grades ANN against the exact baseline

@@ -139,3 +139,28 @@ def test_pq_recall_and_shape(spark, sf_dir):
     assert all(len(v) == 5 for v in per_q.values())
     recall = sum((r.q_id, r.n_id) in exact for r in approx) / len(exact)
     assert recall >= 0.05, f"PQ recall collapsed: {recall:.3f}"
+
+
+def test_hamming_topk_shape_and_recall(spark, sf_dir):
+    """1-bit sign binarization is the harshest quantization in the
+    ladder, so only shape + a modest recall floor vs the exact ranker:
+    every query returns exactly TOP_K rows with hamming in [0, 64],
+    ranks are dense per query, and recall@5 stays above the
+    random-baseline floor by a wide margin."""
+    from bangdatapipeline_spark.operators.similarity import TOP_K
+
+    rows = REGISTRY["knn_hamming_topk"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.hamming <= 64
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, members in by_q.items():
+        assert sorted(m.rn for m in members) == list(range(1, TOP_K + 1))
+        assert all(m.n_id != q for m in members)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    hits = exact & {(r.q_id, r.n_id) for r in rows}
+    recall = len(hits) / len(exact)
+    assert recall >= 0.10, f"1-bit recall collapsed: {recall:.3f}"
