@@ -254,3 +254,52 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(pos) * 1000000 div count(1)").cast("long").alias("pos_ppm"),
         F.expr("sum(score) div count(1)").cast("long").alias("mean_score_int"),
     )
+
+
+_FRESH_STALE_MIN = 120  # a feed lagging > 2h behind the freshest is stale
+
+
+@register(
+    "dq_freshness",
+    oracle=f"""
+WITH g AS (SELECT max(ts) AS global_max FROM events),
+per AS (
+  SELECT event_type,
+         count(*)  AS n_events,
+         max(ts)   AS last_ts
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       p.last_ts,
+       CAST(date_diff('microsecond', p.last_ts, g.global_max)
+            // 60000000 AS BIGINT) AS lag_minutes,
+       date_diff('microsecond', p.last_ts, g.global_max)
+         // 60000000 > {_FRESH_STALE_MIN} AS is_stale
+FROM per p CROSS JOIN g
+""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: per event_type, the event count, last-seen
+    timestamp, and ingestion lag in whole minutes behind the freshest
+    feed, with a staleness flag — the first dashboard an on-call checks
+    when a 100 TB daily drop looks thin.
+
+    One hash aggregation keyed on event_type plus a 1-row global-max
+    scalar crossJoined back (broadcast); lag is exact integer
+    microsecond arithmetic floor-divided to minutes, so the flag cannot
+    flip between engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    g = ev.agg(F.max("ts").alias("global_max"))
+    lag_us = F.expr("timestampdiff(MICROSECOND, last_ts, global_max)")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "last_ts",
+        (lag_us / 60_000_000).cast("long").alias("lag_minutes"),
+        ((lag_us / 60_000_000).cast("long") > _FRESH_STALE_MIN).alias("is_stale"),
+    )

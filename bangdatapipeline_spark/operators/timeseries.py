@@ -1017,3 +1017,142 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "bucket", "ts", F.round("value", 2).alias("value_r")
         )
     )
+
+
+_CONC_GAP_MIN = 30  # session gap rule (same as events_session_paths)
+_CONC_DAY_US = 86_400_000_000
+_CONC_ORIGIN = "2024-01-01 00:00:00"
+
+
+@register(
+    "ts_concurrency_peak",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id,
+         date_diff('microsecond', TIMESTAMP '{_CONC_ORIGIN}', ts) AS t,
+         lag(date_diff('microsecond', TIMESTAMP '{_CONC_ORIGIN}', ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN prev_t IS NULL
+               OR t - prev_t > {_CONC_GAP_MIN} * 60000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+sess AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, sess_id, min(t) AS s, max(t) AS e
+  FROM sess GROUP BY user_id, sess_id
+),
+seg AS (
+  SELECT user_id, sess_id, d,
+         CASE WHEN s > d * {_CONC_DAY_US} THEN s
+              ELSE d * {_CONC_DAY_US} END AS s2,
+         CASE WHEN e < (d + 1) * {_CONC_DAY_US} - 1 THEN e
+              ELSE (d + 1) * {_CONC_DAY_US} - 1 END AS e2
+  FROM iv, unnest(generate_series(s // {_CONC_DAY_US},
+                                  e // {_CONC_DAY_US})) u(d)
+),
+bounds AS (
+  SELECT d, s2 AS t, 1 AS delta FROM seg
+  UNION ALL
+  SELECT d, e2 + 1 AS t, -1 AS delta FROM seg
+),
+run AS (
+  SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta DESC
+                             ROWS UNBOUNDED PRECEDING) AS active
+  FROM bounds
+)
+SELECT strftime(DATE '2024-01-01' + to_days(CAST(d AS INT)), '%Y-%m-%d') AS day,
+       CAST(max(active) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_active_sessions
+FROM run
+GROUP BY d
+""",
+)
+def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning staple:
+    sessionize (30-min gap rule), clip each session interval at day
+    boundaries, convert to +1/-1 boundary events, and take the max of
+    the running sum per day. A session active over midnight counts in
+    both days (clipped segments), matching how an ops dashboard reads
+    "concurrent now".
+
+    Determinism at ties: +1 sorts before -1 at an equal timestamp
+    (inclusive-interval convention), and although the cumsum's
+    row-level values at tied +1s depend on tie order, the per-day MAX
+    is order-invariant — the multiset of prefix values after each +1 is
+    fixed — so both engines agree exactly (pure integer microseconds).
+
+    Scale shape: sessionization is the lag-gap-cumsum kernel partitioned
+    by user; the boundary cumsum partitions by DAY, so no global-order
+    window exists — every stage is keyed and the per-day event count is
+    bounded by 2x sessions/day. At 100 TB the day key may widen to
+    (day, shard) with a two-phase max if a single day's boundary count
+    outgrows one partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{_CONC_ORIGIN}', ts)"
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "ts", "event_id", us.alias("t")).withColumn(
+        "prev_t", F.lag("t").over(w_u)
+    )
+    gap_us = _CONC_GAP_MIN * 60_000_000
+    flagged = o.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > gap_us), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sess_id", F.sum("is_new").over(w_run))
+    iv = sess.groupBy("user_id", "sess_id").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    seg = iv.select(
+        "user_id",
+        "sess_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_CONC_DAY_US}"), F.expr(f"e div {_CONC_DAY_US}")
+            )
+        ).alias("d"),
+        "s",
+        "e",
+    ).select(
+        "d",
+        F.greatest(F.col("s"), F.col("d") * _CONC_DAY_US).alias("s2"),
+        F.least(F.col("e"), (F.col("d") + 1) * _CONC_DAY_US - 1).alias("e2"),
+    )
+    bounds = seg.select("d", F.col("s2").alias("t"), F.lit(1).alias("delta")).unionAll(
+        seg.select("d", (F.col("e2") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_day = (
+        Window.partitionBy("d")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bounds.withColumn("active", F.sum("delta").over(w_day))
+    return run.groupBy("d").agg(
+        F.max("active").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_active_sessions"),
+    ).select(
+        F.date_format(
+            F.expr("date_add(DATE '2024-01-01', cast(d as int))"), "yyyy-MM-dd"
+        ).alias("day"),
+        "peak_concurrent",
+        "n_active_sessions",
+    )

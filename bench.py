@@ -223,6 +223,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_file_bloom", "layout_file_bloom"),
     ("doc_dedup_keep_best", "dedup_keep_best_quality"),
     ("emb_knn_hamming", "knn_hamming_topk"),
+    ("events_concurrency_peak", "ts_concurrency_peak"),
+    ("events_freshness", "dq_freshness"),
 ]
 
 RUNS = 3

@@ -273,3 +273,34 @@ def test_keep_best_quality_picks_cluster_max(spark, sf_dir):
         assert k.n_dropped == len(members) - 1
         best = min(((-docs[m.doc_id], m.doc_id) for m in members))
         assert (k.kept_doc, k.kept_q_ppm) == (best[1], -best[0])
+
+
+def test_freshness_lag_arithmetic(spark, sf_dir):
+    """Exactly one feed has lag 0 (the freshest), lags are non-negative,
+    and is_stale matches the threshold comparison row by row."""
+    from bangdatapipeline_spark.operators.dataquality import _FRESH_STALE_MIN
+
+    rows = REG["dq_freshness"].fn(spark, sf_dir).collect()
+    assert rows
+    lags = [r.lag_minutes for r in rows]
+    assert min(lags) == 0
+    for r in rows:
+        assert r.lag_minutes >= 0
+        assert r.is_stale == (r.lag_minutes > _FRESH_STALE_MIN)
+
+
+def test_concurrency_peak_bounds(spark, sf_dir):
+    """Per day: 1 <= peak <= active sessions, and peak can never exceed
+    the number of distinct users (a user has at most one live session at
+    a time under the gap rule)."""
+    rows = REG["ts_concurrency_peak"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30  # the testdata spans January 2024
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert 1 <= r.peak_concurrent <= r.n_active_sessions
+        assert r.peak_concurrent <= n_users

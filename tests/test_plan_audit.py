@@ -72,6 +72,7 @@ CARTESIAN_OK = {
     "dq_referential_integrity",  # two 1-row aggregates combined per FK relation
     "dq_hot_keys",  # 1-row denominator aggregate crossJoined onto top-5 rows
     "eval_calibration_bins",  # 1-row min/max scalar crossJoined for the bin cut
+    "dq_freshness",  # 1-row global-max scalar crossJoined onto per-type rows
     "layout_file_bloom",  # #files x 21-row broadcast probe grid (declared)
 }
 
