@@ -435,3 +435,73 @@ def txn_optimize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_PRUNE_LO = "2024-01-10"
+_PRUNE_HI = "2024-01-14"
+
+
+@register(
+    "layout_partition_prune",
+    oracle=f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d')          AS day,
+       CAST(count(*) AS BIGINT)                        AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)         AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'
+GROUP BY 1
+""",
+)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partition pruning round-trip: land events partitioned by
+    ``event_date`` (the ingest layout a 100 TB event store actually
+    uses), then run a date-range aggregate against the partitioned copy
+    — Catalyst's partition pruning turns the predicate into a DIRECTORY
+    listing filter, so only 5 of 30 day-directories are ever opened
+    (``PartitionFilters`` in the scan, inputFiles == matched partitions;
+    pinned in tests/test_layout_dq.py). The hash-checked result proves
+    the pruned scan computes exactly what the full-scan oracle does.
+
+    The write uses one file per partition (repartition on the partition
+    column before ``partitionBy``); the measured value column is summed
+    on the exact cents lattice, so the aggregate is order-free.
+    Temp copy removed after ``localCheckpoint`` pins the result (same
+    contract as txn_optimize_table).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"prune_demo_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        (
+            ev.repartition(F.col("event_date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        part = spark.read.parquet(path).filter(
+            F.col("event_date").between(_PRUNE_LO, _PRUNE_HI)
+        )
+        out = (
+            part.groupBy(
+                F.date_format("event_date", "yyyy-MM-dd").alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -225,6 +225,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_knn_hamming", "knn_hamming_topk"),
     ("events_concurrency_peak", "ts_concurrency_peak"),
     ("events_freshness", "dq_freshness"),
+    ("events_partition_prune", "layout_partition_prune"),
 ]
 
 RUNS = 3
