@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.registry import REGISTRY, register
 from bangdatapipeline_spark.tables import load_table
 
 # Every 17th document is "eval"; the rest are "train". Deterministic
@@ -1086,7 +1086,9 @@ _ER_CLONE_OFFSET = 1_000_000_000
 _ER_MAX_ED = 2
 
 
-def _er_oracle() -> str:
+def _er_ctes() -> str:
+    """base/dirty/matched-pairs CTE chain, shared by er_blocked_matching
+    and er_golden_record (which differ only in what they emit)."""
     return f"""
 WITH base AS (
   SELECT c_custkey AS rid, c_name AS name, c_nationkey, c_mktsegment,
@@ -1109,11 +1111,76 @@ pairs AS (
     ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
    AND a.rid < b.rid
 )
+"""
+
+
+def _er_oracle() -> str:
+    return (
+        _er_ctes()
+        + f"""
 SELECT id_a, id_b, CAST(c_nationkey AS INT) AS nation,
        c_mktsegment AS segment, CAST(name_ed AS INT) AS name_ed
 FROM pairs
 WHERE bal_eq AND name_ed <= {_ER_MAX_ED}
 """
+    )
+
+
+def _er_golden_oracle() -> str:
+    return (
+        _er_ctes().replace("WITH base AS", "WITH RECURSIVE base AS")
+        + f"""
+, matched AS (
+  SELECT id_a, id_b FROM pairs WHERE bal_eq AND name_ed <= {_ER_MAX_ED}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM matched
+  UNION ALL
+  SELECT id_b, id_a FROM matched
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach(node, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+), lab AS (
+  SELECT node AS rid, min(r) AS entity_id FROM reach GROUP BY node
+), members AS (
+  SELECT l.entity_id, d.rid, d.name, d.c_nationkey, d.c_mktsegment, d.cents
+  FROM lab l JOIN dirty d ON d.rid = l.rid
+)
+SELECT entity_id,
+       CAST(count(*) AS BIGINT)                       AS n_records,
+       min_by(name, rid)                              AS golden_name,
+       CAST(any_value(c_nationkey) AS INT)            AS nation,
+       any_value(c_mktsegment)                        AS segment,
+       CAST(any_value(cents) AS BIGINT)               AS cents,
+       string_agg(CAST(rid AS VARCHAR), ',' ORDER BY rid) AS member_ids
+FROM members
+GROUP BY entity_id
+"""
+    )
+
+
+def _er_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirtied customer registry both ER operators run against."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    clones = base.filter(F.col("rid") % _ER_CLONE_EVERY == 0).select(
+        (F.col("rid") + _ER_CLONE_OFFSET).alias("rid"),
+        F.concat(
+            F.substring("name", 1, 3), F.expr("substring(name, 5)")
+        ).alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        "cents",
+    )
+    return base.unionByName(clones)
 
 
 @register("er_blocked_matching", oracle=_er_oracle())
@@ -1136,24 +1203,7 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     result; balances compare as exact cents) — no UDF, no float
     hazard, hash-exact output.
     """
-    c = load_table(spark, sf_dir, "customer")
-    base = c.select(
-        F.col("c_custkey").alias("rid"),
-        F.col("c_name").alias("name"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
-    )
-    clones = base.filter(F.col("rid") % _ER_CLONE_EVERY == 0).select(
-        (F.col("rid") + _ER_CLONE_OFFSET).alias("rid"),
-        F.concat(
-            F.substring("name", 1, 3), F.expr("substring(name, 5)")
-        ).alias("name"),
-        "c_nationkey",
-        "c_mktsegment",
-        "cents",
-    )
-    dirty = base.unionByName(clones)
+    dirty = _er_dirty(spark, sf_dir)
     a = dirty.select(
         F.col("rid").alias("id_a"),
         F.col("name").alias("name_a"),
@@ -1182,6 +1232,55 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
             F.levenshtein("name_a", "name_b").cast("int").alias("name_ed"),
         )
+    )
+
+
+@register("er_golden_record", oracle=_er_golden_oracle())
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record construction) — the step AFTER entity
+    matching: matched pairs become entities via connected components
+    (min-label propagation, the shared graph_util kernel), then each
+    entity merges into one golden record. Survivorship rules here:
+    identity and name from the LOWEST record id (oldest source wins —
+    deterministic), block attributes and balance carried as-is (equal
+    within an entity by construction: blocking fixes nation/segment and
+    the match predicate fixes cents along every edge, hence across the
+    component), plus an audit trail of merged member ids.
+
+    Only multi-record entities appear (singletons need no merge), so the
+    output is bounded by match volume. Scale shape: CC rounds are
+    equi-join + min-agg on the (small) matched-pair graph; the member
+    join back to the registry is one equi-join on rid; the merge is one
+    groupBy(entity_id) with min_by/first aggregates — nothing touches
+    unmatched rows after the blocked match.
+
+    cites SURVEY.md §2 (er_blocked_matching row) — this is its natural
+    completion; same blocking scale argument.
+    """
+    from bangdatapipeline_spark.operators.graph_util import (
+        min_label_components,
+    )
+
+    pairs = REGISTRY["er_blocked_matching"].fn(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    labels = min_label_components(pairs).select(
+        F.col("node").alias("rid"), F.col("label").alias("entity_id")
+    )
+    members = labels.join(_er_dirty(spark, sf_dir), "rid")
+    return members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min_by("name", "rid").alias("golden_name"),
+        F.first("c_nationkey").cast("int").alias("nation"),
+        F.first("c_mktsegment").alias("segment"),
+        F.first("cents").cast("long").alias("cents"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("rid")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("member_ids"),
     )
 
 

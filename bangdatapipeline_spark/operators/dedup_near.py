@@ -30,6 +30,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.graph_util import min_label_components
 from bangdatapipeline_spark.registry import REGISTRY, register
 from bangdatapipeline_spark.tables import load_table
 
@@ -467,33 +468,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` caps lineage growth per round.
     """
     pairs = REGISTRY["dedup_near_minhash"].fn(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("src", "dst").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = None
-    for _ in range(50):
-        neigh = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src").agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("src", "node")
-        )
-        labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = min_label_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

@@ -226,6 +226,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_concurrency_peak", "ts_concurrency_peak"),
     ("events_freshness", "dq_freshness"),
     ("events_partition_prune", "layout_partition_prune"),
+    ("customers_golden_record", "er_golden_record"),
 ]
 
 RUNS = 3

@@ -357,3 +357,27 @@ def test_partition_prune_actually_prunes(spark, sf_dir):
         assert part.count() == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_golden_record_survivorship(spark, sf_dir):
+    """Every entity merges >= 2 records, the golden name belongs to the
+    lowest member id, member_ids is the sorted audit trail containing
+    entity_id itself, and block attributes are constant across members."""
+    rows = REG["er_golden_record"].fn(spark, sf_dir).collect()
+    assert rows
+    from bangdatapipeline_spark.operators.curation import _er_dirty
+
+    names = {
+        r.rid: (r.name, r.c_nationkey, r.c_mktsegment, r.cents)
+        for r in _er_dirty(spark, sf_dir).collect()
+    }
+    for r in rows:
+        members = [int(x) for x in r.member_ids.split(",")]
+        assert r.n_records == len(members) >= 2
+        assert members == sorted(members)
+        assert members[0] == r.entity_id
+        assert names[r.entity_id][0] == r.golden_name
+        for m in members:
+            assert names[m][1] == r.nation
+            assert names[m][2] == r.segment
+            assert names[m][3] == r.cents
