@@ -505,3 +505,76 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "layout_bucketed_join",
+    oracle="""
+SELECT c.c_mktsegment                                   AS segment,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT)    AS order_year,
+       CAST(count(*) AS BIGINT)                         AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                        AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-paid-shuffle (bucketed) join round-trip: both sides land
+    hash-bucketed + per-bucket-sorted on the join key, then the
+    recurring join runs as a ZERO-Exchange sort-merge join — the layout
+    carries the partitioning, so a 100 TB fact-fact join that recurs
+    nightly shuffles once at write time instead of every query.
+    (The no-Exchange / no-Sort plan property is pinned in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange_no_sort;
+    here the hash-checked result proves the bucketed layout computes
+    exactly what the plain-join oracle does.)
+
+    Broadcast is disabled inside the demo window so the co-located SMJ
+    path actually exercises (restored after the eager checkpoint);
+    revenue sums on the exact cents lattice. Demo tables are unique per
+    call and dropped after the result is pinned.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from bangdatapipeline_spark.sources import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"b_orders_{tag}", f"b_customer_{tag}"
+    d_o = tempfile.mkdtemp(prefix=f"bj_o_{tag}")
+    d_c = tempfile.mkdtemp(prefix=f"bj_c_{tag}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(o, t_o, d_o, ["o_custkey"])
+        write_bucketed(c, t_c, d_c, ["c_custkey"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            spark.table(t_o)
+            .join(
+                spark.table(t_c),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy(
+                F.col("c_mktsegment").alias("segment"),
+                F.year("o_orderdate").cast("int").alias("order_year"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "revenue_cents"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        shutil.rmtree(d_o, ignore_errors=True)
+        shutil.rmtree(d_c, ignore_errors=True)

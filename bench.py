@@ -227,6 +227,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_freshness", "dq_freshness"),
     ("events_partition_prune", "layout_partition_prune"),
     ("customers_golden_record", "er_golden_record"),
+    ("orders_bucketed_join", "layout_bucketed_join"),
 ]
 
 RUNS = 3
