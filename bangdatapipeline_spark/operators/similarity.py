@@ -1104,6 +1104,11 @@ def _ham_word_sql(w: int) -> str:
 
 
 def _ham_word_spark(w: int):
+    """Unrolled expression form of the sign-bit pack — kept as the
+    oracle-shaped reference the Arrow kernel is pinned against
+    (tests/test_kernels.py). NOT used in the operator plan: a 64-term
+    expression tree costs ~3 s of Catalyst optimization per plan, which
+    dwarfs the actual work at any corpus size."""
     terms = [
         F.when(
             F.col("embedding").getItem(w * _HAM_WORD_BITS + d) > 0,
@@ -1115,6 +1120,35 @@ def _ham_word_spark(w: int):
     for t in terms[1:]:
         out = out + t
     return out
+
+
+_HAM_PACK_UDF = None
+
+
+def sign_pack_words(col):
+    """array<float> embedding -> array<bigint>[2] sign-bit words — the
+    Arrow-vectorized twin of ``_ham_word_spark(0..1)``. Pure integer
+    construction (bit i of word w set iff embedding[32w+i] > 0), so it
+    is bit-identical to the expression fold and to the SQL oracle by
+    definition; numpy evaluates the 64 comparisons as two matrix ops
+    instead of a 128-node Catalyst expression tree (which costs ~3 s of
+    optimizer time per plan — the fold-replay lesson from
+    docs/dialect_notes.md applied to plan-time instead of run-time)."""
+    global _HAM_PACK_UDF
+    if _HAM_PACK_UDF is None:
+
+        @F.pandas_udf("array<bigint>")
+        def _pack(emb: pd.Series) -> pd.Series:
+            if emb.empty:
+                return pd.Series([], dtype=object)
+            m = np.vstack(emb.to_numpy()) > 0  # n x 64 sign bits
+            weights = (np.int64(1) << np.arange(_HAM_WORD_BITS, dtype=np.int64))
+            w0 = (m[:, :_HAM_WORD_BITS] * weights).sum(axis=1)
+            w1 = (m[:, _HAM_WORD_BITS:] * weights).sum(axis=1)
+            return pd.Series([[int(a), int(b)] for a, b in zip(w0, w1)])
+
+        _HAM_PACK_UDF = _pack
+    return _HAM_PACK_UDF(col)
 
 
 _HAMMING_ORACLE = f"""
@@ -1164,9 +1198,11 @@ def knn_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     packed = e.select(
+        "vec_id", sign_pack_words(F.col("embedding")).alias("bw")
+    ).select(
         "vec_id",
-        _ham_word_spark(0).alias("b0"),
-        _ham_word_spark(1).alias("b1"),
+        F.col("bw").getItem(0).alias("b0"),
+        F.col("bw").getItem(1).alias("b1"),
     )
     q = packed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),

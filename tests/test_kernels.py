@@ -162,3 +162,24 @@ def test_dot_double_vec_null_propagation(spark):
         dot_double(F.col("a"), F.col("b")).alias("fold"),
     ).collect()
     assert [r.kernel for r in out] == [r.fold for r in out] == [None, None, 11.0]
+
+
+def test_sign_pack_kernel_equals_expression(spark, sf_dir):
+    """The Arrow sign-pack kernel is bit-identical to the unrolled
+    128-term CASE-sum expression it replaced (which stays as the
+    oracle-shaped reference) over the real embeddings table."""
+    from bangdatapipeline_spark.operators.similarity import (
+        _ham_word_spark,
+        sign_pack_words,
+    )
+    from bangdatapipeline_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = e.select(
+        sign_pack_words(F.col("embedding")).alias("bw"),
+        _ham_word_spark(0).alias("e0"),
+        _ham_word_spark(1).alias("e1"),
+    ).collect()
+    assert out
+    for r in out:
+        assert r.bw[0] == r.e0 and r.bw[1] == r.e1
