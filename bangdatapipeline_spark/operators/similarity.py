@@ -2030,3 +2030,69 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("lo"),
         F.round(F.max("val"), 6).alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data preparation)
+# --------------------------------------------------------------------------
+
+_HN_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+), sims AS (
+    SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+           {_duck_dot('q.q_emb', 'e.embedding')} AS sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id AND e.label <> q.q_label
+)
+SELECT q_id, q_label, n_id, n_label, round(sim, 6) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
+FROM sims
+QUALIFY rn <= {TOP_K}
+"""
+
+
+@register("sample_hard_negatives", oracle=_HN_ORACLE)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the bounded query set), the TOP_K most-similar vectors with a
+    DIFFERENT label — the negatives nearest the decision boundary, which
+    are the ones that actually move an embedding model. This is the data
+    prep step behind triplet / InfoNCE training sets; easy negatives
+    (random different-label picks) teach nothing.
+
+    Same plan skeleton as knn_cosine_topk (broadcast bounded anchor set,
+    streamed corpus, exact Arrow dot kernel, one q_id shuffle for the
+    per-anchor window) plus the label-inequality predicate evaluated
+    BEFORE the dot product, so same-label rows never reach the kernel.
+    At 100 TB the anchor set batches and the corpus pass reuses the
+    blocked-GEMM kernel (knn_gemm_topk) with the label filter in the
+    block mask.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "q_label", "n_id", "n_label", F.round("sim", 6).alias("sim"), "rn")
+    )

@@ -228,6 +228,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_partition_prune", "layout_partition_prune"),
     ("customers_golden_record", "er_golden_record"),
     ("orders_bucketed_join", "layout_bucketed_join"),
+    ("emb_hard_negatives", "sample_hard_negatives"),
 ]
 
 RUNS = 3

@@ -164,3 +164,20 @@ def test_hamming_topk_shape_and_recall(spark, sf_dir):
     hits = exact & {(r.q_id, r.n_id) for r in rows}
     recall = len(hits) / len(exact)
     assert recall >= 0.10, f"1-bit recall collapsed: {recall:.3f}"
+
+
+def test_hard_negatives_cross_label_and_hardness(spark, sf_dir):
+    """Every mined negative has a label different from its anchor, ranks
+    are dense, and each anchor's top negative is at least as similar as
+    its rank-5 one (ordering sanity)."""
+    rows = REGISTRY["sample_hard_negatives"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.n_label != r.q_label
+        assert r.n_id != r.q_id
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, members in by_q.items():
+        members.sort(key=lambda r: r.rn)
+        assert [m.rn for m in members] == list(range(1, len(members) + 1))
+        sims = [m.sim for m in members]
+        assert sims == sorted(sims, reverse=True)
