@@ -1026,3 +1026,60 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_span") >= SPAN_MIN_TOKENS)
     )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle=f"""
+WITH hashed AS (
+{DUCK_HASHED_CTE}
+), ex AS (
+    SELECT doc_id, unnest(hs) AS h FROM hashed
+), firsts AS (
+    SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE f.first_doc = e.doc_id) AS BIGINT)
+         AS n_novel,
+       (count(*) FILTER (WHERE f.first_doc = e.doc_id) * 1000000)
+         // count(*) AS novelty_ppm
+FROM ex e JOIN firsts f ON f.h = e.h
+GROUP BY e.doc_id
+""",
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-novelty contribution: a shingle is NOVEL in
+    the document with the smallest doc_id that contains it (ingest
+    order); novelty_ppm = novel-shingle share of the doc's distinct
+    shingles. The curation signal behind "what does this document add":
+    near-dups and boilerplate score ~0, first occurrences score high —
+    the incremental counterpart of pairwise dedup, and the greedy
+    approximation of a doc's marginal n-gram coverage.
+
+    Reuses the cached hashed-shingle table (same Arrow word-hash kernel
+    as the MinHash family); the plan is explode -> groupBy(shingle) min
+    -> rejoin on shingle -> groupBy(doc). Both shuffles key on the
+    shingle hash (uniform by construction) and doc_id; nothing pairwise
+    ever forms, so this scales exactly like exact dedup does. Integer
+    ppm, no float hazard.
+    """
+    hashed = _hashed_shingles(spark, sf_dir)
+    ex = hashed.select("doc_id", F.explode("hs").alias("h"))
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -229,6 +229,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_golden_record", "er_golden_record"),
     ("orders_bucketed_join", "layout_bucketed_join"),
     ("emb_hard_negatives", "sample_hard_negatives"),
+    ("doc_shingle_novelty", "text_shingle_novelty"),
 ]
 
 RUNS = 3

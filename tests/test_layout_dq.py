@@ -381,3 +381,26 @@ def test_golden_record_survivorship(spark, sf_dir):
             assert names[m][1] == r.nation
             assert names[m][2] == r.segment
             assert names[m][3] == r.cents
+
+
+def test_shingle_novelty_conservation(spark, sf_dir):
+    """Novelty conserves: summed novel shingles across docs equals the
+    corpus's distinct shingle count; the min-doc_id document of the
+    corpus is 100% novel; ppm bounds hold."""
+    rows = REG["text_shingle_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    from bangdatapipeline_spark.operators.dedup_near import _hashed_shingles
+
+    distinct_shingles = (
+        _hashed_shingles(spark, sf_dir)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == distinct_shingles
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_shingles
+    assert first.novelty_ppm == 1_000_000
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert r.novelty_ppm == r.n_novel * 1_000_000 // r.n_shingles
