@@ -58,3 +58,35 @@ def release(spark: SparkSession) -> None:
         ga._lpa_cache,
     ):
         memo.clear()
+
+
+def free_heap_fraction(spark: SparkSession) -> float:
+    """Fraction of the driver JVM's max heap not currently allocated to
+    live+garbage objects. An estimate (garbage counts as used until the
+    next GC), which errs on the safe side for pressure checks."""
+    rt = spark._jvm.java.lang.Runtime.getRuntime()  # type: ignore[union-attr]
+    used = rt.totalMemory() - rt.freeMemory()
+    return 1.0 - used / rt.maxMemory()
+
+
+def release_if_pressured(
+    spark: SparkSession, min_free_fraction: float = 0.35
+) -> bool:
+    """Release engine caches when driver-heap headroom drops below
+    ``min_free_fraction`` of max heap; returns whether a release ran.
+
+    The fixed-stride release alone proved insufficient: cache footprint
+    is query-dependent (the graph family's oriented-edge/adjacency memos
+    at sf0.1 can exhaust a default 1 GiB heap WITHIN one stride, failing
+    the next broadcast build). Pressure-triggered release is what a real
+    long-running service does — check is two JVM calls, so it is cheap
+    enough to run before every query. The explicit System.gc() after a
+    release makes the freed blocks visible to the next pressure reading
+    (clearCache only drops references; the estimate counts garbage as
+    used until a collection happens).
+    """
+    if free_heap_fraction(spark) >= min_free_fraction:
+        return False
+    release(spark)
+    spark._jvm.System.gc()  # type: ignore[union-attr]
+    return True

@@ -54,10 +54,13 @@ def main() -> int:
     failed = []
     for i, key in enumerate(sorted(qs)):
         # Long-session hygiene: this sweep runs ~5x more queries than the
-        # real driver window in ONE default-heap session; without periodic
-        # cache release the accumulated pinned blocks eventually fail a
+        # real driver window in ONE default-heap session; without cache
+        # release the accumulated pinned blocks eventually fail a
         # mid-sweep broadcast build (see bangdatapipeline_spark/caches.py).
-        if i and i % caches.RELEASE_EVERY == 0:
+        # Pressure-triggered (footprint is query-dependent: the graph
+        # family can exhaust the heap within one fixed stride at sf0.1),
+        # with the fixed stride kept as a deterministic backstop.
+        if not caches.release_if_pressured(spark) and i and i % caches.RELEASE_EVERY == 0:
             caches.release(spark)
         t0 = time.time()
         try:

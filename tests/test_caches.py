@@ -31,3 +31,13 @@ def test_release_drops_blocks_and_memos(spark):
     after = ga.graph_triangles(spark, SMOKE_SF_DIR).collect()
     assert after == before
     assert ga._op_cache and _n_cached(spark) == 1
+
+
+def test_release_if_pressured_threshold(spark):
+    """Below-threshold headroom triggers a release (forced by an
+    impossible threshold); ample headroom does not (threshold 0)."""
+    frac = caches.free_heap_fraction(spark)
+    assert 0.0 < frac < 1.0
+    assert caches.release_if_pressured(spark, min_free_fraction=0.0) is False
+    assert caches.release_if_pressured(spark, min_free_fraction=1.01) is True
+    assert _n_cached(spark) == 0
