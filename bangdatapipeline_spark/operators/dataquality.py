@@ -261,6 +261,7 @@ _FRESH_STALE_MIN = 120  # a feed lagging > 2h behind the freshest is stale
 
 @register(
     "dq_freshness",
+    tags=("stream_twin",),
     oracle=f"""
 WITH g AS (SELECT max(ts) AS global_max FROM events),
 per AS (

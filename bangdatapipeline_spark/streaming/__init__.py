@@ -398,6 +398,22 @@ def daily_value_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def freshness_state(events: DataFrame) -> DataFrame:
+    """Streaming feed-freshness STATE: per event_type running count and
+    max(ts) — the state behind ``dq_freshness``. The state is |feeds|
+    rows regardless of event volume; the lag-vs-freshest derivation
+    (global max, minutes, staleness flag) runs read-side over that tiny
+    state (the stream_topk re-rank pattern), because folding the global
+    max INTO the aggregate would make every per-feed update a global
+    one. At 100 TB this is the canonical always-on ops monitor: one
+    streaming max per feed, dashboard derives the rest."""
+    return (
+        _event_time(events)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Twin registry: batch registry key -> streaming twin entry point
 # ---------------------------------------------------------------------------
@@ -436,6 +452,9 @@ def _stream_twins():
         # CDC merge landing in the transactional table format: the
         # (app_id, version=batch_id) txn stamp gives exactly-once
         "txn_cdc_merge_table": sinks.txn_table_merge_sink,
+        # freshness monitor: streaming per-feed (count, max ts) state;
+        # the lag/staleness projection is read-side over |feeds| rows
+        "dq_freshness": freshness_state,
     }
 
 

@@ -662,3 +662,24 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
         assert n_after_first < ev.count()  # run 1 really was partial
     finally:
         shutil.rmtree(full, ignore_errors=True)
+
+
+def test_freshness_stream_equals_batch(spark, chunks):
+    """The streaming per-feed (count, max ts) state plus the read-side
+    lag/staleness projection reproduces the batch dq_freshness report."""
+    from bangdatapipeline_spark.operators.dataquality import _FRESH_STALE_MIN
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(streaming.freshness_state(stream), mode="complete")
+    g = state.agg(F.max("last_ts").alias("global_max"))
+    lag_us = F.expr("timestampdiff(MICROSECOND, last_ts, global_max)")
+    out = state.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "last_ts",
+        (lag_us / 60_000_000).cast("long").alias("lag_minutes"),
+        ((lag_us / 60_000_000).cast("long") > _FRESH_STALE_MIN).alias("is_stale"),
+    )
+    batch = REGISTRY["dq_freshness"].fn(spark, SF)
+    cols = ["event_type", "n_events", "last_ts", "lag_minutes", "is_stale"]
+    assert _rows(out, cols) == _rows(batch, cols)
