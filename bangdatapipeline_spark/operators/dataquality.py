@@ -304,3 +304,120 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lag_us / 60_000_000).cast("long").alias("lag_minutes"),
         ((lag_us / 60_000_000).cast("long") > _FRESH_STALE_MIN).alias("is_stale"),
     )
+
+
+_VOL_TRAIL = 7  # trailing window (days) for the robust baseline
+_VOL_K = 3  # flag when |n - median| > K * MAD
+
+
+@register(
+    "dq_volume_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n,
+         list_sort(list(n) OVER w) AS trail
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {{_VOL_TRAIL}} PRECEDING AND 1 PRECEDING)
+),
+m AS (
+  SELECT event_type, day, n, trail,
+         coalesce(len(trail), 0) AS n_trail,
+         CASE WHEN coalesce(len(trail), 0) > 0
+              THEN trail[(len(trail) + 1) // 2] + trail[len(trail) // 2 + 1]
+         END AS med2
+  FROM win
+),
+d AS (
+  SELECT event_type, day, n, n_trail, med2,
+         CASE WHEN n_trail > 0 THEN
+           list_sort(list_transform(trail, x -> abs(x * 2 - med2)))
+         END AS devs
+  FROM m
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       n,
+       CAST(med2 AS BIGINT)      AS med2,
+       CAST(CASE WHEN n_trail > 0
+            THEN devs[(n_trail + 1) // 2] + devs[n_trail // 2 + 1]
+       END AS BIGINT)            AS mad4,
+       n_trail >= {{_VOL_TRAIL}}
+         AND abs(n * 4 - med2 * 2)
+             > {{_VOL_K}} * (devs[(n_trail + 1) // 2] + devs[n_trail // 2 + 1])
+                                 AS is_anomaly
+FROM d
+""".format(_VOL_TRAIL=_VOL_TRAIL, _VOL_K=_VOL_K),
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly flags per feed: each day\'s event count
+    against the trailing-7-day MEDIAN with a MAD band — the robust volume
+    monitor that catches a half-empty drop or a double-ingest without
+    being fooled by one earlier bad day (a mean/stddev band would be).
+    Days with an incomplete trailing window never flag.
+
+    Exactness: medians over integer windows live on the half-integer
+    lattice, so the test runs doubled twice — med2 = lo+hi of the sorted
+    trailing ROWS window (= 2x median for odd sizes, sum of the middle
+    two for even), deviations are |n*2 - med2| (x2 units), mad4 = lo+hi
+    of the sorted deviations (x4 units), and the flag compares
+    |n*4 - med2*2| > K*mad4 — pure int64 on both engines, mirrored
+    list-for-list (the oracle uses the same ROWS frame and the same
+    sorted-array picks, not a calendar range). The trailing window is
+    <= 7 elements, so the in-row sorts are O(1); the only shuffle keys
+    on event_type and the table is |feeds| x |days| rows regardless of
+    event volume — the monitor costs the same at 100 TB once the daily
+    rollup exists.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_VOL_TRAIL, -1)
+    )
+
+    def mid_sum(arr):
+        sz = F.size(arr)
+        lo = F.element_at(arr, F.floor((sz + 1) / 2).cast("int"))
+        hi = F.element_at(arr, F.floor(sz / 2).cast("int") + 1)
+        return F.when(sz > 0, lo + hi)
+
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.array_sort(F.collect_list("n").over(w)).alias("trail"),
+    ).withColumn("n_trail", F.size("trail")).withColumn(
+        "med2", mid_sum(F.col("trail"))
+    )
+    dev = stats.withColumn(
+        "devs",
+        F.when(
+            F.col("n_trail") > 0,
+            F.array_sort(
+                F.transform(
+                    F.col("trail"), lambda x: F.abs(x * 2 - F.col("med2"))
+                )
+            ),
+        ),
+    ).withColumn("mad4", mid_sum(F.col("devs")))
+    return dev.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("med2").cast("long").alias("med2"),
+        F.col("mad4").cast("long").alias("mad4"),
+        (
+            (F.col("n_trail") >= _VOL_TRAIL)
+            & (F.abs(F.col("n") * 4 - F.col("med2") * 2) > _VOL_K * F.col("mad4"))
+        ).alias("is_anomaly"),
+    )

@@ -230,6 +230,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_bucketed_join", "layout_bucketed_join"),
     ("emb_hard_negatives", "sample_hard_negatives"),
     ("doc_shingle_novelty", "text_shingle_novelty"),
+    ("events_volume_anomaly", "dq_volume_anomaly"),
 ]
 
 RUNS = 3

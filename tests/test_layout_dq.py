@@ -404,3 +404,24 @@ def test_shingle_novelty_conservation(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
         assert r.novelty_ppm == r.n_novel * 1_000_000 // r.n_shingles
+
+
+def test_volume_anomaly_lattice_and_guards(spark, sf_dir):
+    """First _VOL_TRAIL days per feed never flag (incomplete window);
+    med2/mad4 are null only on the very first day; flagged rows really
+    deviate by more than K * MAD in the x4 lattice."""
+    from bangdatapipeline_spark.operators.dataquality import _VOL_K, _VOL_TRAIL
+
+    rows = REG["dq_volume_anomaly"].fn(spark, sf_dir).collect()
+    assert len(rows) == 150  # 5 feeds x 30 days
+    by_feed: dict[str, list] = {}
+    for r in rows:
+        by_feed.setdefault(r.event_type, []).append(r)
+    for feed, members in by_feed.items():
+        members.sort(key=lambda r: r.day)
+        assert members[0].med2 is None and members[0].mad4 is None
+        for i, r in enumerate(members):
+            if i < _VOL_TRAIL:
+                assert not r.is_anomaly
+            if r.is_anomaly:
+                assert abs(r.n * 4 - r.med2 * 2) > _VOL_K * r.mad4
