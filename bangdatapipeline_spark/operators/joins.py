@@ -248,6 +248,73 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_MIN = 120  # tolerance: matches older than this are dropped
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH pc AS (
+  SELECT p.event_id AS purchase_id, p.ts AS p_ts, max(c.ts) AS last_click_ts
+  FROM events p LEFT JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT purchase_id,
+       CASE WHEN last_click_ts IS NOT NULL
+             AND date_diff('microsecond', last_click_ts, p_ts)
+                 <= CAST({_ASOF_TOL_MIN} AS BIGINT) * 60000000
+            THEN last_click_ts END AS click_ts_within,
+       CASE WHEN last_click_ts IS NOT NULL
+             AND date_diff('microsecond', last_click_ts, p_ts)
+                 <= CAST({_ASOF_TOL_MIN} AS BIGINT) * 60000000
+            THEN date_diff('microsecond', last_click_ts, p_ts) // 60000000
+            END AS gap_min,
+       last_click_ts IS NOT NULL
+         AND date_diff('microsecond', last_click_ts, p_ts)
+             <= CAST({_ASOF_TOL_MIN} AS BIGINT) * 60000000 AS matched
+FROM pc
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(...,
+    tolerance=...)`` semantics): the latest same-user click at-or-before
+    each purchase counts only if it happened within the last
+    {_ASOF_TOL_MIN} minutes — stale matches are dropped (NULL), and every
+    purchase survives with a ``matched`` flag. The attribution-window
+    variant of ``join_asof``: "credit the click only if it was recent".
+
+    Same single-window-pass formulation (one shuffle on user_id, O(n log
+    n) per user) with the tolerance applied as a projection AFTER the
+    as-of carry — the bound never changes the scan or the window, so the
+    100 TB shape is identical to the unbounded as-of. Gap arithmetic is
+    integer microseconds floor-divided to minutes: exact on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), tie, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    gap_us = F.expr("timestampdiff(MICROSECOND, last_click_ts, ts)")
+    within = F.col("last_click_ts").isNotNull() & (
+        gap_us <= _ASOF_TOL_MIN * 60_000_000
+    )
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.when(within, F.col("last_click_ts")).alias("click_ts_within"),
+            F.when(within, (gap_us / 60_000_000).cast("long")).alias("gap_min"),
+            within.alias("matched"),
+        )
+    )
+
+
 @register(
     "join_cross",
     oracle="""

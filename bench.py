@@ -231,6 +231,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_hard_negatives", "sample_hard_negatives"),
     ("doc_shingle_novelty", "text_shingle_novelty"),
     ("events_volume_anomaly", "dq_volume_anomaly"),
+    ("asof_tolerance_attribution", "join_asof_tolerance"),
 ]
 
 RUNS = 3
