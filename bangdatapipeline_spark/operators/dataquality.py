@@ -312,6 +312,7 @@ _VOL_K = 3  # flag when |n - median| > K * MAD
 
 @register(
     "dq_volume_anomaly",
+    tags=("stream_twin",),
     oracle=f"""
 WITH daily AS (
   SELECT event_type,
@@ -379,6 +380,14 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return volume_anomaly_from_daily(daily)
+
+
+def volume_anomaly_from_daily(daily: DataFrame) -> DataFrame:
+    """The med2/mad4 anomaly projection over a (event_type, day, n)
+    daily rollup — shared by the batch operator above and the streaming
+    twin (where ``daily`` is the tumbling-count STATE and this runs
+    read-side over |feeds| x |days| rows)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

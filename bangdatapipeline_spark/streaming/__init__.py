@@ -414,6 +414,24 @@ def freshness_state(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_type_counts(events: DataFrame) -> DataFrame:
+    """Streaming daily-volume STATE: per (event_type, day) running event
+    count — the tumbling rollup behind ``dq_volume_anomaly``. State is
+    |feeds| x |days| rows regardless of volume; the trailing-median/MAD
+    anomaly projection runs read-side over that state
+    (``dataquality.volume_anomaly_from_daily``), because the robust
+    band needs each feed's trailing days TOGETHER, which is a window
+    over the tiny state, not over the stream."""
+    return (
+        _event_time(events)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", F.to_date(F.col("w.start")).alias("day"), "n"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Twin registry: batch registry key -> streaming twin entry point
 # ---------------------------------------------------------------------------
@@ -455,6 +473,9 @@ def _stream_twins():
         # freshness monitor: streaming per-feed (count, max ts) state;
         # the lag/staleness projection is read-side over |feeds| rows
         "dq_freshness": freshness_state,
+        # volume monitor: tumbling daily counts are the state; the
+        # trailing-median/MAD projection runs read-side over it
+        "dq_volume_anomaly": daily_type_counts,
     }
 
 

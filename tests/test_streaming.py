@@ -683,3 +683,18 @@ def test_freshness_stream_equals_batch(spark, chunks):
     batch = REGISTRY["dq_freshness"].fn(spark, SF)
     cols = ["event_type", "n_events", "last_ts", "lag_minutes", "is_stale"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_volume_anomaly_stream_equals_batch(spark, chunks):
+    """Tumbling daily counts as streaming state + the shared read-side
+    median/MAD projection reproduces the batch dq_volume_anomaly report."""
+    from bangdatapipeline_spark.operators.dataquality import (
+        volume_anomaly_from_daily,
+    )
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(streaming.daily_type_counts(stream), mode="complete")
+    out = volume_anomaly_from_daily(state)
+    batch = REGISTRY["dq_volume_anomaly"].fn(spark, SF)
+    cols = ["event_type", "day", "n", "med2", "mad4", "is_anomaly"]
+    assert _rows(out, cols) == _rows(batch, cols)
