@@ -35,7 +35,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.registry import REGISTRY, register
 from bangdatapipeline_spark.tables import load_table
 
 N_QUERIES = 100  # query set = vec_id < 100 (matches BASELINE.md emb_knn_top5)
@@ -2095,4 +2095,185 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "q_label", "n_id", "n_label", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe tuning curve (the ANN quality/cost tradeoff, measured)
+# --------------------------------------------------------------------------
+
+_CURVE_PROBES = [1, 2, 3]
+
+
+def _ivf_curve_oracle() -> str:
+    return f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (
+  SELECT e.label AS cell, i - 1 AS dim, avg(CAST(e.embedding[i] AS DOUBLE)) AS c
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS g(i)
+  GROUP BY 1, 2
+),
+cn AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
+dots AS (
+  SELECT x.vec_id, ct.cell, sum(x.val * ct.c) AS dot
+  FROM x JOIN cent ct USING (dim) GROUP BY 1, 2
+),
+sc AS (SELECT d.vec_id, d.cell, round(d.dot / cn.cnorm, 6) AS score
+       FROM dots d JOIN cn USING (cell)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS cr
+  FROM sc
+),
+corpus_cells AS (SELECT vec_id AS n_id, cell FROM ranked WHERE cr = 1),
+probes AS (SELECT vec_id AS q_id, cell, cr FROM ranked
+           WHERE cr <= {max(_CURVE_PROBES)} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT p.q_id, c.n_id, CAST(min(p.cr) AS INT) AS min_cr
+  FROM probes p JOIN corpus_cells c USING (cell)
+  WHERE p.q_id <> c.n_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT c.q_id, c.n_id, c.min_cr, {_duck_dot('a.embedding', 'b.embedding')} AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.q_id
+  JOIN embeddings b ON b.vec_id = c.n_id
+),
+cfg AS (SELECT unnest({_CURVE_PROBES}) AS nprobe),
+per AS (
+  SELECT g.nprobe, s.q_id, s.n_id,
+         row_number() OVER (PARTITION BY g.nprobe, s.q_id
+                            ORDER BY s.sim DESC, s.n_id ASC) AS rn
+  FROM cfg g JOIN sims s ON s.min_cr <= g.nprobe
+),
+exact AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_duck_dot('a.embedding', 'b.embedding')} DESC,
+                                     b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id < {N_QUERIES}
+                                     AND b.vec_id <> a.vec_id
+),
+hits AS (
+  SELECT p.nprobe,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM per p JOIN exact e ON e.q_id = p.q_id AND e.n_id = p.n_id
+                          AND e.rn <= {TOP_K}
+  WHERE p.rn <= {TOP_K}
+  GROUP BY 1
+),
+vol AS (
+  SELECT g.nprobe, CAST(count(*) AS BIGINT) AS n_cand
+  FROM cfg g JOIN sims s ON s.min_cr <= g.nprobe GROUP BY 1
+)
+SELECT v.nprobe, v.n_cand, h.n_hits,
+       (h.n_hits * 1000000) // ({N_QUERIES} * {TOP_K}) AS recall_ppm
+FROM vol v JOIN hits h USING (nprobe)
+"""
+
+
+@register("eval_ivf_nprobe_curve", oracle=_ivf_curve_oracle())
+def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve, measured: for nprobe in {1,2,3}, the IVF
+    candidate volume (cost) and recall@{TOP_K} vs the exact ranker
+    (quality) — the table an operator reads before picking an operating
+    point; recall rises with nprobe while candidates (and scan cost)
+    grow ~linearly.
+
+    Computed in ONE pass: each candidate pair carries min_cr (the
+    smallest probe rank connecting query to the neighbor's cell), so
+    "the candidate set at nprobe=n" is just ``min_cr <= n`` — the sims
+    are computed once on the widest set and each config re-windows the
+    same table (3-row config spine joined in, not 3 pipeline reruns).
+    Recall joins against the exact top-{TOP_K}; all ratios integer ppm.
+    Same 6-dp-lattice cell assignment as knn_ivf_topk, so the curve is
+    engine-exact despite the data-derived codebook.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+    )
+    cn = cent.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    scores = _cell_scores(x, cent, cn)
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cell").asc()
+    )
+    ranked = scores.withColumn("cr", F.row_number().over(w_cell))
+    corpus_cells = ranked.filter(F.col("cr") == 1).select(
+        F.col("vec_id").alias("n_id"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("cr") <= max(_CURVE_PROBES)) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), "cell", "cr")
+    emb = e.select("vec_id", "embedding")
+    cand = (
+        probes.join(corpus_cells, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.min("cr").cast("int").alias("min_cr"))
+    )
+    sims = (
+        cand.join(
+            emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
+                "embedding", "q_emb"
+            ),
+            "q_id",
+        )
+        .join(
+            emb.withColumnRenamed("vec_id", "n_id").withColumnRenamed(
+                "embedding", "n_emb"
+            ),
+            "n_id",
+        )
+        .select(
+            "q_id",
+            "n_id",
+            "min_cr",
+            dot_double_vec(F.col("q_emb"), F.col("n_emb")).alias("sim"),
+        )
+        .cache()  # three config windows + the volume count read it
+    )
+    cfg = spark.createDataFrame([(n,) for n in _CURVE_PROBES], "nprobe int")
+    per = (
+        sims.join(F.broadcast(cfg), sims.min_cr <= cfg.nprobe)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "q_id").orderBy(
+                    F.col("sim").desc(), F.col("n_id").asc()
+                )
+            ),
+        )
+    )
+    exact = REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).select(
+        "q_id", "n_id"
+    )
+    hits = (
+        per.filter(F.col("rn") <= TOP_K)
+        .join(exact, ["q_id", "n_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    vol = (
+        sims.join(F.broadcast(cfg), sims.min_cr <= cfg.nprobe)
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    return vol.join(hits, "nprobe").select(
+        "nprobe",
+        "n_cand",
+        "n_hits",
+        F.expr(f"n_hits * 1000000 div ({N_QUERIES} * {TOP_K})").alias(
+            "recall_ppm"
+        ),
     )

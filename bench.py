@@ -232,6 +232,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_shingle_novelty", "text_shingle_novelty"),
     ("events_volume_anomaly", "dq_volume_anomaly"),
     ("asof_tolerance_attribution", "join_asof_tolerance"),
+    ("emb_ivf_nprobe_curve", "eval_ivf_nprobe_curve"),
 ]
 
 RUNS = 3

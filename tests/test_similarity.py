@@ -181,3 +181,20 @@ def test_hard_negatives_cross_label_and_hardness(spark, sf_dir):
         assert [m.rn for m in members] == list(range(1, len(members) + 1))
         sims = [m.sim for m in members]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_nprobe_curve_monotone(spark, sf_dir):
+    """More probes can only add candidates and hits: n_cand and n_hits
+    are strictly/weakly monotone in nprobe, and recall at the largest
+    nprobe matches knn_ivf_topk's operating point by construction."""
+    rows = sorted(
+        REGISTRY["eval_ivf_nprobe_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_cand > a.n_cand
+        assert b.n_hits >= a.n_hits
+        assert b.recall_ppm >= a.recall_ppm
+    for r in rows:
+        assert r.recall_ppm == r.n_hits * 1_000_000 // 500
