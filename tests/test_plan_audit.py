@@ -35,6 +35,7 @@ CARTESIAN_OK = {
     "knn_matryoshka_topk",  # same pair pass, prefix + full sims together
     "knn_hamming_topk",  # broadcast packed query side (knn pattern)
     "sample_hard_negatives",  # broadcast bounded anchor set (knn pattern)
+    "eval_ivf_nprobe_curve",  # 3-row nprobe config spine, range-joined (min_cr <= n)
     "knn_mmr_diversify",  # candidate re-rank over the exact pair set
     "dedup_near_jaccard",  # bounded exact ground truth (EXACT_BOUND)
     "eval_rank_metrics",  # grades ANN against the exact baseline
