@@ -109,9 +109,26 @@ def _correctness_history() -> tuple[set[str], set[str]]:
     return green, failed - green
 
 
+def _registry_snapshot() -> set[str]:
+    """Keys that existed at the round-4 close (scripts/registry_snapshot_r4.txt).
+
+    Within the never-checked tier, snapshot keys outrank keys registered
+    later, so the 13 round-4 leftovers stay at the head of the round-6
+    window no matter how many new operators later rounds add (VERDICT r4
+    task 4: coverage closes at 262/262 by construction).
+    """
+    path = os.path.join(_ROOT, "scripts", "registry_snapshot_r4.txt")
+    try:
+        with open(path) as f:
+            return {line.strip() for line in f if line.strip()}
+    except OSError:
+        return set()
+
+
 def _ordered_registry():
     registry = load_all()
     green, failed = _correctness_history()
+    snapshot = _registry_snapshot()
     insertion = {key: i for i, key in enumerate(registry)}
 
     def rank(key: str):
@@ -128,7 +145,8 @@ def _ordered_registry():
             tier = 1 if key in _S2_KEYS else 2  # contract keys before extras
         else:
             tier = 3  # already green in a prior round
-        return (tier, mod_rank, insertion[key])
+        newer = 0 if (not snapshot or key in snapshot) else 1
+        return (tier, newer, mod_rank, insertion[key])
 
     return {key: registry[key] for key in sorted(registry, key=rank)}
 
