@@ -14,7 +14,9 @@ REMOVES plus an application transaction stamp ``{"app_id", "version"}``.
 The live file set of the table is the log replay (adds minus removes) —
 readers never list ``data/`` directly, so a crash between data-file write
 and commit leaves invisible orphans, not corruption (the commit file is
-staged and ``os.rename``d into place, which is atomic on POSIX).
+staged and published with an exclusive ``os.link`` — atomic, and EEXIST
+when another writer already claimed the version, so racing writers
+resolve to exactly one winner).
 
 MERGE is copy-on-write at FILE granularity, which is what makes it an
 O(changed-data) operation instead of O(table):
@@ -77,19 +79,29 @@ class TxnTable:
         return out
 
     def _write_commit(self, commit: dict) -> None:
-        """Stage + atomic rename; O_EXCL-style publish so two concurrent
-        writers cannot both claim the same version (optimistic
-        concurrency — the loser retries on a fresh snapshot)."""
+        """Stage + exclusive-create publish: the commit becomes visible via
+        ``os.link(tmp, final)``, which atomically FAILS with EEXIST when
+        another writer already published that version — unlike
+        ``os.rename``, which silently replaces on POSIX and would lose the
+        first writer's add/remove entries. Optimistic concurrency: the
+        loser gets a RuntimeError and retries on a fresh snapshot."""
         os.makedirs(self.log_dir, exist_ok=True)
         final = os.path.join(self.log_dir, f"{commit['version']:08d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"concurrent commit conflict at version {commit['version']}"
-            )
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(commit, f, indent=1, sort_keys=True)
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)  # atomic publish; EEXIST = lost the race
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit conflict at version {commit['version']}: "
+                "another writer committed first; retry on a fresh snapshot"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def snapshot(self, at_version: int | None = None) -> list[dict]:
         """Live file entries (each ``{"path", "bucket"}``) = log replay.
@@ -128,6 +140,13 @@ class TxnTable:
 
     def _key_col(self) -> str:
         return self._commits()[0]["key_col"]
+
+    def _schema(self) -> list[dict]:
+        """Table data-column schema pinned by the CREATE commit
+        (``[{"name", "type"}, ...]``) — the authority every later MERGE is
+        validated against so a malformed changelog can never narrow or
+        retype the table."""
+        return self._commits()[0]["schema"]
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, _DATA_DIR, rel)
@@ -202,6 +221,10 @@ class TxnTable:
                 "op": "CREATE",
                 "key_col": key_col,
                 "n_buckets": n_buckets,
+                "schema": [
+                    {"name": f.name, "type": f.dataType.simpleString()}
+                    for f in df.schema.fields
+                ],
                 "add": entries,
                 "remove": [],
             }
@@ -233,6 +256,28 @@ class TxnTable:
         n_buckets = self._n_buckets()
         o1, o2 = order_cols
 
+        # schema gate: the changelog must carry EXACTLY the data columns
+        # pinned by the CREATE commit (plus delete/order bookkeeping) with
+        # matching types — otherwise the rewrite would silently narrow or
+        # retype the touched buckets, leaving a mixed-schema table
+        schema = self._schema()
+        expected = {s["name"]: s["type"] for s in schema}
+        bookkeeping = {delete_col, o1, o2}
+        got = {f.name: f.dataType.simpleString() for f in changelog.schema.fields}
+        missing = sorted(set(expected) - set(got))
+        extra = sorted(set(got) - set(expected) - bookkeeping)
+        retyped = sorted(
+            f"{c}: table={expected[c]} changelog={got[c]}"
+            for c in set(expected) & set(got)
+            if got[c] != expected[c]
+        )
+        if missing or extra or retyped:
+            raise ValueError(
+                "changelog schema does not match the table schema committed "
+                f"at CREATE: missing={missing} extra={extra} retyped={retyped}"
+            )
+        data_cols = [s["name"] for s in schema]
+
         # latest-wins compaction of the changelog (shuffle sized by the
         # changelog, never the table)
         from pyspark.sql import Window
@@ -255,7 +300,6 @@ class TxnTable:
         affected = [e for e in snapshot if e["bucket"] in touched]
         carried = [e for e in snapshot if e["bucket"] not in touched]
 
-        data_cols = [c for c in compacted.columns if c not in (delete_col, "_bucket")]
         base = (
             self.read(affected)
             if affected
@@ -335,32 +379,53 @@ class TxnTable:
             "files_after": len(added),
         }
 
-    def vacuum(self, retain_last: int = 1) -> dict:
+    def vacuum(
+        self, retain_last: int = 1, min_age_seconds: float = 3600.0
+    ) -> dict:
         """Physically delete data files no longer referenced by the last
         ``retain_last`` snapshots (nor by the current one) — including
         orphans from writers that crashed before committing. After a
         vacuum, time travel older than the retention horizon is gone;
         that trade is the whole point (storage reclaim), same contract as
         the production formats.
+
+        ``min_age_seconds`` is the in-flight-writer guard (Delta/Iceberg
+        retention convention): a file younger than the horizon may have
+        been staged by a writer that has not committed yet — deleting it
+        would let that writer commit a manifest referencing deleted files.
+        Only files older than the horizon are candidates; pass ``0`` when
+        the caller can guarantee no concurrent writers (tests, single-
+        writer maintenance windows).
         """
+        import time
+
         commits = self._commits()
         latest = commits[-1]["version"] if commits else 0
         keep: set[str] = set()
         for v in range(max(0, latest - retain_last + 1), latest + 1):
             keep.update(e["path"] for e in self.snapshot(at_version=v))
         data_root = os.path.join(self.path, _DATA_DIR)
-        removed = 0
+        horizon = time.time() - min_age_seconds
+        removed = skipped_young = 0
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for name in filenames:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, data_root)
-                if name.endswith(".parquet") and rel not in keep:
-                    os.remove(full)
+                if rel in keep:
+                    continue
+                if os.path.getmtime(full) > horizon:
+                    # possibly staged by an in-flight writer: spare it
+                    skipped_young += 1
+                    continue
+                os.remove(full)
+                if name.endswith(".parquet"):
                     removed += 1
-                elif not name.endswith(".parquet") and rel not in keep:
-                    # writer-side markers (_SUCCESS, .crc) are never in
-                    # the manifest; sweep them with their directories
-                    os.remove(full)
+                # non-parquet writer-side markers (_SUCCESS, .crc) are
+                # never in the manifest; swept with their directories
             if not os.listdir(dirpath) and dirpath != data_root:
                 os.rmdir(dirpath)
-        return {"files_deleted": removed, "retained_versions": retain_last}
+        return {
+            "files_deleted": removed,
+            "retained_versions": retain_last,
+            "skipped_young": skipped_young,
+        }

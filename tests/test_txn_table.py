@@ -4,6 +4,7 @@ copy-on-write MERGE, idempotent replay (SURVEY.md §2.12 production sink).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -226,7 +227,8 @@ def test_txn_time_travel_compact_vacuum(spark, tmp_path):
     os.makedirs(orphan_dir)
     base.limit(3).write.mode("overwrite").parquet(os.path.join(orphan_dir, "p"))
     live = {e["path"] for e in t.snapshot()}
-    res = t.vacuum(retain_last=1)
+    # min_age_seconds=0: this test IS the no-concurrent-writer window
+    res = t.vacuum(retain_last=1, min_age_seconds=0)
     assert res["files_deleted"] > 0
     data_root = os.path.join(path, "data")
     remaining = {
@@ -237,3 +239,111 @@ def test_txn_time_travel_compact_vacuum(spark, tmp_path):
     }
     assert remaining == live, "vacuum kept non-live or deleted live files"
     assert _rows(t.read()) == v2_rows
+
+
+def test_txn_concurrent_commit_one_winner_loser_retries(spark, tmp_path):
+    """Two writers race the same log version: exactly one commit wins (the
+    winner's content is untouched — no silent rename-replace), the loser
+    gets the conflict error and retries cleanly on a fresh snapshot."""
+    path = str(tmp_path / "race_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t1 = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+    t2 = TxnTable(spark, path)  # second writer handle on the same table
+
+    ch = _changelog(spark)
+    # both writers read the same snapshot, then interleave: t1 lands its
+    # merge first, so when t2 tries to claim the same log version the
+    # exclusive-create publish must fail it — NOT silently replace t1's
+    # committed add/remove entries
+    next_v = len(t1._commits())
+    stats1 = t1.merge_cdc(ch, app_id="writer-1", version=1)
+    assert not stats1["skipped"]
+    winner = json.load(open(os.path.join(path, "_txn_log", f"{next_v:08d}.json")))
+    assert winner["txn"]["app_id"] == "writer-1"
+
+    # t2 had staged its own commit for next_v concurrently
+    loser_commit = {
+        "version": next_v,
+        "op": "MERGE_CDC",
+        "txn": {"app_id": "writer-2", "version": 1},
+        "add": [],
+        "remove": [],
+    }
+    import pytest
+
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t2._write_commit(loser_commit)
+
+    # winner's commit file is byte-for-byte intact (no replace happened)
+    after = json.load(open(os.path.join(path, "_txn_log", f"{next_v:08d}.json")))
+    assert after == winner
+    # no stray .tmp staging files leak into the log dir
+    assert not [
+        n for n in os.listdir(os.path.join(path, "_txn_log")) if ".tmp-" in n
+    ]
+
+    # loser retries on a fresh snapshot: merge_cdc recomputes the next
+    # version and commits cleanly on top of the winner
+    stats2 = t2.merge_cdc(
+        ch.filter(F.col("c_custkey") == _SHIFT), app_id="writer-2", version=1
+    )
+    assert not stats2["skipped"]
+    assert t2.last_txn_version("writer-1") == 1
+    assert t2.last_txn_version("writer-2") == 1
+    assert len(t2._commits()) == next_v + 2
+
+
+def test_txn_vacuum_spares_young_files(spark, tmp_path):
+    """The retention horizon: files younger than min_age_seconds are NOT
+    deleted even when unreferenced — they may belong to an in-flight
+    writer that has staged data but not yet committed."""
+    path = str(tmp_path / "young_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+
+    # an in-flight writer: data staged seconds ago, commit not yet written
+    staged_dir = os.path.join(path, "data", "txn-55555555-inflight", "_bucket=0")
+    os.makedirs(staged_dir)
+    base.limit(3).write.mode("overwrite").parquet(os.path.join(staged_dir, "p"))
+
+    res = t.vacuum(retain_last=1)  # default horizon (1h) spares everything young
+    assert res["files_deleted"] == 0
+    assert res["skipped_young"] > 0
+    assert os.path.isdir(staged_dir), "in-flight writer's staging dir was swept"
+
+    # once past the horizon (simulated by backdating mtimes) the same
+    # orphans ARE reclaimed
+    for dp, _, fs in os.walk(os.path.join(path, "data", "txn-55555555-inflight")):
+        for f in fs:
+            os.utime(os.path.join(dp, f), (0, 0))
+    res2 = t.vacuum(retain_last=1)
+    assert res2["files_deleted"] > 0
+    assert not os.path.exists(os.path.join(path, "data", "txn-55555555-inflight"))
+    # the live snapshot is untouched either way
+    assert _rows(t.read()) == _rows(base)
+
+
+def test_txn_merge_schema_mismatch_raises(spark, tmp_path):
+    """merge_cdc validates the changelog against the schema pinned at
+    CREATE: a missing column, an extra column, or a retyped column raises
+    instead of silently rewriting touched buckets narrower/wider."""
+    import pytest
+
+    path = str(tmp_path / "schema_table")
+    base = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+    ch = _changelog(spark)
+
+    with pytest.raises(ValueError, match="missing=\\['c_acctbal'\\]"):
+        t.merge_cdc(ch.drop("c_acctbal"), app_id="p", version=1)
+    with pytest.raises(ValueError, match="extra=\\['c_extra'\\]"):
+        t.merge_cdc(ch.withColumn("c_extra", F.lit(1)), app_id="p", version=1)
+    with pytest.raises(ValueError, match="retyped=.*c_acctbal"):
+        t.merge_cdc(
+            ch.withColumn("c_acctbal", F.col("c_acctbal").cast("string")),
+            app_id="p",
+            version=1,
+        )
+    # nothing committed by the rejected merges; a valid merge still lands
+    assert len(t._commits()) == 1
+    assert not t.merge_cdc(ch, app_id="p", version=1)["skipped"]
