@@ -145,7 +145,11 @@ def _ordered_registry():
             tier = 1 if key in _S2_KEYS else 2  # contract keys before extras
         else:
             tier = 3  # already green in a prior round
-        newer = 0 if (not snapshot or key in snapshot) else 1
+        # snapshot priority applies only within the never-checked tiers
+        # (1/2): a post-snapshot key that FAILS correctness must re-verify
+        # with the same urgency as a failed snapshot key (tier 0 keeps
+        # insertion order), and tier 3 ordering is inert anyway
+        newer = 0 if (tier in (0, 3) or not snapshot or key in snapshot) else 1
         return (tier, newer, mod_rank, insertion[key])
 
     return {key: registry[key] for key in sorted(registry, key=rank)}

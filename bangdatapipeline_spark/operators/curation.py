@@ -180,7 +180,7 @@ CDC_KEY_SHIFT = 1450
 
 @register(
     "merge_cdc_with_deletes",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_cdc_merge_with_deletes_stream_equals_batch"),
     oracle=f"""
 WITH latest AS (
   SELECT user_id + {CDC_KEY_SHIFT} AS key,
@@ -257,7 +257,7 @@ def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_cdc_upsert",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_cdc_merge_upsert_stream_equals_batch"),
     oracle=f"""
 WITH latest AS (
   SELECT user_id + {CDC_KEY_SHIFT} AS key,
@@ -1295,7 +1295,7 @@ _TXN_SHIFT = 100
 
 @register(
     "txn_cdc_merge_table",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_txn_table_stream_merge_equals_batch"),
     oracle=f"""
 WITH ch AS (
   SELECT user_id + {_TXN_SHIFT}                  AS key,

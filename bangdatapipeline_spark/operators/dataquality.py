@@ -261,7 +261,7 @@ _FRESH_STALE_MIN = 120  # a feed lagging > 2h behind the freshest is stale
 
 @register(
     "dq_freshness",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_freshness_stream_equals_batch"),
     oracle=f"""
 WITH g AS (SELECT max(ts) AS global_max FROM events),
 per AS (
@@ -312,7 +312,7 @@ _VOL_K = 3  # flag when |n - median| > K * MAD
 
 @register(
     "dq_volume_anomaly",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_volume_anomaly_stream_equals_batch"),
     oracle=f"""
 WITH daily AS (
   SELECT event_type,

@@ -43,7 +43,7 @@ _STATE_AGGS_SQL = """
 
 @register(
     "incremental_agg_merge",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_incremental_state_merge_stream_equals_full_recompute"),
     oracle=f"""
 WITH base AS (
   SELECT date_trunc('month', o_orderdate) AS state_month, o_orderpriority,
@@ -129,7 +129,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_join_delta",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_incremental_join_view_stream_equals_batch_identity"),
     oracle=f"""
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT)                                       AS n_rows,

@@ -34,7 +34,7 @@ ARRIVAL = "(event_id * 1103515245 + 12345) % 2147483647"
 
 @register(
     "stream_tumbling",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_tumbling_stream_equals_batch"),
     oracle="""
 SELECT date_trunc('day', ts) AS w_start, event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -57,7 +57,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_sliding_stream_equals_batch"),
     oracle="""
 WITH expanded AS (
     SELECT make_timestamp((epoch_us(ts) // 21600000000 - k) * 21600000000) AS w_start,
@@ -85,7 +85,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_session_stream_equals_batch"),
     oracle=f"""
 WITH o AS (
     SELECT user_id, ts, event_id, value,
@@ -137,7 +137,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_dedup_stream"),
     oracle="""
 SELECT DISTINCT event_id, ts, user_id, event_type, round(value, 2) AS value
 FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
@@ -156,7 +156,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_join",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_static_join_stream"),
     oracle="""
 SELECT c.c_mktsegment, e.event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -186,7 +186,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_watermark_drops_late_data"),
     oracle=f"""
 WITH arr AS (
     SELECT event_id, ts, user_id,
@@ -222,7 +222,7 @@ def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_stateful_counts_final_state"),
     oracle="""
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_so_far,
@@ -254,7 +254,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_join",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_stream_stream_interval_join"),
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
@@ -294,7 +294,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_left_join",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_stream_stream_left_outer_join"),
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
@@ -337,7 +337,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_full_join",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_stream_stream_full_outer_join"),
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        coalesce(p.user_id, c.user_id) AS user_id,
@@ -521,7 +521,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_topk",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_topk_leaderboard_foreach_batch"),
     oracle="""
 WITH counts AS (
   SELECT date_trunc('day', ts) AS w_start, event_type,
@@ -560,7 +560,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cdc_latest",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_cdc_latest_matches_batch_compaction"),
     oracle="""
 SELECT user_id, event_id, round(value, 2) AS latest_value
 FROM (SELECT user_id, event_id, value,

@@ -598,7 +598,7 @@ _HQ_BINS = 50  # bins 0..49 cover the 0..490 value domain (clamped)
 
 @register(
     "ts_hist_quantile_sliding",
-    tags=("stream_twin",),
+    tags=("stream_twin", "stream_test:test_hist_quantile_stream_equals_batch"),
     oracle=f"""
 WITH daily AS (
   SELECT date_trunc('day', ts) AS day,

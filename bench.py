@@ -11,20 +11,38 @@ Budgets: <=2x the DuckDB-oracle numbers in BASELINE.md.
 
 Timing protocol: each timed run builds a FRESH DataFrame (fresh RDD
 lineage, so every shuffle genuinely re-executes — re-collecting one
-DataFrame would silently reuse completed shuffle stages), but Catalyst
-analysis/optimization/physical planning is forced BEFORE the stopwatch
-starts and reported separately (``plan_sec_total``). One caveat on the
-fresh-lineage rule: queries that ``.cache()`` a shared intermediate
-stage (knn_mmr_diversify, eval_rank_metrics, the minhash shingle table)
-keep that materialization in the session's CacheManager, so their timed
-runs read the cached stage computed during warm-up — analogous to
-DuckDB's warm buffer cache in the baseline, but worth naming: for those
-queries the COLD cost is the warm-up run, and the reported median is
-the steady-state serving cost of the pinned plan. Planning is a fixed
-per-submission cost (~0.15-1 s per plan shape here, measured) that is
-noise against hours of execution at the 100 TB design point; keeping it
-out of the per-query execution medians while still publishing it keeps
-the comparison honest on both axes.
+DataFrame would silently reuse completed shuffle stages). Three costs
+are separated per run and published per query:
+
+  * ``setup_sec`` — the registry callable itself (plan construction plus
+    any eager side work a demo key does, e.g. the layout family writing
+    its demo tables). Kept out of both planning and execution so a demo
+    key's table write cannot masquerade as either.
+  * ``plan_sec`` — Catalyst analysis/optimization/physical planning,
+    forced via ``executedPlan()`` before the execution stopwatch starts.
+    A fixed per-submission cost (~0.05-1 s per plan shape) that is noise
+    against hours of execution at the 100 TB design point.
+  * the execution median — ``toPandas()`` materialization only.
+
+Cold vs steady state: queries that ``.cache()`` a shared intermediate
+stage (knn_mmr_diversify, eval_rank_metrics, eval_ivf_nprobe_curve, the
+minhash shingle family) keep that materialization in the session's
+CacheManager, so their timed runs read the stage computed during
+warm-up — analogous to DuckDB's warm buffer cache in the baseline. Both
+costs are now columns: ``cold_sec`` (the warm-up run, fresh lineage +
+first materialization) and the steady-state execution median, for EVERY
+query, in BENCH_FULL.json.
+
+Noise floor: local-mode job submission has a fixed overhead
+(~0.1-0.15 s scheduling + stage launch + Arrow collect) that dominates
+sub-0.2 s queries, and the shared driver host's load varies between
+rounds. A fixed-cost calibration job (1M-row range agg through one
+16-key shuffle) is timed at bench START, MIDDLE and END:
+``floor_sec`` = median of all sentinel samples — subtract it before
+comparing a small query against its DuckDB budget (rule in
+BASELINE.md); ``noise_ratio`` = max/min of the three checkpoint
+medians — when it is far from 1.0, the host was noisy DURING the run
+and cross-round deltas of that magnitude are not plan regressions.
 """
 
 from __future__ import annotations
@@ -236,26 +254,62 @@ BENCH_QUERIES: list[tuple[str, str]] = [
 ]
 
 RUNS = 3
+SENTINEL_RUNS = 3
 
 
-def _time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
-    """(median exec sec, median plan sec) for one query; 1 warm-up + RUNS."""
-    fn(spark, sf_dir).toPandas()  # warm-up: JIT, codegen cache, footer cache
+def _floor_sentinel(spark) -> float:
+    """Median seconds for one fixed-cost calibration job: a 1M-row range
+    aggregated through a single 16-key shuffle, materialized via Arrow.
+    The work term is negligible (~ms of JVM-side sum), so the measured
+    time IS the local-mode fixed job overhead — scheduling, stage
+    launch, shuffle setup, Arrow collect — plus whatever contention the
+    shared host is under right now. Same session, same result path as
+    every benched query."""
+    import pyspark.sql.functions as F
+
     samples = []
-    plan_samples = []
+    for _ in range(SENTINEL_RUNS):
+        t0 = time.perf_counter()
+        (
+            spark.range(1_000_000)
+            .groupBy((F.col("id") % 16).alias("g"))
+            .agg(F.sum("id").alias("s"))
+            .toPandas()
+        )
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def _time_query(spark, fn, sf_dir: str) -> tuple[float, float, float, float]:
+    """(exec median, plan median, setup median, cold sec) for one query;
+    1 cold run (timed: this IS the fresh-lineage first-materialization
+    cost, and the warm-up for JIT/codegen/footer caches) + RUNS timed."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).toPandas()
+    cold = time.perf_counter() - t0
+    samples, plan_samples, setup_samples = [], [], []
     for _ in range(RUNS):
+        # setup: the registry callable — plan construction + any eager
+        # demo side work (layout keys write their demo tables here)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        # force analysis/optimization/physical planning pre-stopwatch
+        setup_samples.append(time.perf_counter() - t0)
+        # plan: force analysis/optimization/physical planning
+        t0 = time.perf_counter()
         df._jdf.queryExecution().executedPlan()
         plan_samples.append(time.perf_counter() - t0)
-        # Full materialization to Python via Arrow batches (the
+        # exec: full materialization to Python via Arrow batches (the
         # idiomatic PySpark result path; DuckDB's fetchall() baseline
         # also materializes).
         t0 = time.perf_counter()
         df.toPandas()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples), statistics.median(plan_samples)
+    return (
+        statistics.median(samples),
+        statistics.median(plan_samples),
+        statistics.median(setup_samples),
+        cold,
+    )
 
 
 def _canonical_dir(spark, tables: list[str]) -> str:
@@ -300,15 +354,26 @@ def main() -> None:
     # (BASELINE.md's DuckDB numbers are warm-cache medians too).
     registry[BENCH_QUERIES[0][1]].fn(spark, SF_DIR).toPandas()
 
+    floor_checkpoints = [_floor_sentinel(spark)]  # START
+
     timings: dict[str, float] = {}
-    plan_total = 0.0
-    for metric, key in BENCH_QUERIES:
-        q = registry.get(key)
-        if q is None:
-            continue
-        exec_s, plan_s = _time_query(spark, q.fn, SF_DIR)
+    plan_secs: dict[str, float] = {}
+    setup_secs: dict[str, float] = {}
+    cold_secs: dict[str, float] = {}
+
+    def _run_one(metric: str, fn, sf_dir: str) -> None:
+        exec_s, plan_s, setup_s, cold_s = _time_query(spark, fn, sf_dir)
         timings[metric] = round(exec_s, 4)
-        plan_total += plan_s
+        plan_secs[metric] = round(plan_s, 4)
+        setup_secs[metric] = round(setup_s, 4)
+        cold_secs[metric] = round(cold_s, 4)
+
+    benchable = [(m, k) for m, k in BENCH_QUERIES if k in registry]
+    midpoint = len(benchable) // 2
+    for i, (metric, key) in enumerate(benchable):
+        if i == midpoint:
+            floor_checkpoints.append(_floor_sentinel(spark))  # MIDDLE
+        _run_one(metric, registry[key].fn, SF_DIR)
 
     # q1 + events JSON extraction over the engine's canonical multi-row-group
     # layout (splittable scans); removed afterwards so runs stay independent.
@@ -320,14 +385,17 @@ def main() -> None:
             ("q1_pricing_summary_canonical", "agg_groupby"),
             ("events_json_extract_canonical", "json_funcs"),
         ):
-            exec_s, plan_s = _time_query(spark, registry[key].fn, canon_dir)
-            timings[metric] = round(exec_s, 4)
-            plan_total += plan_s
+            _run_one(metric, registry[key].fn, canon_dir)
     finally:
         shutil.rmtree(canon_dir, ignore_errors=True)
 
+    floor_checkpoints.append(_floor_sentinel(spark))  # END
+
     total = round(sum(timings.values()), 4)
-    plan_total = round(plan_total, 4)
+    plan_total = round(sum(plan_secs.values()), 4)
+    setup_total = round(sum(setup_secs.values()), 4)
+    floor_sec = round(statistics.median(floor_checkpoints), 4)
+    noise_ratio = round(max(floor_checkpoints) / min(floor_checkpoints), 3)
 
     # Full per-query map: side file + an EARLY stdout line (anything long
     # must not be the final line — the driver's tail capture is bounded).
@@ -336,7 +404,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plan_sec": plan_secs,
+        "setup_sec": setup_secs,
+        "cold_sec": cold_secs,
         "plan_sec_total": plan_total,
+        "setup_sec_total": setup_total,
+        "floor_sec": floor_sec,
+        "floor_checkpoints": [round(s, 4) for s in floor_checkpoints],
+        "noise_ratio": noise_ratio,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -354,6 +429,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "plan_sec_total": plan_total,
+                "setup_sec_total": setup_total,
+                "floor_sec": floor_sec,
+                "noise_ratio": noise_ratio,
                 "n_queries_total": len(timings),
                 "full_map": "BENCH_FULL.json",
                 "sf": sf,

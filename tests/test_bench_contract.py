@@ -48,9 +48,48 @@ def test_final_line_stays_under_tail_capture_budget():
         "unit": "sec",
         "queries": {m: 99999.9999 for m in sorted(bench.HEADLINE_METRICS)},
         "plan_sec_total": 99999.9999,
+        "setup_sec_total": 99999.9999,
+        "floor_sec": 99999.9999,
+        "noise_ratio": 99999.999,
         "n_queries_total": len(bench.BENCH_QUERIES) + 1,
         "full_map": "BENCH_FULL.json",
         "sf": 0.1,
     }
     line = json.dumps(worst)
     assert len(line) < 1500, f"final bench line too long ({len(line)} chars)"
+
+
+def test_bench_full_has_breakout_and_plan_budget():
+    """BENCH_FULL.json (committed artifact of the last full run) must carry
+    the setup/plan/cold breakout and the floor sentinel, and pure Catalyst
+    planning must stay within budget: at >=157 queries, plan_sec_total
+    <= 30 s (~0.2 s/plan). Demo-key side work lives in setup_sec, so a
+    layout key writing tables can no longer hide in the planning total."""
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_FULL.json")
+    full = json.load(open(path))
+    for field in (
+        "plan_sec",
+        "setup_sec",
+        "cold_sec",
+        "plan_sec_total",
+        "setup_sec_total",
+        "floor_sec",
+        "noise_ratio",
+        "floor_checkpoints",
+    ):
+        assert field in full, f"BENCH_FULL.json missing {field}"
+    n = len(full["queries"])
+    assert set(full["plan_sec"]) == set(full["queries"])
+    assert set(full["cold_sec"]) == set(full["queries"])
+    assert len(full["floor_checkpoints"]) == 3
+    if n >= 157:
+        assert full["plan_sec_total"] <= 30.0, (
+            f"pure planning took {full['plan_sec_total']} s over {n} queries"
+        )
+        # cold runs must never be cheaper than steady-state by more than
+        # jitter on aggregate — sanity that the columns aren't swapped
+        assert sum(full["cold_sec"].values()) >= 0.5 * sum(
+            full["queries"].values()
+        )

@@ -41,3 +41,26 @@ def test_release_if_pressured_threshold(spark):
     assert caches.release_if_pressured(spark, min_free_fraction=0.0) is False
     assert caches.release_if_pressured(spark, min_free_fraction=1.01) is True
     assert _n_cached(spark) == 0
+
+
+def test_default_bench_never_releases_caches():
+    """Bench-mode vs sweep-mode hygiene (round-4 verdict task 5): a
+    release firing INSIDE a default bench run would silently turn the
+    published steady-state medians into cold re-cache timings — the
+    measured cost of all-cold at sf0.1 is ~2.4x the steady total
+    (BENCH_FULL.json cold_sec 173 s vs queries 72 s; rule documented in
+    BASELINE.md). Pressure-triggered release belongs to the long-session
+    sweep harness (scripts/driver_sim.py calls release_if_pressured
+    before every query); bench.py must not touch the caches module at
+    all, so a default bench run structurally cannot fire a release."""
+    import inspect
+    import re
+
+    import bench
+
+    src = inspect.getsource(bench)
+    assert not re.search(r"\brelease(_if_pressured)?\s*\(", src)
+    assert "bangdatapipeline_spark.caches" not in src
+    # and the sweep harness DOES release, before every query
+    sweep = open("scripts/driver_sim.py").read()
+    assert "release_if_pressured(spark)" in sweep

@@ -527,6 +527,7 @@ def test_stream_twin_registry_is_complete_and_tested():
         set(streaming.STREAM_TWINS) ^ tagged
     )
     src = open(_os.path.abspath(__file__)).read()
+    module = inspect.getmodule(test_stream_twin_registry_is_complete_and_tested)
     for key, twin in streaming.STREAM_TWINS.items():
         assert callable(twin), key
         assert twin.__name__ in src, (
@@ -535,6 +536,25 @@ def test_stream_twin_registry_is_complete_and_tested():
         )
         # each twin is a real streaming construction, not a stub
         assert inspect.getsource(twin).strip(), key
+
+        # registry-linked evidence (round-4 verdict task 7): every twin's
+        # hash-checked batch key carries a ``stream_test:<name>`` tag
+        # naming its replay-equality test, and that test must exist HERE
+        # as a real pytest function — so the registry itself records
+        # which test certifies each twin, and a renamed/deleted test
+        # breaks the link loudly.
+        test_tags = [
+            t for t in REGISTRY[key].tags if t.startswith("stream_test:")
+        ]
+        assert len(test_tags) == 1, (
+            f"{key} must carry exactly one stream_test: tag, got {test_tags}"
+        )
+        test_name = test_tags[0].split(":", 1)[1]
+        test_fn = getattr(module, test_name, None)
+        assert callable(test_fn) and test_name.startswith("test_"), (
+            f"{key}'s stream_test tag names {test_name!r}, which is not a "
+            "test function in tests/test_streaming.py"
+        )
 
 
 def test_txn_table_stream_merge_equals_batch(spark, tmp_path):
