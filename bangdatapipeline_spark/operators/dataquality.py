@@ -430,3 +430,248 @@ def volume_anomaly_from_daily(daily: DataFrame) -> DataFrame:
             & (F.abs(F.col("n") * 4 - F.col("med2") * 2) > _VOL_K * F.col("mad4"))
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+)
+SELECT digit,
+       n,
+       CAST((n * 1000000 + sum(n) OVER () // 2) // sum(n) OVER () AS BIGINT) AS obs_ppm,
+       CAST(floor(log10(1.0 + 1.0 / CAST(digit AS BIGINT)) * 1000000 + 0.5) AS BIGINT) AS exp_ppm,
+       CAST(abs(
+         CAST((n * 1000000 + sum(n) OVER () // 2) // sum(n) OVER () AS BIGINT)
+         - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS BIGINT)) * 1000000 + 0.5) AS BIGINT)
+       ) AS BIGINT) AS dev_ppm
+FROM c
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data screen: natural multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); a synthetic or truncated feed shows up as a
+    large per-digit deviation.
+
+    One groupBy on a 9-value key (map-side partials absorb everything),
+    then a 9-row window for the total — nothing after the first
+    aggregate depends on input size. The observed share is published on
+    an exact integer ppm lattice ((n * 1e6 + total/2) DIV total — pure
+    BIGINT arithmetic, no float division to diverge between engines) and
+    the Benford expectation is the only float op, rounded to the same
+    lattice from identical log10 inputs. At 100 TB this is a single
+    scan with a 9-row reduction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    # exact integer lattice: (n*1e6 + total DIV 2) DIV total
+    counts = counts.withColumn("total", total)
+    obs_ppm = F.expr("(n * 1000000 + total DIV 2) DIV total")
+    exp_ppm = F.floor(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("bigint")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return counts.select(
+        "digit",
+        "n",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        F.abs(obs_ppm - exp_ppm).cast("bigint").alias("dev_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-sequence gap detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+b AS (SELECT min(k) AS kmin, max(k) AS kmax FROM k),
+gs AS (
+  SELECT k1.k + 1 AS gap_start
+  FROM k k1 LEFT JOIN k k2 ON k2.k = k1.k + 1, b
+  WHERE k2.k IS NULL AND k1.k < b.kmax
+),
+ge AS (
+  SELECT k1.k - 1 AS gap_end
+  FROM k k1 LEFT JOIN k k2 ON k2.k = k1.k - 1, b
+  WHERE k2.k IS NULL AND k1.k > b.kmin
+),
+gsn AS (SELECT gap_start, row_number() OVER (ORDER BY gap_start) AS rn FROM gs),
+gen AS (SELECT gap_end, row_number() OVER (ORDER BY gap_end) AS rn FROM ge)
+SELECT gap_start, gap_end, CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len
+FROM gsn JOIN gen USING (rn)
+ORDER BY gap_len DESC, gap_start
+LIMIT 1000
+""",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-range detection in a key sequence (the audit behind "did
+    the extract drop a chunk?"): over the F-status extract's order keys,
+    emit the 1000 widest maximal runs of absent key values as
+    (gap_start, gap_end, gap_len) — the ranges a backfill would fetch.
+
+    NOT the single-partition lag() formulation — a global-order window
+    over the key column would funnel 100 TB of keys through one task.
+    Instead two self ANTI-joins find the boundary keys distributedly:
+    a key with no successor ends an island (gap starts at k+1), a key
+    with no predecessor starts one (the previous gap ended at k-1).
+    Both joins shuffle on the key (AQE-splittable), and only the
+    BOUNDARY lists — |islands| rows, orders of magnitude smaller than
+    the key count — pass through the global row_number that pairs
+    gap_start[i] with gap_end[i]. The two scalar extremes broadcast.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    bounds = o.agg(F.max("k").alias("kmax"), F.min("k").alias("kmin"))
+    # keys whose successor is absent = island ends -> a gap starts at k+1
+    ends = o.join(o.select((F.col("k") - 1).alias("k")), "k", "left_anti")
+    gap_start = (
+        ends.crossJoin(F.broadcast(bounds))
+        .filter(F.col("k") < F.col("kmax"))
+        .select((F.col("k") + 1).alias("gap_start"))
+    )
+    # keys whose predecessor is absent = island starts -> a gap ended at k-1
+    starts = o.join(o.select((F.col("k") + 1).alias("k")), "k", "left_anti")
+    gap_end = (
+        starts.crossJoin(F.broadcast(bounds))
+        .filter(F.col("k") > F.col("kmin"))
+        .select((F.col("k") - 1).alias("gap_end"))
+    )
+    ws = Window.orderBy("gap_start")
+    we = Window.orderBy("gap_end")
+    gs = gap_start.withColumn("rn", F.row_number().over(ws))
+    ge = gap_end.withColumn("rn", F.row_number().over(we))
+    return (
+        gs.join(ge, "rn")
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table value reconciliation
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                        + 0.5) AS BIGINT)) AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents,
+         coalesce(li.n_lines, 0)   AS n_lines,
+         coalesce(li.line_cents, 0) AS line_cents
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+       CAST(sum(CASE WHEN n_lines > 0 AND line_cents = order_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN n_lines > 0
+                     AND abs(line_cents - order_cents) * 100 <= order_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(coalesce(max(CASE WHEN n_lines > 0
+                          THEN abs(line_cents - order_cents) END), 0)
+            AS BIGINT) AS max_abs_diff_cents,
+       CAST(sum(CASE WHEN n_lines > 0 THEN line_cents - order_cents
+                ELSE 0 END) AS BIGINT) AS net_diff_cents
+FROM j GROUP BY o_orderpriority
+""",
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order's stored total
+    equal the sum of its line items (extendedprice x (1-disc) x (1+tax))?
+    The audit every finance/billing pipeline runs after a load, reported
+    per priority band: exact matches, within-1%, worst absolute break,
+    and the signed net drift.
+
+    All money moves on an exact integer CENTS lattice: each line amount
+    is a per-row scalar double expression (identical IEEE ops in both
+    engines, no fold-order dependence) rounded to cents BEFORE the sum,
+    so the per-order sum is exact BIGINT addition. The lineitem side
+    pre-aggregates to one row per order (map-side partials), the join
+    shuffles on the order key, and the final rollup is a 5-row result.
+    Orders with no lines are kept by the LEFT join and counted
+    separately rather than vanishing. At 100 TB: one shuffle each side
+    on l_orderkey/o_orderkey — co-partition or bucket both tables on the
+    order key and the exchange disappears.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(line_cents).alias("line_cents"),
+    )
+    j = o.join(
+        per_order, o["o_orderkey"] == per_order["l_orderkey"], "left"
+    ).select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("order_cents"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
+    )
+    has_lines = F.col("n_lines") > 0
+    diff = F.col("line_cents") - F.col("order_cents")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has_lines, 1).otherwise(0)).alias("n_no_lines"),
+        F.sum(F.when(has_lines & (diff == 0), 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when(has_lines & (F.abs(diff) * 100 <= F.col("order_cents")), 1)
+            .otherwise(0)
+        ).alias("n_within_1pct"),
+        F.coalesce(F.max(F.when(has_lines, F.abs(diff))), F.lit(0))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+        F.sum(F.when(has_lines, diff).otherwise(0)).alias("net_diff_cents"),
+    )

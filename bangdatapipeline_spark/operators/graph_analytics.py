@@ -1848,3 +1848,94 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _NBR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY node
+),
+pairs AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM edges e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+  UNION ALL
+  SELECT db.d, da.d
+  FROM edges e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(dx) AS BIGINT)    AS sx,
+         CAST(sum(dy) AS BIGINT)    AS sy,
+         CAST(sum(dx*dy) AS BIGINT) AS sxy,
+         CAST(sum(dx*dx) AS BIGINT) AS sx2,
+         CAST(sum(dy*dy) AS BIGINT) AS sy2
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg)   AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       floor(CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sx2 - sx*sx AS DOUBLE) * CAST(n*sy2 - sy*sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS assortativity
+FROM s
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the part co-purchase graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    stubs — do hubs attach to hubs (r > 0, social-network-like) or to
+    leaves (r < 0, hub-and-spoke)? The one-number mixing summary a graph
+    team checks before choosing a partitioning strategy: disassortative
+    graphs concentrate shuffle traffic on hub partitions.
+
+    Every co-moment (n, sum dx, sum dx*dy, sum dx^2 ...) is an exact
+    BIGINT aggregate over the degree-joined edge list — degrees are
+    integers, so the Pearson numerator/denominator derive from exact
+    integer sums, and the only float ops are the final two double
+    conversions, one multiply, sqrt and divide, identical expressions in
+    both engines (the variance PRODUCT would overflow 64-bit, so each
+    exact BIGINT factor converts to double first; the 6-dp lattice
+    absorbs nothing — there is no fold order to absorb). Reuses the
+    memoized degree-oriented edge builder: one shuffle to build edges,
+    two broadcast degree joins, a single-row reduction. At 100 TB the
+    edge list is the only big relation and it streams through one
+    map-side-combined aggregate.
+    """
+    _oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
+    ed = edges.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    pairs = ed.select(
+        F.col("d_a").alias("dx"), F.col("d_b").alias("dy")
+    ).unionAll(ed.select(F.col("d_b").alias("dx"), F.col("d_a").alias("dy")))
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sx2"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sy2"),
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / F.sqrt(var_x * var_y)
+    return counts.crossJoin(F.broadcast(s)).select(
+        "n_nodes",
+        "n_edges",
+        (F.floor(r * 1000000 + F.lit(0.5)) / 1000000).alias("assortativity"),
+    )

@@ -197,3 +197,203 @@ def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extraction between two table versions)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic drift between the two snapshots: version B
+# corrects the totalprice of every key = 0 (mod 5) and loses every
+# key = 0 (mod 17) — the update/delete traffic a reconciliation diff
+# exists to catch on top of the natural appends.
+_DIFF_CUT_A = "1997-01-01"
+_DIFF_CUT_B = "1997-07-01"
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < DATE '{_DIFF_CUT_A}'
+),
+b AS (
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 5 = 0 THEN 250 ELSE 0 END AS cents
+  FROM orders
+  WHERE o_orderdate < DATE '{_DIFF_CUT_B}' AND o_orderkey % 17 <> 0
+),
+d AS (
+  SELECT coalesce(a.key, b.key) AS key,
+         CASE WHEN a.key IS NULL THEN 'added'
+              WHEN b.key IS NULL THEN 'removed'
+              WHEN a.cents <> b.cents THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(b.cents, 0) - coalesce(a.cents, 0) AS delta_cents
+  FROM a FULL OUTER JOIN b ON a.key = b.key
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT)        AS n,
+       CAST(sum(delta_cents) AS BIGINT) AS net_delta_cents,
+       CAST(min(key) AS BIGINT)        AS min_key,
+       CAST(max(key) AS BIGINT)        AS max_key
+FROM d GROUP BY change_type
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — derive the change feed BETWEEN two table
+    versions when the source system doesn't emit one (the standard
+    bootstrap for CDC onto a warehouse that only takes periodic full
+    dumps): full outer join version A to version B on the key, classify
+    each key added / removed / changed / unchanged, and publish the
+    per-class row counts and net value drift.
+
+    Money compares on the exact integer cents lattice (per-row scalar
+    rounding, no fold order). The join is a single key-partitioned
+    shuffle of both snapshots — at 100 TB this is THE canonical
+    co-partition case: store both snapshot versions bucketed by key and
+    the exchange disappears entirely; the classification is a
+    projection and the rollup a 4-row reduction. The synthetic drift
+    (price corrections on keys = 0 mod 5, losses on 0 mod 17) is
+    declared above so the oracle and any downstream test pin non-trivial
+    traffic in every change class.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    a = o.filter(F.col("o_orderdate") < _DIFF_CUT_A).select(
+        F.col("o_orderkey").alias("key"), cents.alias("cents_a")
+    )
+    b = (
+        o.filter(
+            (F.col("o_orderdate") < _DIFF_CUT_B)
+            & (F.col("o_orderkey") % 17 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 5 == 0, 250).otherwise(0)
+            ).alias("cents_b"),
+        )
+    )
+    d = a.join(b, "key", "full_outer").select(
+        "key",
+        F.when(F.col("cents_a").isNull(), "added")
+        .when(F.col("cents_b").isNull(), "removed")
+        .when(F.col("cents_a") != F.col("cents_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce("cents_b", F.lit(0)) - F.coalesce("cents_a", F.lit(0))
+        ).alias("delta_cents"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("delta_cents").alias("net_delta_cents"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 apply-changes (dimension maintenance from a new snapshot)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_apply_changes",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+snap AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal_cents
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+  FROM customer WHERE c_custkey % 13 = 0
+),
+j AS (
+  SELECT coalesce(d.key, s.key) AS key,
+         d.bal_cents AS old_bal, s.bal_cents AS new_bal,
+         CASE WHEN d.key IS NULL THEN 'insert'
+              WHEN s.key IS NULL THEN 'delete'
+              WHEN d.bal_cents <> s.bal_cents THEN 'update'
+              ELSE 'noop' END AS op
+  FROM dim d FULL OUTER JOIN snap s ON d.key = s.key
+)
+SELECT key, CAST(old_bal AS BIGINT) AS bal_cents, 1 AS version, op,
+       CASE WHEN op = 'noop' THEN TRUE ELSE FALSE END AS is_current
+FROM j WHERE op IN ('noop', 'update', 'delete')
+UNION ALL
+SELECT key, CAST(new_bal AS BIGINT) AS bal_cents, 2 AS version, op,
+       TRUE AS is_current
+FROM j WHERE op IN ('insert', 'update')
+""",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance: apply a NEW full snapshot to the
+    current dimension version — the merge scd2_ranges' history build
+    runs every refresh. Updated keys close their v1 row (is_current
+    false) and open a v2 row with the new value; deleted keys close v1
+    with no successor; inserted keys open at v2; untouched keys keep
+    their current v1. The synthetic snapshot drift (balance bump on
+    keys = 0 mod 7, deletes on 0 mod 11, inserts shifted +100000 from
+    keys = 0 mod 13) exercises all four paths deterministically.
+
+    One full-outer join on the dimension key classifies every key, and
+    the old/new version rows are two filtered projections of that ONE
+    joined relation unioned back together — the join never runs twice
+    (Spark unions reuse the exchange; at 100 TB bucket dim and snapshot
+    by key and the merge is exchange-free, the same co-partition shape
+    as the txn table format's MERGE). Balances live on the integer
+    cents lattice end to end.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    dim = c.select(F.col("c_custkey").alias("key"), cents.alias("old_bal"))
+    snap = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            (
+                cents + F.when(F.col("c_custkey") % 7 == 0, 10000).otherwise(0)
+            ).alias("new_bal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 100000).alias("key"),
+                cents.alias("new_bal"),
+            )
+        )
+    )
+    j = dim.join(snap, "key", "full_outer").select(
+        "key",
+        "old_bal",
+        "new_bal",
+        F.when(F.col("old_bal").isNull(), "insert")
+        .when(F.col("new_bal").isNull(), "delete")
+        .when(F.col("old_bal") != F.col("new_bal"), "update")
+        .otherwise("noop")
+        .alias("op"),
+    )
+    closed_or_kept = j.filter(F.col("op").isin("noop", "update", "delete")).select(
+        "key",
+        F.col("old_bal").alias("bal_cents"),
+        F.lit(1).alias("version"),
+        "op",
+        (F.col("op") == "noop").alias("is_current"),
+    )
+    opened = j.filter(F.col("op").isin("insert", "update")).select(
+        "key",
+        F.col("new_bal").alias("bal_cents"),
+        F.lit(2).alias("version"),
+        "op",
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_kept.unionAll(opened)

@@ -1601,3 +1601,84 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_lang") == F.col("lang")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_cdc_chunks",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS word
+  FROM t, unnest(generate_series(1, len(t.toks))) AS u(i)
+),
+c AS (
+  SELECT doc_id, pos,
+         coalesce(sum(CASE WHEN substr(md5(word), 1, 1) = '0'
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM w
+),
+g AS (
+  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS chunk_words
+  FROM c GROUP BY doc_id, chunk_id
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)          AS n_chunks,
+       CAST(sum(chunk_words) AS BIGINT)  AS n_words,
+       CAST(max(chunk_words) AS BIGINT)  AS max_chunk_words,
+       CAST((sum(chunk_words) * 1000000 + count(*) // 2) // count(*) AS BIGINT)
+         AS avg_chunk_words_ppm
+FROM g GROUP BY doc_id
+""",
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash split behind rsync /
+    LBFS / dedup-friendly blob stores, in token space): a chunk boundary
+    falls AFTER every word whose md5 starts with '0' — a content-derived
+    1/16 gate, so an insertion early in a document shifts only the chunk
+    it lands in, never the downstream boundaries (the property fixed-width
+    chunking lacks, and the reason CDC chunks dedup across near-identical
+    documents). Emits per-doc chunk statistics: count, max and mean width
+    (exact ppm lattice).
+
+    The gate reuses the repo's md5-gate convention (deterministic,
+    partition-invariant, identical string in both engines). Spark plan:
+    posexplode -> per-doc running sum of gate flags with a 1-PRECEDING
+    frame (word at position p belongs to chunk "#gates strictly before
+    p") -> two bounded-key aggregations. Everything after the explode
+    partitions by doc_id, so the 100 TB shape is one shuffle on doc_id
+    and per-doc linear work; the alternative in-row formulation (array
+    fold building segment lengths) pins the whole doc in one expression —
+    the window form streams it.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.posexplode("toks").alias("pos", "word"))
+    gate = F.when(
+        F.substring(F.md5(F.encode(F.col("word"), "utf-8")), 1, 1) == "0", 1
+    ).otherwise(0)
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = w.select(
+        "doc_id",
+        F.coalesce(F.sum(gate).over(frame), F.lit(0)).alias("chunk_id"),
+    )
+    g = c.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("chunk_words")
+    )
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_words").alias("n_words"),
+        F.max("chunk_words").alias("max_chunk_words"),
+        F.expr(
+            "(sum(chunk_words) * 1000000 + count(*) DIV 2) DIV count(*)"
+        ).alias("avg_chunk_words_ppm"),
+    )

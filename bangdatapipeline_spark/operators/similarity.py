@@ -2277,3 +2277,88 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 quantization error audit
+# --------------------------------------------------------------------------
+
+@register(
+    "emb_quantize_error",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label, scale,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE)
+                - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS err,
+         list_max(list_transform(embedding,
+           x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5))))     AS maxq
+  FROM v WHERE scale > 0
+)
+SELECT vec_id, label,
+       CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,
+       CAST(floor(list_reduce(
+              list_transform(generate_series(1, len(err)), i -> err[i] * err[i]),
+              (x, y) -> x + y) * 1000000000.0 + 0.5) AS BIGINT) AS sse_e9,
+       CAST(maxq AS INT) AS max_q
+FROM e
+""",
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization error audit — the go/no-go check
+    before shipping a quantized ANN index: symmetric per-vector scaling
+    (scale = max|x| / 127), round-to-nearest integer codes, and the
+    reconstruction SSE against the float original, plus the max |code|
+    as a clamp-range sanity column.
+
+    Cross-engine exactness without a fold-order lattice: max|x| is an
+    order-independent exact reduction, scale/codes/error terms are
+    per-element scalar double expressions (identical IEEE ops both
+    engines — floor(x/scale + 0.5) is the shared round-half-up), and the
+    SSE reuses the Arrow ``dot_double_vec`` kernel whose sequential
+    per-dim fold is bit-identical to DuckDB's list_reduce. Identical
+    input bits -> identical doubles -> the 1e-9 integer publication
+    lattice is a formatting choice, not a tolerance. One scan-stage
+    projection per vector, no shuffle at all — the 100 TB plan is
+    embarrassingly parallel and column-pruned to (vec_id, label,
+    embedding).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select(
+        "vec_id",
+        "label",
+        dbl.alias("x"),
+        (F.array_max(F.transform(dbl, F.abs)) / F.lit(127.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    scale = F.col("scale")
+    err = F.transform(
+        F.col("x"), lambda x: x - F.floor(x / scale + 0.5) * scale
+    )
+    maxq = F.array_max(
+        F.transform(F.col("x"), lambda x: F.abs(F.floor(x / scale + 0.5)))
+    )
+    w = v.select(
+        "vec_id",
+        "label",
+        "scale",
+        err.alias("err"),
+        maxq.cast("int").alias("max_q"),
+    )
+    return w.select(
+        "vec_id",
+        "label",
+        F.floor(scale * 1000000000.0 + F.lit(0.5)).cast("bigint").alias("scale_e9"),
+        F.floor(
+            dot_double_vec(F.col("err"), F.col("err")) * 1000000000.0 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("sse_e9"),
+        "max_q",
+    )

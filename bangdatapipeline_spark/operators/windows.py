@@ -739,3 +739,82 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown
+# ---------------------------------------------------------------------------
+
+@register(
+    "win_drawdown",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c1 AS (
+  SELECT user_id, ts, event_id, cents,
+         sum(cents) OVER w AS cum
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT user_id, ts, event_id, cents, cum,
+         max(cum) OVER w AS peak
+  FROM c1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)          AS n_events,
+       CAST(max(peak) AS BIGINT)         AS peak_cents,
+       CAST(max(peak - cum) AS BIGINT)   AS max_drawdown_cents,
+       CAST(sum(cents) AS BIGINT)        AS final_cents
+FROM c GROUP BY user_id
+""",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative purchase-value
+    curve — the classic risk window: largest peak-to-trough drop of the
+    running total, plus the peak and final levels. The same shape
+    monitors any cumulative KPI (balance, inventory, quota burn-down).
+
+    Values move on the integer cents lattice BEFORE the running sum, so
+    the cumulative curve is exact BIGINT arithmetic — no float fold
+    order to diverge. Two stacked running windows share ONE sort:
+    cum = running sum, peak = running max of cum, drawdown = peak - cum;
+    the final per-user reduction is an ordinary groupBy (the closing
+    level is just the exact total, no ordered pick needed). At 100 TB this is one
+    shuffle on user_id and a single partition-local sorted pass per
+    user — no self-join, no second sort (the oracle's nested
+    window-over-window states the same single-sort plan).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = s.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("peak").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("cum")).alias("max_drawdown_cents"),
+        F.sum("cents").alias("final_cents"),
+    )

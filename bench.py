@@ -251,6 +251,15 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_volume_anomaly", "dq_volume_anomaly"),
     ("asof_tolerance_attribution", "join_asof_tolerance"),
     ("emb_ivf_nprobe_curve", "eval_ivf_nprobe_curve"),
+    ("orders_benford_audit", "dq_benford_first_digit"),
+    ("orders_sequence_gaps", "dq_sequence_gaps"),
+    ("orders_reconciliation", "dq_reconciliation"),
+    ("parts_degree_assortativity", "graph_degree_assortativity"),
+    ("emb_quantize_error", "emb_quantize_error"),
+    ("doc_cdc_chunks", "text_cdc_chunks"),
+    ("orders_snapshot_diff", "cdc_snapshot_diff"),
+    ("cust_scd2_apply", "scd2_apply_changes"),
+    ("events_drawdown", "win_drawdown"),
 ]
 
 RUNS = 3

@@ -76,6 +76,8 @@ CARTESIAN_OK = {
     "eval_calibration_bins",  # 1-row min/max scalar crossJoined for the bin cut
     "dq_freshness",  # 1-row global-max scalar crossJoined onto per-type rows
     "layout_file_bloom",  # #files x 21-row broadcast probe grid (declared)
+    "dq_sequence_gaps",  # 1-row key-extremes scalar crossJoined onto boundary keys
+    "graph_degree_assortativity",  # 1-row co-moment + count scalars combined
 }
 
 
