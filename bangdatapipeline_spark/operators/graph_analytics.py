@@ -1912,23 +1912,34 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is the only big relation and it streams through one
     map-side-combined aggregate.
     """
-    _oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
-    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
-    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
-    ed = edges.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
-    pairs = ed.select(
-        F.col("d_a").alias("dx"), F.col("d_b").alias("dy")
-    ).unionAll(ed.select(F.col("d_b").alias("dx"), F.col("d_a").alias("dy")))
-    s = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sx2"),
-        F.sum(F.col("dy") * F.col("dy")).alias("sy2"),
+    # everything derives from the CACHED oriented edge list (same edge
+    # set as the raw one, endpoints reordered — irrelevant here since
+    # both stub directions enter the sums); touching the memo's uncached
+    # `edges`/`deg` relations would re-derive the o x o self-join
+    oriented, _deg, _edges = _oriented_copurchase(spark, sf_dir)
+    deg = (
+        oriented.select(F.col("src").alias("node"))
+        .unionAll(oriented.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_b"))
+    ed = oriented.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    # the directed-stub multiset is symmetric (every edge contributes
+    # (d_a,d_b) AND (d_b,d_a)), so all six co-moments derive from ONE
+    # pass over the degree-joined edges: sx == sy, sxy doubles, the
+    # squares add — exactly the oracle's UNION ALL sums, half the work
+    s = ed.agg(
+        (F.count(F.lit(1)) * 2).alias("n"),
+        (F.sum("d_a") + F.sum("d_b")).alias("sx"),
+        (F.sum("d_a") + F.sum("d_b")).alias("sy"),
+        (F.sum(F.col("d_a") * F.col("d_b")) * 2).alias("sxy"),
+        (F.sum(F.col("d_a") * F.col("d_a")) + F.sum(F.col("d_b") * F.col("d_b"))).alias("sx2"),
+        (F.sum(F.col("d_a") * F.col("d_a")) + F.sum(F.col("d_b") * F.col("d_b"))).alias("sy2"),
     )
     counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        oriented.agg(F.count(F.lit(1)).alias("n_edges"))
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     var_x = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
@@ -1939,3 +1950,99 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         (F.floor(r * 1000000 + F.lit(0.5)) / 1000000).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs/authorities), exact-integer 2-step path counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_hits_counts",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0)
+  GROUP BY node
+),
+ored AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.pa < e0.pb)
+              THEN e0.pa ELSE e0.pb END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.pa < e0.pb)
+              THEN e0.pb ELSE e0.pa END AS dst
+  FROM e0 JOIN deg da ON da.node = e0.pa JOIN deg db ON db.node = e0.pb
+),
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a FROM ored GROUP BY dst),
+h1 AS (
+  SELECT o.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM ored o JOIN a1 ON a1.node = o.dst GROUP BY o.src
+),
+a2 AS (
+  SELECT o.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM ored o JOIN h1 ON h1.node = o.src GROUP BY o.dst
+),
+h2 AS (
+  SELECT o.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+  FROM ored o JOIN a2 ON a2.node = o.dst GROUP BY o.src
+)
+SELECT coalesce(h2.node, a2.node) AS node,
+       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub2,
+       CAST(coalesce(a2.a, 0) AS BIGINT) AS auth2
+FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node
+ORDER BY hub2 DESC, auth2 DESC, node ASC
+LIMIT 100
+""",
+)
+def graph_hits_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the degree-oriented co-purchase DAG,
+    two power iterations WITHOUT normalization — so every score is an
+    exact integer path count (auth2(v) = #(2-step hub-mediated routes
+    into v), hub2(u) = the mirror), and the cross-engine hash check
+    needs no float lattice at all. The top-100 by (hub2, auth2, node) is
+    the "which parts anchor the catalog" ranking; normalized HITS ranks
+    identically within an iteration because normalization is a positive
+    scalar per step.
+
+    Each iteration is ONE shuffled join (edges x current score, message
+    volume = |E|) followed by a map-side-combined sum on the receiving
+    endpoint — the textbook Pregel superstep as DataFrames, same shape
+    as graph_pagerank but with exact BIGINT message values. Reuses the
+    memoized oriented edge list (built once per session/sf). At 100 TB:
+    bucket edges by src AND a dst-keyed copy by dst to make both
+    directions exchange-free; four bounded supersteps, no iteration-
+    count blowup.
+    """
+    oriented, _deg, _edges = _oriented_copurchase(spark, sf_dir)
+    # each superstep BROADCASTS the bounded |V|-row score table into the
+    # cached edge list (scores are per-node, nodes << edges), so the edge
+    # relation is never shuffled — the only exchange per step is the
+    # map-side-combined aggregate on the receiving endpoint
+    a1 = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("a")).withColumnRenamed("dst", "node")
+    h1 = (
+        oriented.join(F.broadcast(a1), oriented["dst"] == a1["node"])
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+        .withColumnRenamed("src", "node")
+    )
+    a2 = (
+        oriented.join(F.broadcast(h1), oriented["src"] == h1["node"])
+        .groupBy("dst")
+        .agg(F.sum("h").alias("a"))
+        .withColumnRenamed("dst", "node")
+    )
+    h2 = (
+        oriented.join(F.broadcast(a2), oriented["dst"] == a2["node"])
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+        .withColumnRenamed("src", "node")
+    )
+    out = h2.join(a2, "node", "full_outer").select(
+        "node",
+        F.coalesce("h", F.lit(0)).alias("hub2"),
+        F.coalesce("a", F.lit(0)).alias("auth2"),
+    )
+    return out.orderBy(F.desc("hub2"), F.desc("auth2"), F.asc("node")).limit(100)

@@ -260,6 +260,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_snapshot_diff", "cdc_snapshot_diff"),
     ("cust_scd2_apply", "scd2_apply_changes"),
     ("events_drawdown", "win_drawdown"),
+    ("emb_rerank_two_stage", "knn_rerank_two_stage"),
+    ("emb_rerank_recall", "eval_rerank_recall"),
+    ("parts_hits_counts", "graph_hits_counts"),
 ]
 
 RUNS = 3

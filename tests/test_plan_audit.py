@@ -78,6 +78,7 @@ CARTESIAN_OK = {
     "layout_file_bloom",  # #files x 21-row broadcast probe grid (declared)
     "dq_sequence_gaps",  # 1-row key-extremes scalar crossJoined onto boundary keys
     "graph_degree_assortativity",  # 1-row co-moment + count scalars combined
+    "eval_rerank_recall",  # composes the exact-kNN baseline (broadcast query side)
 }
 
 

@@ -940,3 +940,105 @@ def test_er_matching_recovers_exactly_the_clone_pairs(spark, sf_dir):
     ]
     want = {(k, k + _ER_CLONE_OFFSET) for k in keys}
     assert got == want
+
+
+def test_scd2_apply_version_invariants(spark):
+    """Every key in the applied dimension has a coherent version set:
+    exactly one current row unless deleted (then zero currents), v2 rows
+    exist iff the op opened a new version, and closed v1 rows keep the
+    old value."""
+    from bangdatapipeline_spark.operators.incremental import scd2_apply_changes
+
+    rows = scd2_apply_changes(spark, "/root/testdata/sf0.001").collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    assert by_key
+    seen_ops = set()
+    for key, vs in by_key.items():
+        ops = {r["op"] for r in vs}
+        assert len(ops) == 1, f"{key} mixes ops {ops}"
+        op = ops.pop()
+        seen_ops.add(op)
+        n_current = sum(r["is_current"] for r in vs)
+        versions = sorted(r["version"] for r in vs)
+        if op == "noop":
+            assert versions == [1] and n_current == 1
+        elif op == "delete":
+            assert versions == [1] and n_current == 0
+        elif op == "insert":
+            assert versions == [2] and n_current == 1
+        else:  # update: closed v1 + current v2, values differ
+            assert versions == [1, 2] and n_current == 1
+            v1 = next(r for r in vs if r["version"] == 1)
+            v2 = next(r for r in vs if r["version"] == 2)
+            assert not v1["is_current"] and v2["is_current"]
+            assert v1["bal_cents"] != v2["bal_cents"]
+    # the synthetic drift must exercise all four paths
+    assert seen_ops == {"noop", "delete", "insert", "update"}
+
+
+def test_snapshot_diff_classes_reconcile(spark):
+    """The diff's per-class counts must reconcile with the snapshots
+    themselves: added+changed+unchanged = |B|, removed+changed+unchanged
+    = |A|, and net drift = sum(B) - sum(A)."""
+    import pyspark.sql.functions as F
+
+    from bangdatapipeline_spark.operators.incremental import (
+        _DIFF_CUT_A,
+        _DIFF_CUT_B,
+        cdc_snapshot_diff,
+    )
+    from bangdatapipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = {r["change_type"]: r for r in cdc_snapshot_diff(spark, sf).collect()}
+    o = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    a = o.filter(F.col("o_orderdate") < _DIFF_CUT_A).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("s")
+    ).collect()[0]
+    b = (
+        o.filter(
+            (F.col("o_orderdate") < _DIFF_CUT_B) & (F.col("o_orderkey") % 17 != 0)
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                cents + F.when(F.col("o_orderkey") % 5 == 0, 250).otherwise(0)
+            ).alias("s"),
+        )
+        .collect()[0]
+    )
+    n = lambda c: d[c]["n"] if c in d else 0  # noqa: E731
+    assert n("added") + n("changed") + n("unchanged") == b["n"]
+    assert n("removed") + n("changed") + n("unchanged") == a["n"]
+    net = sum(r["net_delta_cents"] for r in d.values())
+    assert net == b["s"] - a["s"]
+    assert {"added", "removed", "changed", "unchanged"} <= set(d)
+
+
+def test_sequence_gaps_complement_islands(spark):
+    """Gaps and present keys must tile the [min, max] key range exactly:
+    sum(gap_len) + n_keys = max - min + 1 (checked where the top-1000
+    cap is not binding), and no gap may contain a present key."""
+    import pyspark.sql.functions as F
+
+    from bangdatapipeline_spark.operators.dataquality import dq_sequence_gaps
+    from bangdatapipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    gaps = dq_sequence_gaps(spark, sf).collect()
+    keys = [
+        r["k"]
+        for r in load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .collect()
+    ]
+    kset = set(keys)
+    for g in gaps:
+        assert g["gap_len"] == g["gap_end"] - g["gap_start"] + 1
+        assert g["gap_start"] not in kset and g["gap_end"] not in kset
+    if len(gaps) < 1000:  # cap not binding -> exact tiling
+        assert sum(g["gap_len"] for g in gaps) + len(kset) == max(kset) - min(kset) + 1
