@@ -1156,3 +1156,68 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrent",
         "n_active_sessions",
     )
+
+
+# ---------------------------------------------------------------------------
+# Feed-silence audit (max inter-event gap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_max_silence",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                  AS n_events,
+       CAST(max(gap_us) AS BIGINT)               AS max_gap_us,
+       CAST(floor(max(gap_us) / 1000000) AS BIGINT) AS max_gap_s
+FROM g GROUP BY event_type
+""",
+)
+def ts_max_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest silent period per feed — the "did this source stall and
+    recover without anyone noticing?" audit that complements
+    dq_freshness (which only sees the CURRENT lag, not a healed outage).
+
+    The oracle states the obvious one-window form (lag per type over the
+    full stream); the Spark plan computes the SAME maximum two-level so
+    no task ever sorts a whole feed: (1) per (type, day) — a fine-grained
+    key — the max INTRA-bucket gap via a bucket-local lag, plus the
+    bucket's min/max ts and count; (2) per type over the bounded
+    (types x days) bucket summaries, the BOUNDARY gaps between
+    consecutive present buckets via one more lag, then max(intra,
+    boundary). Every gap is an exact integer microsecond difference.
+    At 100 TB stage 1 partitions by (type, day) — thousands of balanced
+    partitions per feed instead of one giant per-type sort — and stage 2
+    touches summaries only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    rows = ev.select(
+        "event_type", F.to_date("ts").alias("day"), us.alias("us"), "event_id"
+    )
+    w_in = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    intra = rows.withColumn("gap", F.col("us") - F.lag("us").over(w_in))
+    buckets = intra.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("gap").alias("max_intra"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("day")
+    stitched = buckets.withColumn(
+        "boundary", F.col("first_us") - F.lag("last_us").over(w_b)
+    )
+    return stitched.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.greatest(F.max("max_intra"), F.max("boundary")).alias("max_gap_us"),
+        F.floor(
+            F.greatest(F.max("max_intra"), F.max("boundary")) / 1000000
+        )
+        .cast("bigint")
+        .alias("max_gap_s"),
+    )

@@ -747,6 +747,7 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "win_drawdown",
+    tags=("stream_twin", "stream_test:test_drawdown_stream_equals_batch"),
     oracle="""
 WITH s AS (
   SELECT user_id, ts, event_id,

@@ -432,6 +432,79 @@ def daily_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_DD_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cum", LongType()),
+        StructField("peak", LongType()),
+        StructField("maxdd", LongType()),
+    ]
+)
+_DD_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("peak_cents", LongType()),
+        StructField("max_drawdown_cents", LongType()),
+        StructField("final_cents", LongType()),
+    ]
+)
+
+
+def _drawdown_state(key, pdf_iter, state: GroupState):
+    """Per-user running drawdown fold: (n, cum, peak, maxdd) integer cents
+    carried in the state store. Rows are sorted by (ts, event_id) WITHIN
+    each micro-batch before folding — combined with in-order batch
+    replay this walks the same total order as the batch window, and all
+    arithmetic is exact BIGINT, so the final state is bit-equal to
+    ``win_drawdown``'s per-user row."""
+    import math
+
+    n, cum, peak, maxdd = state.get if state.exists else (0, 0, 0, 0)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for val in pdf["value"]:
+            cents = int(math.floor(val * 100 + 0.5))
+            n += 1
+            cum += cents
+            if cum > peak:
+                peak = cum
+            dd = peak - cum
+            if dd > maxdd:
+                maxdd = dd
+    state.update((n, cum, peak, maxdd))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "peak_cents": [peak],
+            "max_drawdown_cents": [maxdd],
+            "final_cents": [cum],
+        }
+    )
+
+
+def drawdown_levels(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``win_drawdown``: the cumulative purchase curve,
+    its running peak and the max drawdown maintained per user in the
+    state store (update mode) — the always-on risk monitor version of
+    the batch window. State is 4 BIGINTs per user regardless of event
+    volume; every micro-batch emits the current levels for the users it
+    touched."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _drawdown_state,
+            outputStructType=_DD_OUT_SCHEMA,
+            stateStructType=_DD_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Twin registry: batch registry key -> streaming twin entry point
 # ---------------------------------------------------------------------------
@@ -476,6 +549,9 @@ def _stream_twins():
         # volume monitor: tumbling daily counts are the state; the
         # trailing-median/MAD projection runs read-side over it
         "dq_volume_anomaly": daily_type_counts,
+        # running drawdown levels: 4-BIGINT per-user state, exact-cents
+        # fold in (ts, event_id) order
+        "win_drawdown": drawdown_levels,
     }
 
 

@@ -263,6 +263,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_rerank_two_stage", "knn_rerank_two_stage"),
     ("emb_rerank_recall", "eval_rerank_recall"),
     ("parts_hits_counts", "graph_hits_counts"),
+    ("events_max_silence", "ts_max_silence"),
 ]
 
 RUNS = 3

@@ -62,6 +62,10 @@ SHOWCASE: list[tuple[str, str]] = [
     ("layout_epoch_shuffle", "per-epoch md5 permutation: narrow gate, per-(epoch,shard) window only"),
     ("decontaminate_semantic_tiled", "cross-table tiled GEMM: both relations stream into (ia,ib) tiles"),
     ("er_blocked_matching", "record linkage: one shuffle on the block keys; edit-distance scoring in the join"),
+    ("knn_rerank_two_stage", "two-stage serving: int8 GEMM pool, exact rerank joins only queries×pool rows"),
+    ("dq_sequence_gaps", "gap detection without a global-order window: anti-join boundaries, row_number on islands only"),
+    ("graph_hits_counts", "4 HITS supersteps: |V|-row score tables broadcast, edge list never shuffled"),
+    ("dq_reconciliation", "detail side pre-aggregates to one row per order before the header join"),
 ]
 
 

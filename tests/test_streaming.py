@@ -718,3 +718,42 @@ def test_volume_anomaly_stream_equals_batch(spark, chunks):
     batch = REGISTRY["dq_volume_anomaly"].fn(spark, SF)
     cols = ["event_type", "day", "n", "med2", "mad4", "is_anomaly"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_drawdown_stream_equals_batch(spark):
+    """Replaying purchases in (ts, event_id) order through the stateful
+    drawdown twin reaches EXACTLY the batch ``win_drawdown`` rows — the
+    cents fold is integer arithmetic, so equality is exact, not
+    approximate. Chunks are cut on the same composite order the batch
+    window sorts by (a ts-only cut could split equal-ts rows of one user
+    across micro-batches in the wrong relative order)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF, "events")
+    ordered = ev.withColumn(
+        "_ord", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    d = replay.write_chunks(spark, SF, n_chunks=6, df=ordered, order_col="_ord")
+    try:
+        stream = replay.read_stream(spark, d).drop("_ord")
+        out = replay.run_stream(streaming.drawdown_levels(stream), mode="update")
+        # all four levels are monotone under non-negative purchase values,
+        # so the final state per user is the column-wise max of its updates
+        final = {
+            r.user_id: (r.n_events, r.peak_cents, r.max_drawdown_cents, r.final_cents)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("peak_cents").alias("peak_cents"),
+                F.max("max_drawdown_cents").alias("max_drawdown_cents"),
+                F.max("final_cents").alias("final_cents"),
+            )
+            .collect()
+        }
+        batch = {
+            r.user_id: (r.n_events, r.peak_cents, r.max_drawdown_cents, r.final_cents)
+            for r in REGISTRY["win_drawdown"].fn(spark, SF).collect()
+        }
+        assert final == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
