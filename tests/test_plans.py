@@ -498,3 +498,58 @@ def test_rank_eval_ranker_outputs_cached(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
     finally:
         spark.catalog.clearCache()
+
+
+def test_sequence_gaps_windows_only_boundary_lists(spark, sf_dir):
+    """The gap detector must find boundaries via anti-joins, not sort the
+    raw key stream: the plan's Window/Sort operators sit ABOVE the
+    LeftAnti joins (boundary lists), and the key scans reach parquet with
+    the status filter pushed."""
+    plan = _plan(REGISTRY["dq_sequence_gaps"].fn(spark, sf_dir))
+    assert plan.count("LeftAnti") == 2, plan[:3000]
+    assert "PushedFilters" in plan
+    # windows exist (the boundary pairing) but only two, one per list
+    assert plan.count("Window") == 2
+
+
+def test_hits_supersteps_broadcast_scores(spark, sf_dir):
+    """Every HITS superstep joins the |V|-row score table via broadcast —
+    the cached edge list must never be shuffled for a join (the only
+    exchanges are the bounded per-node aggregates)."""
+    plan = _plan(REGISTRY["graph_hits_counts"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    # the only merge join allowed is the final full-outer of the two
+    # |V|-row score tables — never an edge-list join
+    assert plan.count("SortMergeJoin") <= 1
+    assert "SortMergeJoin" not in plan.split("FullOuter")[-1]
+
+
+def test_rerank_pool_join_broadcasts(spark, sf_dir):
+    """Two-stage rerank: the exact stage joins the tiny candidate pool to
+    the fp vectors with hash joins (broadcast query side), never a
+    cartesian; stage 1 is the Arrow mapInPandas kernel."""
+    plan = _plan(REGISTRY["knn_rerank_two_stage"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reconciliation_preaggregates_detail_side(spark, sf_dir):
+    """The lineitem side must partial-aggregate to one row per order
+    BEFORE meeting orders: a HashAggregate appears below the join on the
+    detail branch (shuffle keyed on orders, not line items)."""
+    plan = _plan(REGISTRY["dq_reconciliation"].fn(spark, sf_dir))
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                    plan.find("BroadcastHashJoin")) if p >= 0
+    )
+    assert "HashAggregate" in plan[join_pos:], plan[:3000]
+
+
+def test_max_silence_two_level_no_global_feed_sort(spark, sf_dir):
+    """Feed-silence audit: stage 1 windows partition by (type, day) —
+    fine-grained keys — and stage 2 only sees bucket summaries; the plan
+    carries exactly two Window operators and no exchange re-sorts the raw
+    stream by type alone before the first window."""
+    plan = _plan(REGISTRY["ts_max_silence"].fn(spark, sf_dir))
+    assert plan.count("Window") == 2, plan[:3000]
