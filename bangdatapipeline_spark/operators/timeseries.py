@@ -1221,3 +1221,70 @@ def ts_max_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_forecast_snaive_eval",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type, a.day, a.cents,
+         f.cents AS forecast_cents
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.day = a.day - INTERVAL 7 DAY
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                          AS n_days,
+       CAST(sum(abs(cents - forecast_cents)) AS BIGINT)  AS sum_abs_err_cents,
+       CAST((sum(abs(cents - forecast_cents)) + count(*) // 2) // count(*)
+            AS BIGINT)                                   AS mae_cents,
+       CAST(sum(cents - forecast_cents) AS BIGINT)       AS bias_cents
+FROM j GROUP BY event_type
+""",
+)
+def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-feed
+    total as the SAME WEEKDAY one week earlier and score MAE and signed
+    bias per feed — the baseline every real forecasting model must beat,
+    and the cheapest always-on sanity monitor for weekly-seasonal
+    volume.
+
+    Daily totals land on the exact cents lattice BEFORE differencing, so
+    errors are exact BIGINT and MAE publishes on an integer rounding
+    lattice (no float division). Plan: one map-side-combined daily
+    rollup (bounded feeds x days keys), then a self-equi-join on
+    (feed, day-7) over that tiny daily table, then a |feeds|-row
+    reduction. At 100 TB only the first aggregate sees raw events; the
+    backtest itself runs on kilobytes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    fc = daily.select(
+        F.col("event_type"),
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    j = daily.join(fc, ["event_type", "day"])
+    err = F.col("cents") - F.col("forecast_cents")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(err)).alias("sum_abs_err_cents"),
+        F.expr(
+            "(sum(abs(cents - forecast_cents)) + count(*) DIV 2) DIV count(*)"
+        ).alias("mae_cents"),
+        F.sum(err).alias("bias_cents"),
+    )

@@ -264,6 +264,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_rerank_recall", "eval_rerank_recall"),
     ("parts_hits_counts", "graph_hits_counts"),
     ("events_max_silence", "ts_max_silence"),
+    ("events_snaive_backtest", "ts_forecast_snaive_eval"),
 ]
 
 RUNS = 3
