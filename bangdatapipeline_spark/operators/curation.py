@@ -1368,3 +1368,71 @@ def txn_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return table.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def _er_eval_oracle() -> str:
+    return (
+        _er_ctes()
+        + f"""
+, matched AS (
+  SELECT id_a, id_b FROM pairs WHERE bal_eq AND name_ed <= {_ER_MAX_ED}
+), truth AS (
+  SELECT c_custkey AS id_a, c_custkey + {_ER_CLONE_OFFSET} AS id_b
+  FROM customer WHERE c_custkey % {_ER_CLONE_EVERY} = 0
+), hit AS (
+  SELECT m.id_a FROM matched m JOIN truth t
+    ON t.id_a = m.id_a AND t.id_b = m.id_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth)   AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM matched) AS n_matched,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit)     AS n_hits,
+       CAST(((SELECT count(*) FROM hit) * 1000000
+             + (SELECT count(*) FROM matched) // 2)
+            // (SELECT count(*) FROM matched) AS BIGINT) AS precision_ppm,
+       CAST(((SELECT count(*) FROM hit) * 1000000
+             + (SELECT count(*) FROM truth) // 2)
+            // (SELECT count(*) FROM truth) AS BIGINT)   AS recall_ppm
+"""
+    )
+
+
+@register("eval_er_quality", oracle=_er_eval_oracle())
+def eval_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the blocked matcher against the KNOWN duplicate set: the
+    dirty registry is constructed (every {_ER_CLONE_EVERY}th record
+    cloned at rid + offset with a typo), so ground truth is exact and
+    the matcher's precision/recall are real numbers, not proxies —
+    false positives here are coincidental same-balance near-name pairs
+    inside a block, exactly the failure mode a blocking+threshold
+    design trades for its n^2 -> sum(block^2) cost win.
+
+    Composes the REGISTERED matcher plan; metrics are three bounded
+    counts joined into one row on the integer ppm lattice. The eval
+    itself is O(matches) — the matcher owns the heavy lifting (same
+    posture as eval_rerank_recall / eval_dedup_recall).
+    """
+    matched = er_blocked_matching(spark, sf_dir).select("id_a", "id_b")
+    c = load_table(spark, sf_dir, "customer")
+    truth = c.filter(F.col("c_custkey") % _ER_CLONE_EVERY == 0).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + _ER_CLONE_OFFSET).alias("id_b"),
+    )
+    hits = matched.join(truth, ["id_a", "id_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_truth.crossJoin(n_matched)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_matched",
+            "n_hits",
+            F.expr(
+                "(n_hits * 1000000 + n_matched DIV 2) DIV n_matched"
+            ).alias("precision_ppm"),
+            F.expr(
+                "(n_hits * 1000000 + n_truth DIV 2) DIV n_truth"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -265,6 +265,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("parts_hits_counts", "graph_hits_counts"),
     ("events_max_silence", "ts_max_silence"),
     ("events_snaive_backtest", "ts_forecast_snaive_eval"),
+    ("cust_er_quality", "eval_er_quality"),
 ]
 
 RUNS = 3

@@ -79,6 +79,7 @@ CARTESIAN_OK = {
     "dq_sequence_gaps",  # 1-row key-extremes scalar crossJoined onto boundary keys
     "graph_degree_assortativity",  # 1-row co-moment + count scalars combined
     "eval_rerank_recall",  # composes the exact-kNN baseline (broadcast query side)
+    "eval_er_quality",  # three 1-row metric counters combined into one row
 }
 
 
