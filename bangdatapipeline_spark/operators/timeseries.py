@@ -1229,6 +1229,7 @@ def ts_max_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_forecast_snaive_eval",
+    tags=("stream_twin", "stream_test:test_snaive_backtest_stream_equals_batch"),
     oracle="""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1273,12 +1274,28 @@ def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("cents")
     )
-    fc = daily.select(
-        F.col("event_type"),
-        F.date_add("day", 7).alias("day"),
+    return snaive_backtest_from_daily(daily)
+
+
+def snaive_backtest_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared read-side backtest over a (event_type, day, cents) daily
+    table — used by the batch operator above and by the streaming twin,
+    whose state IS this daily table (tests/test_streaming.py asserts the
+    stream-fed result equals the batch one exactly)."""
+    # the forecast side renames EVERY column before the self-join: the
+    # projection mints fresh attribute ids, so the join condition is
+    # unambiguous even when ``daily`` is a memory-sink view (Spark 4's
+    # qualified-alias self-join resolution fails on those)
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.date_add("day", 7).alias("f_day"),
         F.col("cents").alias("forecast_cents"),
     )
-    j = daily.join(fc, ["event_type", "day"])
+    j = daily.join(
+        f,
+        (F.col("event_type") == F.col("f_type"))
+        & (F.col("day") == F.col("f_day")),
+    ).select("event_type", "cents", "forecast_cents")
     err = F.col("cents") - F.col("forecast_cents")
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),

@@ -505,6 +505,28 @@ def drawdown_levels(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_cents(events: DataFrame) -> DataFrame:
+    """Streaming daily-revenue STATE: per (event_type, day) running exact
+    cents total — the tumbling rollup behind ``ts_forecast_snaive_eval``.
+    State is |feeds| x |days| rows regardless of volume; the
+    seasonal-naive backtest (day-7 self-join, MAE/bias) runs read-side
+    over that tiny state (``timeseries.snaive_backtest_from_daily``) —
+    the same state-plus-read-side split as the volume-anomaly monitor,
+    because the backtest needs each feed's day pairs TOGETHER."""
+    return (
+        _event_time(events)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .select(
+            "event_type", F.to_date(F.col("w.start")).alias("day"), "cents"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Twin registry: batch registry key -> streaming twin entry point
 # ---------------------------------------------------------------------------
@@ -552,6 +574,9 @@ def _stream_twins():
         # running drawdown levels: 4-BIGINT per-user state, exact-cents
         # fold in (ts, event_id) order
         "win_drawdown": drawdown_levels,
+        # seasonal-naive backtest: tumbling daily cents are the state;
+        # the day-7 MAE/bias projection runs read-side over it
+        "ts_forecast_snaive_eval": daily_cents,
     }
 
 

@@ -757,3 +757,19 @@ def test_drawdown_stream_equals_batch(spark):
         assert final == batch
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snaive_backtest_stream_equals_batch(spark, chunks):
+    """Tumbling daily cents as streaming state + the shared read-side
+    day-7 backtest reproduces the batch ts_forecast_snaive_eval report
+    EXACTLY (all-integer lattice, no tolerance)."""
+    from bangdatapipeline_spark.operators.timeseries import (
+        snaive_backtest_from_daily,
+    )
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(streaming.daily_cents(stream), mode="complete")
+    out = snaive_backtest_from_daily(state)
+    batch = REGISTRY["ts_forecast_snaive_eval"].fn(spark, SF)
+    cols = ["event_type", "n_days", "sum_abs_err_cents", "mae_cents", "bias_cents"]
+    assert _rows(out, cols) == _rows(batch, cols)
