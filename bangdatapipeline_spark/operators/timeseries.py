@@ -1305,3 +1305,92 @@ def snaive_backtest_from_daily(daily: DataFrame) -> DataFrame:
         ).alias("mae_cents"),
         F.sum(err).alias("bias_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage
+# ---------------------------------------------------------------------------
+
+_COV_INTERVAL_US = 300_000_000  # each event opens a 5-minute activity interval
+
+@register(
+    "ts_coverage_union",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_type, event_id,
+         epoch_us(ts)                      AS s_us,
+         epoch_us(ts) + {_COV_INTERVAL_US} AS e_us
+  FROM events
+),
+m AS (
+  SELECT event_type, event_id, s_us, e_us,
+         max(e_us) OVER (PARTITION BY event_type ORDER BY s_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+isl AS (
+  SELECT event_type, s_us, e_us,
+         sum(CASE WHEN prev_max_e IS NULL OR s_us > prev_max_e
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY s_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+per AS (
+  SELECT event_type, island,
+         CAST(count(*) AS BIGINT)            AS n_iv,
+         CAST(max(e_us) - min(s_us) AS BIGINT) AS span_us
+  FROM isl GROUP BY event_type, island
+)
+SELECT event_type,
+       CAST(sum(n_iv) AS BIGINT)                       AS n_intervals,
+       CAST(count(*) AS BIGINT)                        AS n_islands,
+       CAST(sum(span_us) // 1000000 AS BIGINT)         AS covered_s,
+       CAST(max(span_us) // 1000000 AS BIGINT)         AS max_island_s
+FROM per GROUP BY event_type
+""",
+)
+def ts_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per feed — the uptime/SLA computation:
+    each event opens a 5-minute activity interval, overlapping intervals
+    merge, and the answer is how much wall-clock each feed actually
+    covered (plus island counts and the longest unbroken run). The dual
+    of ts_max_silence (silence measures the gaps, coverage measures the
+    union) and distinct from ts_concurrency_peak (max overlap DEPTH, not
+    union LENGTH).
+
+    Classic sweep: order intervals by start, carry the running max end
+    with a 1-PRECEDING frame, start a new island when the next interval
+    begins after everything seen so far ended, then two bounded-key
+    aggregations. All arithmetic is exact integer microseconds. One
+    shuffle on event_type; at 100 TB range-partition each feed by time
+    and stitch boundary islands with per-bucket (min_start, max_end)
+    summaries — the same two-level trick ts_max_silence ships, applied
+    to islands instead of gaps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        us.alias("s_us"),
+        (us + F.lit(_COV_INTERVAL_US)).alias("e_us"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("s_us", "event_id")
+    prev_max = F.max("e_us").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    flag = F.when(prev_max.isNull() | (F.col("s_us") > prev_max), 1).otherwise(0)
+    isl = iv.withColumn(
+        "island",
+        F.sum(flag).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = isl.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("e_us") - F.min("s_us")).alias("span_us"),
+    )
+    return per.groupBy("event_type").agg(
+        F.sum("n_iv").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.expr("sum(span_us) DIV 1000000").alias("covered_s"),
+        F.expr("max(span_us) DIV 1000000").alias("max_island_s"),
+    )

@@ -266,6 +266,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_max_silence", "ts_max_silence"),
     ("events_snaive_backtest", "ts_forecast_snaive_eval"),
     ("cust_er_quality", "eval_er_quality"),
+    ("events_coverage_union", "ts_coverage_union"),
 ]
 
 RUNS = 3
