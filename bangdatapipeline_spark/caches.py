@@ -59,6 +59,15 @@ def release(spark: SparkSession) -> None:
     ):
         memo.clear()
 
+    from bangdatapipeline_spark.operators import similarity as sim
+
+    for bc in sim._rerank_bq_cache.values():
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # session already stopped; blocks died with it
+    sim._rerank_bq_cache.clear()
+
 
 def free_heap_fraction(spark: SparkSession) -> float:
     """Fraction of the driver JVM's max heap not currently allocated to

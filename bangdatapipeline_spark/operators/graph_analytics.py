@@ -1885,8 +1885,12 @@ s AS (
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg)   AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-       floor(CAST(n*sxy - sx*sy AS DOUBLE)
-             / sqrt(CAST(n*sx2 - sx*sx AS DOUBLE) * CAST(n*sy2 - sy*sy AS DOUBLE))
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              * 1000000 + 0.5) / 1000000 AS assortativity
 FROM s
 """,
@@ -1941,9 +1945,16 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
         oriented.agg(F.count(F.lit(1)).alias("n_edges"))
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    var_x = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
-    var_y = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    # cast each exact-BIGINT factor to double BEFORE multiplying: on big
+    # graphs n*sxy exceeds int64 and non-ANSI Spark would silently wrap
+    # (the DuckDB twin errors) — as double the products are the same IEEE
+    # ops in both engines and the final 6-dp round is unchanged
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    var_x = n_d * F.col("sx2").cast("double") - sx_d * sx_d
+    var_y = n_d * F.col("sy2").cast("double") - sy_d * sy_d
     r = num / F.sqrt(var_x * var_y)
     return counts.crossJoin(F.broadcast(s)).select(
         "n_nodes",

@@ -260,6 +260,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared above so the oracle and any downstream test pin non-trivial
     traffic in every change class.
     """
+    a, b = diff_snapshots(spark, sf_dir)
+    return snapshot_diff_result(a, b)
+
+
+def diff_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two synthetic snapshot versions ``cdc_snapshot_diff`` compares
+    (shared with the streaming twin, which replays B as micro-batches)."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     a = o.filter(F.col("o_orderdate") < _DIFF_CUT_A).select(
@@ -278,6 +287,14 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents_b"),
         )
     )
+    return a, b
+
+
+def snapshot_diff_result(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The classify + rollup half of ``cdc_snapshot_diff``, shared with
+    its streaming twin (the twin maintains the B snapshot as keyed state
+    and calls this read-side): full-outer join ``a (key, cents_a)`` to
+    ``b (key, cents_b)``, classify each key, publish per-class stats."""
     d = a.join(b, "key", "full_outer").select(
         "key",
         F.when(F.col("cents_a").isNull(), "added")
@@ -315,7 +332,7 @@ snap AS (
            + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal_cents
   FROM customer WHERE c_custkey % 11 <> 0
   UNION ALL
-  SELECT c_custkey + 100000, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+  SELECT c_custkey + 1000000000, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
   FROM customer WHERE c_custkey % 13 = 0
 ),
 j AS (
@@ -343,7 +360,7 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     false) and open a v2 row with the new value; deleted keys close v1
     with no successor; inserted keys open at v2; untouched keys keep
     their current v1. The synthetic snapshot drift (balance bump on
-    keys = 0 mod 7, deletes on 0 mod 11, inserts shifted +100000 from
+    keys = 0 mod 7, deletes on 0 mod 11, inserts offset +1e9 from
     keys = 0 mod 13) exercises all four paths deterministically.
 
     One full-outer join on the dimension key classifies every key, and
@@ -354,6 +371,16 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the txn table format's MERGE). Balances live on the integer
     cents lattice end to end.
     """
+    dim, snap = scd2_inputs(spark, sf_dir)
+    return scd2_result(dim, snap)
+
+
+def scd2_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The dimension and drifted-snapshot inputs ``scd2_apply_changes``
+    merges (shared with the streaming twin, which replays the snapshot
+    as micro-batches)."""
     c = load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
     dim = c.select(F.col("c_custkey").alias("key"), cents.alias("old_bal"))
@@ -367,11 +394,20 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(
             c.filter(F.col("c_custkey") % 13 == 0).select(
-                (F.col("c_custkey") + 100000).alias("key"),
+                (F.col("c_custkey") + 1000000000).alias("key"),
                 cents.alias("new_bal"),
             )
         )
     )
+    return dim, snap
+
+
+def scd2_result(dim: DataFrame, snap: DataFrame) -> DataFrame:
+    """The SCD2 classify + version-row build half of
+    ``scd2_apply_changes``, shared with its streaming twin (the twin
+    maintains the incoming snapshot as keyed state and calls this
+    read-side): ``dim (key, old_bal)`` full-outer ``snap (key,
+    new_bal)``, one joined relation projected twice."""
     j = dim.join(snap, "key", "full_outer").select(
         "key",
         "old_bal",

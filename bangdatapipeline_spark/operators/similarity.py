@@ -2370,6 +2370,10 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RERANK_POOL = 25  # stage-1 candidates per query, reranked exactly to TOP_K
 
+# (id(spark), sf_dir) -> Broadcast of the int8 query matrix; destroyed and
+# cleared by caches.release so long sessions don't accumulate blocks
+_rerank_bq_cache: dict = {}
+
 _RERANK_ORACLE = f"""
 WITH scaled AS (
   SELECT vec_id, embedding,
@@ -2445,11 +2449,19 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint"),
         ).alias("qv"),
     )
-    q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()  # bounded query side
-    q_ids = q_pdf["vec_id"].to_numpy()
-    q_scales = q_pdf["scale"].to_numpy(dtype=np.float64)
-    qt = np.vstack(q_pdf["qv"].to_numpy()).astype(np.int64).T
-    bq = spark.sparkContext.broadcast((q_ids, q_scales, qt))
+    # memoized per (session, sf_dir): a fresh sparkContext.broadcast per
+    # invocation would accumulate driver+executor blocks across repeated
+    # bench/correctness rounds in one session (caches.release destroys
+    # these and clears the memo)
+    memo_key = (id(spark), sf_dir)
+    bq = _rerank_bq_cache.get(memo_key)
+    if bq is None:
+        q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()  # bounded
+        q_ids = q_pdf["vec_id"].to_numpy()
+        q_scales = q_pdf["scale"].to_numpy(dtype=np.float64)
+        qt = np.vstack(q_pdf["qv"].to_numpy()).astype(np.int64).T
+        bq = spark.sparkContext.broadcast((q_ids, q_scales, qt))
+        _rerank_bq_cache[memo_key] = bq
     pool_k = RERANK_POOL
 
     def block_pool(batches):
@@ -2579,14 +2591,13 @@ def eval_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the eval harness stays O(queries), the rankers own the heavy
     lifting (same scale posture as eval_rank_metrics).
     """
-    truth = (
-        knn_cosine_topk(spark, sf_dir)
-        .select(F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"))
-        .cache()
+    # no .cache() here: each ranker appears exactly once in the DAG, so a
+    # cache would only pin blocks without ever being re-read (memory
+    # hygiene — repeated bench/correctness rounds share one session)
+    truth = knn_cosine_topk(spark, sf_dir).select(
+        F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n")
     )
-    sys_rank = (
-        knn_rerank_two_stage(spark, sf_dir).select("q_id", "n_id").cache()
-    )
+    sys_rank = knn_rerank_two_stage(spark, sf_dir).select("q_id", "n_id")
     per_q = (
         truth.join(
             sys_rank,

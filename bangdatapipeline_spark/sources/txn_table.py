@@ -141,12 +141,15 @@ class TxnTable:
     def _key_col(self) -> str:
         return self._commits()[0]["key_col"]
 
-    def _schema(self) -> list[dict]:
+    def _schema(self) -> list[dict] | None:
         """Table data-column schema pinned by the CREATE commit
         (``[{"name", "type"}, ...]``) — the authority every later MERGE is
         validated against so a malformed changelog can never narrow or
-        retype the table."""
-        return self._commits()[0]["schema"]
+        retype the table. Tables created before schema pinning existed
+        have a CREATE commit without the key; return ``None`` so callers
+        skip the gate instead of hard-failing every future merge with an
+        opaque KeyError (no migration path would exist otherwise)."""
+        return self._commits()[0].get("schema")
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, _DATA_DIR, rel)
@@ -163,6 +166,19 @@ class TxnTable:
         paths = [self._abs(e["path"]) for e in entries]
         if not paths:
             raise ValueError(f"empty table at {self.path}")
+        if at_version is not None:
+            # historical reads only (bounded manifest-sized stat sweep):
+            # a version older than the vacuum retention horizon replays
+            # fine from the log but its files are gone — fail with the
+            # retention story, not a deep Spark PATH_NOT_FOUND
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                raise ValueError(
+                    f"version {at_version} of {self.path} is no longer "
+                    f"readable: {len(missing)} of its data files were "
+                    "reclaimed by vacuum (older than the retention "
+                    "horizon); time travel is bounded by retain_last"
+                )
         return self.spark.read.parquet(*paths)
 
     def _write_data_files(
@@ -261,22 +277,35 @@ class TxnTable:
         # matching types — otherwise the rewrite would silently narrow or
         # retype the touched buckets, leaving a mixed-schema table
         schema = self._schema()
-        expected = {s["name"]: s["type"] for s in schema}
-        bookkeeping = {delete_col, o1, o2}
-        got = {f.name: f.dataType.simpleString() for f in changelog.schema.fields}
-        missing = sorted(set(expected) - set(got))
-        extra = sorted(set(got) - set(expected) - bookkeeping)
-        retyped = sorted(
-            f"{c}: table={expected[c]} changelog={got[c]}"
-            for c in set(expected) & set(got)
-            if got[c] != expected[c]
-        )
-        if missing or extra or retyped:
-            raise ValueError(
-                "changelog schema does not match the table schema committed "
-                f"at CREATE: missing={missing} extra={extra} retyped={retyped}"
+        if schema is not None:
+            expected = {s["name"]: s["type"] for s in schema}
+            bookkeeping = {delete_col, o1, o2}
+            got = {
+                f.name: f.dataType.simpleString()
+                for f in changelog.schema.fields
+            }
+            missing = sorted(set(expected) - set(got))
+            extra = sorted(set(got) - set(expected) - bookkeeping)
+            retyped = sorted(
+                f"{c}: table={expected[c]} changelog={got[c]}"
+                for c in set(expected) & set(got)
+                if got[c] != expected[c]
             )
-        data_cols = [s["name"] for s in schema]
+            if missing or extra or retyped:
+                raise ValueError(
+                    "changelog schema does not match the table schema "
+                    "committed at CREATE: "
+                    f"missing={missing} extra={extra} retyped={retyped}"
+                )
+            data_cols = [s["name"] for s in schema]
+        else:
+            # pre-schema-pinning table: fall back to the live file schema
+            # (ungated merge, same behavior those tables were created under)
+            data_cols = [
+                c
+                for c in self.read().columns
+                if c not in {delete_col, o1, o2, "_bucket"}
+            ]
 
         # latest-wins compaction of the changelog (shuffle sized by the
         # changelog, never the table)
@@ -413,17 +442,26 @@ class TxnTable:
                 rel = os.path.relpath(full, data_root)
                 if rel in keep:
                     continue
-                if os.path.getmtime(full) > horizon:
-                    # possibly staged by an in-flight writer: spare it
-                    skipped_young += 1
+                try:
+                    if os.path.getmtime(full) > horizon:
+                        # possibly staged by an in-flight writer: spare it
+                        skipped_young += 1
+                        continue
+                    os.remove(full)
+                except FileNotFoundError:
+                    # a concurrent writer finalized/cleaned the staging
+                    # file between the walk and the stat — nothing to
+                    # reclaim, same tolerance as the commit path
                     continue
-                os.remove(full)
                 if name.endswith(".parquet"):
                     removed += 1
                 # non-parquet writer-side markers (_SUCCESS, .crc) are
                 # never in the manifest; swept with their directories
-            if not os.listdir(dirpath) and dirpath != data_root:
-                os.rmdir(dirpath)
+            try:
+                if not os.listdir(dirpath) and dirpath != data_root:
+                    os.rmdir(dirpath)
+            except (FileNotFoundError, OSError):
+                pass
         return {
             "files_deleted": removed,
             "retained_versions": retain_last,

@@ -347,3 +347,33 @@ def test_txn_merge_schema_mismatch_raises(spark, tmp_path):
     # nothing committed by the rejected merges; a valid merge still lands
     assert len(t._commits()) == 1
     assert not t.merge_cdc(ch, app_id="p", version=1)["skipped"]
+
+
+def test_txn_pre_schema_pinning_table_still_merges(spark, tmp_path):
+    """A table whose CREATE commit predates schema pinning (no "schema"
+    key) must keep merging — the gate is skipped, not a KeyError on
+    every future merge with no migration path."""
+    path = str(tmp_path / "legacy_table")
+    base = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+
+    # simulate the legacy on-disk format: strip the schema key from the
+    # CREATE commit in place
+    create_path = os.path.join(t.log_dir, "00000000.json")
+    with open(create_path) as f:
+        commit = json.load(f)
+    del commit["schema"]
+    with open(create_path, "w") as f:
+        json.dump(commit, f)
+
+    legacy = TxnTable(spark, path)
+    assert legacy._schema() is None
+    ch = _changelog(spark)
+    stats = legacy.merge_cdc(ch, app_id="p", version=1)
+    assert not stats.get("skipped")
+    expected = _expected_after_merge(spark, base, ch)
+    got = legacy.read().select("c_custkey", "c_name", "c_acctbal")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
