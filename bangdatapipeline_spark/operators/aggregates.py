@@ -2131,3 +2131,61 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("md2").cast("double") / 4).alias("mad"),
         "n_outliers",
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+WITH c AS (
+  SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d')
+           AS month,
+         o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT month, o_orderpriority AS mode_priority, n,
+         CAST(sum(n) OVER (PARTITION BY month) AS BIGINT) AS n_total,
+         row_number() OVER (PARTITION BY month
+                            ORDER BY n DESC, o_orderpriority ASC) AS rn
+  FROM c
+)
+SELECT month, mode_priority, n AS n_mode, n_total FROM t WHERE rn = 1
+""",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value) with a deterministic
+    tie-break — the categorical summary SQL's ``mode()`` computes with
+    an unspecified keeper; here ties resolve (count desc, value asc) so
+    the result is hash-stable: per order month, the modal order
+    priority, its count, and the month total.
+
+    Two-level shape: the value stream first collapses to the bounded
+    (month, priority) count table — map-side combine absorbs the raw
+    rows, the shuffle carries |months| x |priorities| keys — then the
+    argmax window and the month-total sum ride the SAME month
+    partitioning (one exchange total after the count agg). This is the
+    only mode formula that scales: a collect_list-then-mode would move
+    every raw value to one place; the count-then-argmax moves counts
+    only, at any corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+            "month"
+        ),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("month")
+    wr = wm.orderBy(F.col("n").desc(), F.col("o_orderpriority").asc())
+    return (
+        c.withColumn("n_total", F.sum("n").over(wm))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "month",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+            "n_total",
+        )
+    )

@@ -1370,6 +1370,134 @@ def txn_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@register(
+    "txn_time_travel",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+v1 AS (
+  SELECT key,
+         bal_cents + CASE WHEN key % 7 = 0 THEN 10000 ELSE 0 END AS bal_cents
+  FROM base WHERE key % 11 <> 0
+),
+v2 AS (
+  SELECT key,
+         bal_cents + CASE WHEN key % 5 = 0 THEN 500 ELSE 0 END AS bal_cents
+  FROM v1
+  UNION ALL
+  SELECT key + 1000000000 AS key, bal_cents FROM base WHERE key % 13 = 0
+)
+SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+       CAST(min(key) AS BIGINT) AS min_key, CAST(max(key) AS BIGINT) AS max_key
+FROM base
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(bal_cents) AS BIGINT),
+       CAST(min(key) AS BIGINT), CAST(max(key) AS BIGINT) FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(bal_cents) AS BIGINT),
+       CAST(min(key) AS BIGINT), CAST(max(key) AS BIGINT) FROM v2
+""",
+)
+def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-pinned reads (``SELECT ... VERSION AS OF v``) through the
+    transaction log: CREATE the customer snapshot (commit 0), apply two
+    CDC merges (commit 1: balance bump on keys = 0 mod 7 plus tombstones
+    on 0 mod 11; commit 2: +500 on surviving keys = 0 mod 5 plus inserts
+    at key + 1e9 for 0 mod 13 — the scd2_apply_changes drift recipe), and
+    hash-check the per-version row-count / balance-sum / key-range
+    aggregate of ALL THREE historical snapshots read via
+    ``read(at_version=v)``. The oracle reconstructs each version's row
+    set independently in SQL, so a time-travel read that leaked a later
+    commit's files (or dropped a carried-over bucket) fails the hash.
+
+    Scale shape: a historical snapshot is just a shorter log-prefix
+    replay — manifest bookkeeping on the driver, never row data; each
+    versioned read scans only that version's live files. The
+    vacuum-retention boundary (a reclaimed version raises with the
+    retention story) is pinned in tests/test_txn_table.py.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from bangdatapipeline_spark.sources.txn_table import TxnTable
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    base = c.select(F.col("c_custkey").alias("key"), cents.alias("bal_cents"))
+    key = F.col("key")
+    path = os.path.join(tempfile.gettempdir(), f"txn_tt_{uuid.uuid4().hex[:8]}")
+    try:
+        table = TxnTable.create(spark, path, base, key_col="key", n_buckets=4)
+        # commit 1: updates (keys = 0 mod 7, surviving) + deletes (0 mod 11)
+        log1 = (
+            base.filter((key % 7 == 0) & (key % 11 != 0))
+            .select(
+                "key",
+                (F.col("bal_cents") + F.lit(10000)).alias("bal_cents"),
+                F.lit(False).alias("is_delete"),
+            )
+            .unionAll(
+                base.filter(key % 11 == 0).select(
+                    "key", "bal_cents", F.lit(True).alias("is_delete")
+                )
+            )
+            .withColumn("ts_us", F.lit(1).cast("long"))
+            .withColumn("event_id", F.col("key"))
+        )
+        table.merge_cdc(log1, app_id="tt", version=1)
+        # commit 2: +500 on surviving keys = 0 mod 5 (absolute new value
+        # includes commit 1's bump) + inserts at key + 1e9 for 0 mod 13
+        log2 = (
+            base.filter((key % 5 == 0) & (key % 11 != 0))
+            .select(
+                "key",
+                (
+                    F.col("bal_cents")
+                    + F.when(key % 7 == 0, 10000).otherwise(0)
+                    + F.lit(500)
+                ).alias("bal_cents"),
+                F.lit(False).alias("is_delete"),
+            )
+            .unionAll(
+                base.filter(key % 13 == 0).select(
+                    (key + F.lit(1000000000)).alias("key"),
+                    "bal_cents",
+                    F.lit(False).alias("is_delete"),
+                )
+            )
+            .withColumn("ts_us", F.lit(1).cast("long"))
+            .withColumn("event_id", F.col("key"))
+        )
+        table.merge_cdc(log2, app_id="tt", version=2)
+        versions = [
+            table.read(at_version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("bal_cents").alias("sum_bal_cents"),
+                F.min("key").alias("min_key"),
+                F.max("key").alias("max_key"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows",
+                "sum_bal_cents",
+                "min_key",
+                "max_key",
+            )
+            for v in (0, 1, 2)
+        ]
+        out = versions[0].unionAll(versions[1]).unionAll(versions[2])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _er_eval_oracle() -> str:
     return (
         _er_ctes()
@@ -1435,4 +1563,165 @@ def eval_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(n_hits * 1000000 + n_truth DIV 2) DIV n_truth"
             ).alias("recall_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source curation rollup (the corpus-release domain view)
+# --------------------------------------------------------------------------
+
+
+def _source_rollup_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
+WITH canon AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+dup AS (
+  SELECT doc_id, source,
+         doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+  FROM canon
+),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_transform(toks, w -> len(w)), (a, b) -> a + b)
+              AS BIGINT) AS n_tok_chars,
+         CAST(len(list_filter(toks, w -> w IN ({stops}))) AS BIGINT) AS n_stop
+  FROM t
+),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+gq AS (
+  SELECT m.doc_id,
+         (m.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+           AND {_GOPHER_MWL_LO10} * m.n_words <= 10 * m.n_tok_chars
+           AND 10 * m.n_tok_chars <= {_GOPHER_MWL_HI10} * m.n_words
+           AND m.n_stop >= {_GOPHER_MIN_STOP}
+           AND {_GOPHER_REP_DEN} * r.top_n <= m.n_words AS passes
+  FROM m JOIN rep r USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS n FROM cnt),
+dt AS (SELECT doc_id, token, count(*) AS cd FROM tok GROUP BY doc_id, token),
+xent AS (
+  SELECT dt.doc_id,
+         round(sum(dt.cd * -ln(cnt.c * 1.0 / tot.n)) / sum(dt.cd), 4) AS x
+  FROM dt JOIN cnt ON dt.token = cnt.token, tot
+  GROUP BY dt.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(x, 1.0/3) AS q33, quantile_cont(x, 2.0/3) AS q66
+  FROM xent
+),
+bq AS (
+  SELECT e.doc_id,
+         CASE WHEN e.x <= c.q33 THEN 'head'
+              WHEN e.x <= c.q66 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM xent e, cuts c
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST((sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) * 1000000
+             + count(*) // 2) // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST((sum(CASE WHEN g.passes THEN 1 ELSE 0 END) * 1000000
+             + count(*) // 2) // count(*) AS BIGINT) AS pass_ppm,
+       CAST(sum(CASE WHEN b.bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_head,
+       CAST(sum(CASE WHEN b.bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_middle,
+       CAST(sum(CASE WHEN b.bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail
+FROM dup d JOIN gq g USING (doc_id) JOIN bq b USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register("curation_source_rollup", oracle=_source_rollup_oracle())
+def curation_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard — the domain-level view a corpus
+    release publishes before mixing sources into a training set: for
+    every ``source``, the canonical-dup rate (how much of the domain is
+    redundant), the Gopher-rule pass rate (how much survives the quality
+    gate), and the surprisal tercile mix (where the domain sits on the
+    CCNet head/middle/tail quality spectrum). Composes THREE registered
+    plans — dedup_exact_canonical's digest grouping, text_gopher_rules'
+    integer-exact gate, text_surprisal_buckets' tercile labels — joined
+    per doc_id and rolled up to |sources| rows on the integer ppm
+    lattice.
+
+    Scale shape: each leg keeps its own certified posture (digest-only
+    shuffle; zero-shuffle scan projection; bounded-vocab unigram join);
+    the composition adds two doc_id equi-joins (co-partitioned, key =
+    primary key) and one bounded-key rollup with map-side combine. At
+    100 TB the rollup is what decides per-domain sampling weights, so it
+    must stream — nothing here holds more than |sources| rows past the
+    joins.
+    """
+    from bangdatapipeline_spark.operators.llm_text import (
+        text_surprisal_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    per_doc = d.select(
+        "doc_id", "source", F.md5(F.encode(canon, "utf-8")).alias("h")
+    ).withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    gopher = text_gopher_rules(spark, sf_dir).select("doc_id", "passes")
+    buckets = text_surprisal_buckets(spark, sf_dir).select("doc_id", "bucket")
+    j = per_doc.join(gopher, "doc_id").join(buckets, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dups"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("bucket") == "head", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_head"),
+        F.sum(F.when(F.col("bucket") == "middle", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_middle"),
+        F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tail"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        F.expr("(n_dups * 1000000 + n_docs DIV 2) DIV n_docs").alias("dup_ppm"),
+        "n_pass",
+        F.expr("(n_pass * 1000000 + n_docs DIV 2) DIV n_docs").alias("pass_ppm"),
+        "n_head",
+        "n_middle",
+        "n_tail",
     )

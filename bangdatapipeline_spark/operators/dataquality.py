@@ -675,3 +675,111 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_abs_diff_cents"),
         F.sum(F.when(has_lines, diff).otherwise(0)).alias("net_diff_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema drift (generation-over-generation column presence audit)
+# --------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "1996-01-01"  # same generation cut as schema_evolution_union
+_DRIFT_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+def _schema_drift_oracle() -> str:
+    g1_counts = ", ".join(
+        (
+            "CAST(0 AS BIGINT)"
+            if c == "o_orderpriority"
+            else f"CAST(count({c}) AS BIGINT)"
+        )
+        + f" AS c_{c}"
+        for c in _DRIFT_COLS
+    )
+    g2_counts = ", ".join(
+        f"CAST(count({c}) AS BIGINT) AS c_{c}" for c in _DRIFT_COLS
+    )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, g1.n AS g1_rows, g1.c_{c} AS g1_nonnull,"
+        f" g2.n AS g2_rows, g2.c_{c} AS g2_nonnull FROM g1, g2"
+        for c in _DRIFT_COLS
+    )
+    return f"""
+WITH g1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {g1_counts}
+  FROM orders WHERE o_orderdate < DATE '{_DRIFT_SPLIT}'
+),
+g2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {g2_counts}
+  FROM orders WHERE o_orderdate >= DATE '{_DRIFT_SPLIT}'
+),
+cols AS ({legs})
+SELECT column_name, g1_rows, g1_nonnull, g2_rows, g2_nonnull,
+       CASE WHEN g1_nonnull = 0 AND g2_nonnull > 0 THEN 'added'
+            WHEN g1_nonnull > 0 AND g2_nonnull = 0 THEN 'removed'
+            ELSE 'stable' END AS drift
+FROM cols
+"""
+
+
+@register("dq_schema_drift", oracle=_schema_drift_oracle())
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-over-generation schema-drift audit on the
+    ``schema_evolution_union`` inputs: per column of the EVOLVED schema,
+    the observed non-null count in each generation, and the drift
+    verdict ('added' when a column is entirely null-filled in the old
+    generation but populated in the new — the data-plane signature of a
+    column added between dumps; 'removed' for the reverse; 'stable'
+    otherwise). This is the detector a lakehouse runs BEFORE
+    unionByName-ing a new drop: positional union would misalign exactly
+    the columns this report flags.
+
+    The metadata half of drift (type changes) is a driver-side schema
+    diff with no data plane; the data-plane half verified here is the
+    presence audit, which catches the same corruption class from the
+    rows themselves. Plan: one count-aggregate per generation (each a
+    single scan with map-side combine to ONE row), a 4-row stack, and a
+    4-row projection — at 100 TB the cost is two columnar scans that
+    prune to the audited columns, nothing shuffles more than 8 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_DRIFT_SPLIT).cast("date")
+    # generation 1 predates o_orderpriority: its dump never carried the
+    # column, modeled as an all-null fill (same as schema_evolution_union)
+    gens = []
+    for gen, pred, drop_priority in (
+        (1, F.col("o_orderdate") < split, True),
+        (2, F.col("o_orderdate") >= split, False),
+    ):
+        g = o.filter(pred)
+        counts = [F.count(F.lit(1)).alias("n_rows")]
+        for c in _DRIFT_COLS:
+            if drop_priority and c == "o_orderpriority":
+                counts.append(F.lit(0).cast("bigint").alias(f"c_{c}"))
+            else:
+                counts.append(F.count(c).alias(f"c_{c}"))
+        gens.append(g.agg(*counts).withColumn("generation", F.lit(gen)))
+    wide = gens[0].unionByName(gens[1])
+    stack_args = ", ".join(f"'{c}', c_{c}" for c in _DRIFT_COLS)
+    long = wide.selectExpr(
+        "generation",
+        "n_rows",
+        f"stack({len(_DRIFT_COLS)}, {stack_args}) AS (column_name, n_nonnull)",
+    )
+    g = F.col("generation")
+    piv = long.groupBy("column_name").agg(
+        F.max(F.when(g == 1, F.col("n_rows"))).alias("g1_rows"),
+        F.max(F.when(g == 1, F.col("n_nonnull"))).alias("g1_nonnull"),
+        F.max(F.when(g == 2, F.col("n_rows"))).alias("g2_rows"),
+        F.max(F.when(g == 2, F.col("n_nonnull"))).alias("g2_nonnull"),
+    )
+    return piv.select(
+        "column_name",
+        "g1_rows",
+        "g1_nonnull",
+        "g2_rows",
+        "g2_nonnull",
+        F.when((F.col("g1_nonnull") == 0) & (F.col("g2_nonnull") > 0), "added")
+        .when((F.col("g1_nonnull") > 0) & (F.col("g2_nonnull") == 0), "removed")
+        .otherwise("stable")
+        .alias("drift"),
+    )

@@ -2057,3 +2057,96 @@ def graph_hits_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a", F.lit(0)).alias("auth2"),
     )
     return out.orderBy(F.desc("hub2"), F.desc("auth2"), F.asc("node")).limit(100)
+
+
+# --------------------------------------------------------------------------
+# Sampled closeness centrality (bounded multi-source BFS)
+# --------------------------------------------------------------------------
+
+
+def _closeness_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM {prev}
+    UNION ALL
+    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+    FROM edges e JOIN {prev} d ON d.node = e.src
+  ) GROUP BY seed, node
+)"""
+        )
+        prev = f"d{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+d0 AS (
+  SELECT DISTINCT src AS seed, src AS node, 0 AS dist
+  FROM edges WHERE src < {_BFS_SEED_BELOW}
+),
+{body}
+SELECT CAST(seed AS BIGINT)        AS seed,
+       CAST(count(*) AS BIGINT)    AS n_reached,
+       CAST(sum(dist) AS BIGINT)   AS sum_dist,
+       CAST(sum(6 // dist) AS BIGINT) AS harmonic_x6
+FROM {prev}
+WHERE dist > 0
+GROUP BY seed
+"""
+
+
+@register("graph_closeness_sample", oracle=_closeness_oracle())
+def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness centrality (the Eppstein–Wang estimator shape):
+    run the bounded-depth BFS from EVERY seed in the bounded sample
+    simultaneously — state is (seed, node, dist), i.e. the
+    ``graph_bfs_levels`` frontier kernel with a seed column carried
+    through — then reduce each seed's distance vector to its closeness
+    ingredients: |reached|, total hops, and HARMONIC closeness on an
+    exact integer lattice (x6: per-hop contributions 6/1, 6/2, 6/3 are
+    all integers at depth <= {_BFS_ROUNDS}, so the score sums exactly
+    and the oracle's unrolled CTEs reproduce it bit-for-bit; harmonic
+    handles disconnected pairs by simply omitting them, which is why
+    production closeness sampling prefers it).
+
+    Plan: same Pregel supersteps as graph_bfs_levels over the
+    session-cached doubled edge list — one equi-join + one min-aggregate
+    per round, message volume |seeds| x |frontier| x avg-degree,
+    collapsed to |seeds| x |reached| state rows between rounds. At
+    100 TB closeness is ALWAYS estimated from a bounded seed sample
+    (exact all-pairs is |V| BFS runs); k seeds cost k-fold the single
+    BFS's shuffle volume over the same co-partitioned edge buckets, and
+    the final rollup is one |seeds|-row aggregate.
+    """
+    contrib, _init, _n = _trade_contrib(spark, sf_dir)
+    edges = contrib.select("src", "dst")
+    dist = (
+        edges.filter(F.col("src") < _BFS_SEED_BELOW)
+        .select(F.col("src").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+    )
+    for _ in range(_BFS_ROUNDS):
+        nbr = edges.join(dist, edges["src"] == dist["node"]).select(
+            "seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy(F.col("seed").cast("bigint").alias("seed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.sum(F.expr("6 DIV dist")).cast("bigint").alias("harmonic_x6"),
+        )
+    )

@@ -212,6 +212,7 @@ _DIFF_CUT_B = "1997-07-01"
 
 @register(
     "cdc_snapshot_diff",
+    tags=("stream_twin", "stream_test:test_snapshot_diff_stream_equals_batch"),
     oracle=f"""
 WITH a AS (
   SELECT o_orderkey AS key,
@@ -320,6 +321,7 @@ def snapshot_diff_result(a: DataFrame, b: DataFrame) -> DataFrame:
 
 @register(
     "scd2_apply_changes",
+    tags=("stream_twin", "stream_test:test_scd2_apply_stream_equals_batch"),
     oracle="""
 WITH dim AS (
   SELECT c_custkey AS key,

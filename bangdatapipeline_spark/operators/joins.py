@@ -885,3 +885,57 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       min(c.ts) AS next_click_ts,
+       CAST(count(*) AS BIGINT) AS n_later_clicks
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas ``merge_asof(direction='forward')``):
+    for each purchase, the EARLIEST same-user click STRICTLY AFTER it —
+    the "next touch" attribution primitive, mirror image of
+    ``join_asof``'s latest-at-or-before. Inner semantics: purchases with
+    no later click drop, matching the oracle's theta-join aggregate.
+
+    Same single-window-pass formulation as ``join_asof`` run in REVERSE
+    time order: one shuffle on user_id, each user's stream sorted ts
+    DESC with purchases before clicks on ties (so an equal-ts click is
+    NOT yet visible at the purchase row — strictly-after semantics fall
+    out of the sort order, no predicate needed), and a running
+    last/count over the already-seen (i.e. later-in-time) clicks.
+    O(n log n) per user versus the oracle's quadratic per-user theta
+    join — the 100 TB-safe formulation, identical in cost to the
+    backward as-of (cites join_asof's plan audit).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ts DESC: "preceding" rows are later in time. On ts ties a purchase
+    # sorts first so same-ts clicks stay invisible to it (strict >).
+    tie = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), tie, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("next_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("n_later_clicks", F.count(click_ts).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("next_click_ts").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "next_click_ts",
+            "n_later_clicks",
+        )
+    )

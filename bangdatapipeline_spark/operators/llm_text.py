@@ -1682,3 +1682,61 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(chunk_words) * 1000000 + count(*) DIV 2) DIV count(*)"
         ).alias("avg_chunk_words_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE pair statistics (tokenizer-training step 0)
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 50
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+p AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM words WHERE len(w) >= 2)
+),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+SELECT pair, n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INT) AS rk
+FROM c
+QUALIFY rk <= {_BPE_TOP}
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 0: corpus-wide adjacent-symbol pair
+    counts within word boundaries (Sennrich et al. 2016) — the statistic
+    every merge round of byte-pair encoding argmaxes over. Emits the top
+    {_BPE_TOP} character bigrams with a total-order tie-break (count
+    desc, pair asc), i.e. the first merge candidate list.
+
+    The pair stream is generated IN-ROW (filter words >= 2 chars, then a
+    nested transform over substring positions — no join, no UDF), so the
+    only shuffle is the pair-count aggregate, whose key space is bounded
+    by the symbol-bigram alphabet (|Σ|² — a few thousand keys at most):
+    map-side combine collapses the billions of pair occurrences a 100 TB
+    corpus generates to |Σ|² rows per task before anything moves. The
+    top-{_BPE_TOP} window runs over that bounded table (single tiny
+    partition by construction — the iterative merge loop re-aggregates
+    pairs per round; each round is this same bounded-key shape).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.selectExpr(
+        "explode(flatten(transform("
+        "  filter(split(text, ' '), w -> length(w) >= 2),"
+        "  w -> transform(sequence(1, length(w) - 1),"
+        "                 i -> substring(w, i, 2))"
+        "))) AS pair"
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BPE_TOP)
+    )

@@ -413,3 +413,63 @@ def sample_per_group_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PER_GROUP_K)
         .select("lang", "doc_id", "n_chars", "rk")
     )
+
+
+@register(
+    "sample_temperature_weights",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS s FROM c),
+tot AS (SELECT sum(n_docs) AS n_total, sum(s) AS s_total FROM t)
+SELECT lang, n_docs,
+       CAST(floor(1000000.0 * n_docs / n_total + 0.5) AS BIGINT) AS base_ppm,
+       CAST(floor(1000000.0 * s / s_total + 0.5) AS BIGINT)      AS temp_ppm,
+       CAST(floor(1000.0 * (s / s_total) / (n_docs * 1.0 / n_total) + 0.5)
+            AS BIGINT)                                           AS boost_x1000
+FROM t, tot
+""",
+)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (the multilingual/multi-source
+    rebalancing formula from XLM-R / mT5: p_i ∝ n_i^α with α = 0.5):
+    DERIVES the per-language mix a temperature-sampled training run
+    would use — natural share, temperature share, and the resulting
+    boost factor per language — from the corpus itself. This is the
+    weight table ``sample_mixture_weights`` consumes: low-resource
+    languages upsample (boost > 1), high-resource downsample, with α
+    interpolating between natural (α=1) and uniform (α=0).
+
+    One bounded groupBy (|langs| keys, map-side combine absorbs the
+    corpus) plus a 1-row total crossJoined back — the whole computation
+    after the count is |langs| rows of arithmetic, at any corpus size.
+    Float policy: shares are floor(x + 0.5) on the ppm lattice; the
+    base ratio is a single exactly-rounded double division (identical
+    in both engines by IEEE), and sqrt sums are irrational so their
+    ratio never sits on a lattice boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.select("lang", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("s"))
+    tot = t.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("s").alias("s_total")
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.floor(1000000.0 * F.col("n_docs") / F.col("n_total") + 0.5)
+        .cast("bigint")
+        .alias("base_ppm"),
+        F.floor(1000000.0 * F.col("s") / F.col("s_total") + 0.5)
+        .cast("bigint")
+        .alias("temp_ppm"),
+        F.floor(
+            1000.0
+            * (F.col("s") / F.col("s_total"))
+            / (F.col("n_docs") * 1.0 / F.col("n_total"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("boost_x1000"),
+    )

@@ -2032,6 +2032,67 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_whitening",
+    oracle="""
+WITH x AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+  FROM embeddings
+), v AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val FROM x
+), s AS (
+  SELECT dim, avg(val) AS mu, stddev_samp(val) AS sd FROM v GROUP BY dim
+), z AS (
+  SELECT v.dim, (v.val - s.mu) / s.sd AS z FROM v JOIN s USING (dim)
+)
+SELECT CAST(dim AS INT)               AS dim,
+       CAST(count(*) AS BIGINT)       AS n,
+       round(avg(z), 6) + 0.0         AS mean_w,
+       round(stddev_samp(z), 6) + 0.0 AS sd_w,
+       round(min(z), 6) + 0.0         AS lo_w,
+       round(max(z), 6) + 0.0         AS hi_w
+FROM z GROUP BY dim
+""",
+)
+def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (feature standardization) of the embedding
+    column — the normalization step before PCA/IVF codebook training —
+    verified by re-running the dim-stats audit over the WHITENED values:
+    every dimension must come back mean 0, sd 1 (the whitening
+    postcondition), with the data-dependent lo/hi carrying the actual
+    distribution shape so the check is not vacuous.
+
+    Consumes the ``emb_dim_stats`` aggregate shape: one posexplode pass
+    reduces to |dims| (mu, sd) rows (map-side combine, tiny shuffle),
+    broadcast back onto the value stream for the standardize projection,
+    then the same bounded-key re-aggregation — two scans, both shuffles
+    bounded by |dims| x |tasks|, no UDF anywhere. At 100 TB the stats
+    pass amortizes across every consumer (stored as a tiny side table)
+    and the whitening itself stays a scan-stage projection. Float
+    policy: round-6 on aggregate outputs (same as emb_dim_stats); the
+    ``+ 0.0`` normalizes IEEE -0.0 so both engines print the mean-zero
+    rows identically.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    s = v.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sd")
+    )
+    z = v.join(F.broadcast(s), "dim").select(
+        "dim", ((F.col("val") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    return z.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg("z"), 6) + F.lit(0.0)).alias("mean_w"),
+        (F.round(F.stddev_samp("z"), 6) + F.lit(0.0)).alias("sd_w"),
+        (F.round(F.min("z"), 6) + F.lit(0.0)).alias("lo_w"),
+        (F.round(F.max("z"), 6) + F.lit(0.0)).alias("hi_w"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Hard-negative mining (contrastive-training data preparation)
 # --------------------------------------------------------------------------

@@ -819,3 +819,105 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("cum")).alias("max_drawdown_cents"),
         F.sum("cents").alias("final_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session bounce rate (sessionize -> daily rollup)
+# --------------------------------------------------------------------------
+
+
+def _bounce_oracle() -> str:
+    from bangdatapipeline_spark.operators.streaming_batch import (
+        SESSION_GAP_MIN,
+    )
+
+    return f"""
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM o
+), sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+), s AS (
+    SELECT user_id, sess_id, min(ts) AS sess_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY 1, 2
+)
+SELECT strftime(CAST(sess_start AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+             + count(*) // 2) // count(*) AS BIGINT) AS bounce_ppm
+FROM s GROUP BY 1
+"""
+
+
+@register("win_session_bounces", oracle=_bounce_oracle())
+def win_session_bounces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the fraction of sessions that contain exactly
+    ONE event, keyed by the session's start day: the engagement metric
+    every product dashboard pairs with sessionization. Composes the
+    ``stream_session`` kernel (lag-gap-flag-cumsum, 30-minute gap; one
+    shuffle on user_id) with a per-session collapse and a bounded
+    day-keyed rollup on the integer ppm lattice.
+
+    Scale shape: the sessionize window and the per-(user, sess_id)
+    collapse share the SAME user_id partitioning (no extra exchange);
+    the day rollup shuffles |sessions| pre-combined rows into |days|
+    keys. Nothing after the first window carries event granularity — the
+    daily table a year-long 100 TB event store produces here is a few
+    hundred rows.
+    """
+    from bangdatapipeline_spark.operators.streaming_batch import (
+        SESSION_GAP_MIN,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts") - F.col("prev_ts")
+                > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    agg = per_session.groupBy(
+        F.date_format("sess_start", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+    )
+    return agg.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr(
+            "(n_bounces * 1000000 + n_sessions DIV 2) DIV n_sessions"
+        ).alias("bounce_ppm"),
+    )

@@ -527,6 +527,57 @@ def daily_cents(events: DataFrame) -> DataFrame:
     )
 
 
+_SCD2_STATE_SCHEMA = StructType(
+    [StructField("ord", LongType()), StructField("new_bal", LongType())]
+)
+_SCD2_OUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("ord", LongType()),
+        StructField("new_bal", LongType()),
+    ]
+)
+
+
+def _scd2_latest(key, pdf_iter, state: GroupState):
+    """Keyed latest-version state: keep the (ord, new_bal) with the
+    highest ord seen for this dimension key, emitting the current
+    winner on every update — ord-based argmax, never last-row-wins, so
+    arrival order inside a micro-batch cannot change the outcome."""
+    best_ord, best_bal = state.get if state.exists else (-1, 0)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        row = pdf.loc[pdf["_ord"].idxmax()]
+        if int(row["_ord"]) > best_ord:
+            best_ord, best_bal = int(row["_ord"]), int(row["new_bal"])
+    state.update((best_ord, best_bal))
+    yield pd.DataFrame(
+        {"key": [key[0]], "ord": [best_ord], "new_bal": [best_bal]}
+    )
+
+
+def scd2_snapshot_state(snapshot_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``scd2_apply_changes``' state half: the incoming
+    dimension snapshot arrives as keyed version rows ``(key, new_bal,
+    _ord)`` (a CDC feed of snapshot revisions); per-key state keeps the
+    LATEST version (argmax ord). The SCD2 classify + version-row build
+    is read-side over that state via
+    ``operators.incremental.scd2_result(dim, state)`` — the same
+    state-plus-read-side split as the CDC merge sinks, because the merge
+    needs each key's final snapshot value, not its arrival history.
+    State is 2 BIGINTs per dimension key regardless of revision volume
+    (RocksDB-backed on a cluster); replay equality is pinned in
+    tests/test_streaming.py::test_scd2_apply_stream_equals_batch."""
+    return snapshot_stream.groupBy("key").applyInPandasWithState(
+        _scd2_latest,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Twin registry: batch registry key -> streaming twin entry point
 # ---------------------------------------------------------------------------
@@ -577,6 +628,13 @@ def _stream_twins():
         # seasonal-naive backtest: tumbling daily cents are the state;
         # the day-7 MAE/bias projection runs read-side over it
         "ts_forecast_snaive_eval": daily_cents,
+        # SCD2 apply: keyed latest-version snapshot state; the classify +
+        # version-row merge runs read-side (scd2_result) over it
+        "scd2_apply_changes": scd2_snapshot_state,
+        # snapshot diff: the B dump arrives in slices; foreachBatch
+        # accumulates it against the previous batch's state table, the
+        # A-vs-B classify runs read-side (snapshot_diff_result)
+        "cdc_snapshot_diff": sinks.snapshot_accumulate_sink,
     }
 
 

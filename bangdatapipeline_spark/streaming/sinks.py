@@ -249,6 +249,65 @@ def cdc_merge_sink(changelog_stream: DataFrame, target: str | None = None):
     return q, target
 
 
+def snapshot_accumulate_sink(snapshot_stream: DataFrame, target: str | None = None):
+    """Accumulate a full-dump snapshot arriving in slices — the streaming
+    twin of ``operators.incremental.cdc_snapshot_diff``'s B side.
+
+    A warehouse that only takes periodic full dumps receives version B
+    as a multi-file drop; each micro-batch is one slice. The foreachBatch
+    body merges the slice into the previous micro-batch's state table
+    latest-wins per key on ``_ord`` (so a re-dumped key resolves to its
+    newest revision), committed as ``v{batch_id}`` for replay idempotence
+    — a re-delivered batch overwrites its own version against the state
+    it saw the first time, same contract as the other versioned sinks.
+    The A-vs-B classify + rollup runs READ-side over the final state
+    (``snapshot_diff_result``), because the diff needs B complete.
+
+    Expects columns: key, cents_b, _ord. At 100 TB the state table is a
+    key-bucketed transactional table and each merge rewrites only the
+    buckets the slice touches — the txn_table_merge_sink shape; the
+    versioned-parquet state here keeps the local twin self-contained.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    target = target or os.path.join(
+        tempfile.gettempdir(), f"snap_state_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(target, exist_ok=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("key").orderBy(F.col("_ord").desc())
+        delta = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "cents_b", "_ord")
+        )
+        prior = _latest_state(spark, target, batch_id)
+        merged = delta if prior is None else (
+            prior.unionByName(delta)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target, f"v{batch_id:05d}")
+        )
+
+    q = (
+        snapshot_stream.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_snap_{uuid.uuid4().hex[:8]}"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, target
+
+
 def cdc_merge_result(base: DataFrame, state: DataFrame, key_shift: int) -> DataFrame:
     """Scan-time application of the CDC state onto the base snapshot —
     the same merge-audit projection as the batch operator."""

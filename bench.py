@@ -43,6 +43,18 @@ comparing a small query against its DuckDB budget (rule in
 BASELINE.md); ``noise_ratio`` = max/min of the three checkpoint
 medians — when it is far from 1.0, the host was noisy DURING the run
 and cross-round deltas of that magnitude are not plan regressions.
+
+Noisy-host self-defense: when the main sweep's ``noise_ratio`` exceeds
+``RETRY_NOISE_THRESHOLD`` (1.8 — r6's driver capture ran at 2.56 and
+every cross-round delta that round was host noise), the headline rows
+are re-timed ONCE after the main sweep under their own three-checkpoint
+sentinel. Whichever pass has the lower noise ratio is the published
+headline sample (timings/plan/setup/cold and the matching floor), and
+the map is tagged ``retried: true`` with BOTH ratios
+(``noise_ratio_initial`` / ``noise_ratio_retry``) plus
+``retry_published`` so a reader can always tell which sample they are
+looking at. Rule stated in BASELINE.md; fields pinned by
+tests/test_bench_contract.py.
 """
 
 from __future__ import annotations
@@ -267,10 +279,18 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_snaive_backtest", "ts_forecast_snaive_eval"),
     ("cust_er_quality", "eval_er_quality"),
     ("events_coverage_union", "ts_coverage_union"),
+    ("cust_txn_time_travel", "txn_time_travel"),
+    ("orders_schema_drift", "dq_schema_drift"),
+    ("emb_whitening", "emb_whitening"),
+    ("doc_source_rollup", "curation_source_rollup"),
+    ("graph_closeness", "graph_closeness_sample"),
 ]
 
 RUNS = 3
 SENTINEL_RUNS = 3
+# Main-sweep noise_ratio above this triggers one headline re-time pass
+# (r6 driver capture: 2.56; quiet-host runs sit at 1.0-1.3).
+RETRY_NOISE_THRESHOLD = 1.8
 
 
 def _floor_sentinel(spark) -> float:
@@ -392,26 +412,72 @@ def main() -> None:
         _run_one(metric, registry[key].fn, SF_DIR)
 
     # q1 + events JSON extraction over the engine's canonical multi-row-group
-    # layout (splittable scans); removed afterwards so runs stay independent.
+    # layout (splittable scans); removed after the (possible) headline retry
+    # so runs stay independent.
     import shutil
 
+    _CANONICAL_ROWS = (
+        ("q1_pricing_summary_canonical", "agg_groupby"),
+        ("events_json_extract_canonical", "json_funcs"),
+    )
     canon_dir = _canonical_dir(spark, ["lineitem", "events"])
     try:
-        for metric, key in (
-            ("q1_pricing_summary_canonical", "agg_groupby"),
-            ("events_json_extract_canonical", "json_funcs"),
-        ):
+        for metric, key in _CANONICAL_ROWS:
             _run_one(metric, registry[key].fn, canon_dir)
+
+        floor_checkpoints.append(_floor_sentinel(spark))  # END
+
+        noise_ratio_initial = round(
+            max(floor_checkpoints) / min(floor_checkpoints), 3
+        )
+        floor_sec_initial = round(statistics.median(floor_checkpoints), 4)
+
+        # Noisy-host self-defense (BASELINE.md rule): re-time the headline
+        # rows once under their own sentinel and publish the lower-noise
+        # sample. Non-headline rows keep the main-sweep sample (they have
+        # no BASELINE budget line, so the floor rule never applies to them).
+        retried = noise_ratio_initial > RETRY_NOISE_THRESHOLD
+        retry_published = False
+        noise_ratio_retry = None
+        floor_sec = floor_sec_initial
+        noise_ratio = noise_ratio_initial
+        if retried:
+            r_tim: dict[str, float] = {}
+            r_plan: dict[str, float] = {}
+            r_setup: dict[str, float] = {}
+            r_cold: dict[str, float] = {}
+            headline_rows = [
+                (m, k, SF_DIR) for m, k in benchable if m in HEADLINE_METRICS
+            ] + [(m, k, canon_dir) for m, k in _CANONICAL_ROWS]
+            retry_checkpoints = [_floor_sentinel(spark)]  # retry START
+            for i, (metric, key, d) in enumerate(headline_rows):
+                if i == len(headline_rows) // 2:
+                    retry_checkpoints.append(_floor_sentinel(spark))  # MID
+                exec_s, plan_s, setup_s, cold_s = _time_query(
+                    spark, registry[key].fn, d
+                )
+                r_tim[metric] = round(exec_s, 4)
+                r_plan[metric] = round(plan_s, 4)
+                r_setup[metric] = round(setup_s, 4)
+                r_cold[metric] = round(cold_s, 4)
+            retry_checkpoints.append(_floor_sentinel(spark))  # retry END
+            noise_ratio_retry = round(
+                max(retry_checkpoints) / min(retry_checkpoints), 3
+            )
+            if noise_ratio_retry < noise_ratio_initial:
+                retry_published = True
+                timings.update(r_tim)
+                plan_secs.update(r_plan)
+                setup_secs.update(r_setup)
+                cold_secs.update(r_cold)
+                floor_sec = round(statistics.median(retry_checkpoints), 4)
+                noise_ratio = noise_ratio_retry
     finally:
         shutil.rmtree(canon_dir, ignore_errors=True)
-
-    floor_checkpoints.append(_floor_sentinel(spark))  # END
 
     total = round(sum(timings.values()), 4)
     plan_total = round(sum(plan_secs.values()), 4)
     setup_total = round(sum(setup_secs.values()), 4)
-    floor_sec = round(statistics.median(floor_checkpoints), 4)
-    noise_ratio = round(max(floor_checkpoints) / min(floor_checkpoints), 3)
 
     # Full per-query map: side file + an EARLY stdout line (anything long
     # must not be the final line — the driver's tail capture is bounded).
@@ -428,6 +494,10 @@ def main() -> None:
         "floor_sec": floor_sec,
         "floor_checkpoints": [round(s, 4) for s in floor_checkpoints],
         "noise_ratio": noise_ratio,
+        "retried": retried,
+        "retry_published": retry_published,
+        "noise_ratio_initial": noise_ratio_initial,
+        "noise_ratio_retry": noise_ratio_retry,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -448,6 +518,10 @@ def main() -> None:
                 "setup_sec_total": setup_total,
                 "floor_sec": floor_sec,
                 "noise_ratio": noise_ratio,
+                "retried": retried,
+                "retry_published": retry_published,
+                "noise_ratio_initial": noise_ratio_initial,
+                "noise_ratio_retry": noise_ratio_retry,
                 "n_queries_total": len(timings),
                 "full_map": "BENCH_FULL.json",
                 "sf": sf,

@@ -80,6 +80,8 @@ CARTESIAN_OK = {
     "graph_degree_assortativity",  # 1-row co-moment + count scalars combined
     "eval_rerank_recall",  # composes the exact-kNN baseline (broadcast query side)
     "eval_er_quality",  # three 1-row metric counters combined into one row
+    "curation_source_rollup",  # composes text_surprisal_buckets' 1-row cuts
+    "sample_temperature_weights",  # 1-row corpus-total scalars crossJoined
 }
 
 

@@ -759,6 +759,84 @@ def test_drawdown_stream_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_snapshot_diff_stream_equals_batch(spark):
+    """The B snapshot replayed as micro-batch slices through the
+    foreachBatch accumulate sink, then diffed read-side against A,
+    reaches EXACTLY the batch cdc_snapshot_diff rows (integer cents
+    lattice, no tolerance)."""
+    from pyspark.sql import Window as W
+
+    from bangdatapipeline_spark.operators.incremental import (
+        diff_snapshots,
+        snapshot_diff_result,
+    )
+    from bangdatapipeline_spark.streaming import sinks
+
+    a, b = diff_snapshots(spark, SF)
+    ordered = b.withColumn("_ord", F.row_number().over(W.orderBy("key")))
+    d = replay.write_chunks(spark, SF, n_chunks=5, df=ordered, order_col="_ord")
+    target = None
+    try:
+        stream = replay.read_stream(spark, d)
+        q, target = sinks.snapshot_accumulate_sink(stream)
+        q.awaitTermination()
+        state = sinks.read_state(spark, target).select("key", "cents_b")
+        out = snapshot_diff_result(a, state)
+        batch = REGISTRY["cdc_snapshot_diff"].fn(spark, SF)
+        cols = ["change_type", "n", "net_delta_cents", "min_key", "max_key"]
+        assert _rows(out, cols) == _rows(batch, cols)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        if target:
+            shutil.rmtree(target, ignore_errors=True)
+
+
+def test_scd2_apply_stream_equals_batch(spark):
+    """Replaying TWO snapshot versions per key (v1 = the stale dimension
+    value, v2 = the drifted new snapshot) in version order through the
+    keyed latest-version state op leaves state == the new snapshot
+    exactly; the read-side scd2_result(dim, state) then reproduces the
+    batch scd2_apply_changes rows with no tolerance. A chunk cut that
+    lands both versions of a key in ONE micro-batch is handled too: the
+    state op argmaxes on _ord, never takes the last row."""
+    from pyspark.sql import Window as W
+
+    from bangdatapipeline_spark.operators.incremental import (
+        scd2_inputs,
+        scd2_result,
+    )
+
+    dim, snap = scd2_inputs(spark, SF)
+    # v1: the stale value for keys the new snapshot also carries (inserts
+    # have no v1); v2: the new snapshot. _ord separates the versions
+    # globally so v1 chunks replay first.
+    v1 = dim.join(snap.select("key"), "key").select(
+        "key",
+        F.col("old_bal").alias("new_bal"),
+        F.col("key").alias("_ord"),
+    )
+    v2 = snap.select(
+        "key", "new_bal", (F.col("key") + F.lit(10**12)).alias("_ord")
+    )
+    d = replay.write_chunks(
+        spark, SF, n_chunks=6, df=v1.unionByName(v2), order_col="_ord"
+    )
+    try:
+        stream = replay.read_stream(spark, d)
+        out = replay.run_stream(
+            streaming.scd2_snapshot_state(stream), mode="update"
+        )
+        state = out.groupBy("key").agg(
+            F.max_by("new_bal", "ord").alias("new_bal")
+        )
+        got = scd2_result(dim, state)
+        batch = REGISTRY["scd2_apply_changes"].fn(spark, SF)
+        cols = ["key", "bal_cents", "version", "op", "is_current"]
+        assert _rows(got, cols) == _rows(batch, cols)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_snaive_backtest_stream_equals_batch(spark, chunks):
     """Tumbling daily cents as streaming state + the shared read-side
     day-7 backtest reproduces the batch ts_forecast_snaive_eval report

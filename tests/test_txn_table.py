@@ -9,6 +9,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
+import pytest
 
 from bangdatapipeline_spark.sources.txn_table import TxnTable
 from bangdatapipeline_spark.tables import load_table
@@ -239,6 +240,14 @@ def test_txn_time_travel_compact_vacuum(spark, tmp_path):
     }
     assert remaining == live, "vacuum kept non-live or deleted live files"
     assert _rows(t.read()) == v2_rows
+
+    # retention interplay: versions older than the horizon still replay
+    # from the log but their files are gone — the read must fail with the
+    # retention story, not a deep Spark PATH_NOT_FOUND
+    with pytest.raises(ValueError, match="reclaimed by vacuum"):
+        t.read(at_version=0)
+    with pytest.raises(ValueError, match="time travel is bounded"):
+        t.read(at_version=1)
 
 
 def test_txn_concurrent_commit_one_winner_loser_retries(spark, tmp_path):
