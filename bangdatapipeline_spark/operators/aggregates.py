@@ -2189,3 +2189,123 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+         AS segments
+FROM customer GROUP BY c_nationkey
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per nation, the
+    sorted distinct market segments concatenated into one audit string —
+    the denormalized summary column report builders ask of every
+    categorical. Determinism is the whole trick: collect_list order is
+    partition-order-dependent, so the list is DISTINCT'd and SORTED
+    in-row before joining — the only listagg formulation that
+    hash-matches across engines and runs.
+
+    One groupBy on the dimension key; the collected payload is bounded
+    by the segment domain (5 values), NOT the row count — collect_list
+    of an unbounded value column would be the anti-pattern (the 100 TB
+    contract here is: listagg only over provably-bounded domains; for
+    unbounded ones emit top-N with an explicit rank instead).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("c_mktsegment"))),
+            ",",
+        ).alias("segments"),
+    )
+
+
+@register(
+    "agg_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+         CAST(count(*) AS DOUBLE) AS o_cnt
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(o_cnt) AS n FROM obs),
+rowt AS (SELECT seg, sum(o_cnt) AS r FROM obs GROUP BY seg),
+colt AS (SELECT prio, sum(o_cnt) AS c FROM obs GROUP BY prio),
+cells AS (
+  SELECT obs.o_cnt, rowt.r * colt.c / tot.n AS e
+  FROM obs JOIN rowt USING (seg) JOIN colt USING (prio), tot
+)
+SELECT round(sum((o_cnt - e) * (o_cnt - e) / e), 6) AS chi2,
+       CAST((SELECT count(*) - 1 FROM rowt)
+            * (SELECT count(*) - 1 FROM colt) AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells
+""",
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the (market segment x order
+    priority) contingency table — completes the experimentation stack
+    next to agg_welch_ttest (means), events_srm_check (ratio
+    guardrails), and events_cuped (variance reduction): the categorical
+    association test an analyst runs before trusting a segment-level
+    breakdown.
+
+    The fact join collapses to the bounded |segments| x |priorities|
+    contingency table FIRST (one shuffle keyed on the pair, map-side
+    combine absorbs the rows); margins, expected counts, and the
+    statistic are then |cells|-row arithmetic. Observed counts are
+    exact integers; only the final statistic is float (round-6 on a
+    25-term sum — the repo's aggregate float policy).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o_cnt"))
+    )
+    tot = obs.agg(F.sum("o_cnt").alias("n"))
+    rowt = obs.groupBy("seg").agg(F.sum("o_cnt").alias("r"))
+    colt = obs.groupBy("prio").agg(F.sum("o_cnt").alias("c"))
+    cells = (
+        obs.join(F.broadcast(rowt), "seg")
+        .join(F.broadcast(colt), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_cnt", (F.col("r") * F.col("c") / F.col("n")).alias("e")
+        )
+    )
+    n_rows = rowt.agg((F.count(F.lit(1)) - 1).alias("rm1"))
+    n_cols = colt.agg((F.count(F.lit(1)) - 1).alias("cm1"))
+    return (
+        cells.agg(
+            F.round(
+                F.sum(
+                    (F.col("o_cnt") - F.col("e"))
+                    * (F.col("o_cnt") - F.col("e"))
+                    / F.col("e")
+                ),
+                6,
+            ).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "chi2",
+            (F.col("rm1") * F.col("cm1")).cast("bigint").alias("dof"),
+            "n_cells",
+        )
+    )

@@ -1740,3 +1740,149 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _BPE_TOP)
     )
+
+
+_NGRAM_TOP = 30
+
+
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n,
+       CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) AS INT) AS rk
+FROM c
+QUALIFY rk <= {_NGRAM_TOP}
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top word bigrams — the collocation/boilerplate report
+    (repeated bigrams at the head of this list are the fixed phrases a
+    dedup or quality pass should know about; it also feeds stop-phrase
+    lists and bigram-LM vocabularies). Word-level sibling of
+    ``text_bpe_pair_counts``' character pairs, same shape one level up.
+
+    Bigrams are generated IN-ROW (position transform over the token
+    array, no self-join on position — the posexplode-and-join
+    formulation would shuffle every token twice); the count aggregate
+    is the only exchange and map-side combine compresses it to the
+    distinct-bigram domain per task. Unlike char pairs that domain is
+    data-sized (vocab²-bounded but long-tailed), so the top-{_NGRAM_TOP}
+    window runs AFTER the count table — at 100 TB that table is the
+    thing you'd additionally count-min-sketch if it outgrew memory
+    (agg_cms_heavy_hitters is the registered sketch path).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.selectExpr(
+        "explode(transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))) AS bigram"
+    ).where("size(split(text, ' ')) >= 2")
+    counted = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NGRAM_TOP)
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from bangdatapipeline_spark.registry import REGISTRY
+
+    base = REGISTRY["text_langid"].oracle
+    return f"""
+WITH pred AS ({base}),
+truth AS (SELECT doc_id, lang AS true_lang FROM documents),
+tot AS (SELECT lang AS true_lang, CAST(count(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY 1)
+SELECT t.true_lang, p.pred_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((count(*) * 1000000 + tot.n_true // 2) // tot.n_true AS BIGINT)
+         AS row_ppm
+FROM pred p JOIN truth t USING (doc_id) JOIN tot USING (true_lang)
+GROUP BY t.true_lang, p.pred_lang, tot.n_true
+"""
+
+
+@register("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID classifier against the labeled
+    ``lang`` column — the eval that turns text_langid from a score into
+    a shippable gate (per true language: where do its documents go, and
+    what share of them; diagonal cells are per-language recall in ppm).
+    Same eval posture as eval_er_quality / eval_dedup_recall: the
+    synthetic corpus carries ground truth, so the metric is real, not a
+    proxy.
+
+    Composes the REGISTERED classifier plan (its |langs| x |vocab|
+    profile broadcast and doc-keyed scoring shuffle are the cost); the
+    eval adds one doc_id equi-join to the labels and a bounded
+    |langs|² rollup on the integer ppm lattice — O(docs) on top of the
+    classifier, nothing new at scale.
+    """
+    pred = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    d = load_table(spark, sf_dir, "documents")
+    truth = d.select("doc_id", F.col("lang").alias("true_lang"))
+    tot = d.groupBy(F.col("lang").alias("true_lang")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        pred.join(truth, "doc_id")
+        .join(F.broadcast(tot), "true_lang")
+        .groupBy("true_lang", "pred_lang", "n_true")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("(n * 1000000 + n_true DIV 2) DIV n_true").alias(
+                "row_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "text_length_percentiles",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+""",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source — the first histogram a
+    corpus intake reads (length percentiles decide chunking windows,
+    truncation budgets, and which sources need length-outlier
+    filtering). Exact interpolated percentiles (the agg_quantiles
+    formula identity: Spark ``percentile`` == DuckDB ``quantile_cont``),
+    rounded per the repo float policy.
+
+    One groupBy(source): percentile is a sort-based aggregate WITHIN
+    each bounded group. At 100 TB swap to approx_percentile per the
+    profiler's documented cardinality policy — length tails don't need
+    exactness; the exact form here is the oracle-checkable baseline
+    that certifies the swap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.25), 6).alias("p25"),
+        F.round(F.percentile("n_chars", 0.50), 6).alias("p50"),
+        F.round(F.percentile("n_chars", 0.75), 6).alias("p75"),
+        F.round(F.percentile("n_chars", 0.95), 6).alias("p95"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -386,3 +386,67 @@ def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("asset_id").alias("first_asset"),
         )
     )
+
+
+@register(
+    "multimodal_resolution_buckets",
+    oracle="""
+WITH a AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+         n_chars % 1920 + 16                AS width,
+         (n_chars * 10) % 60000 + 1000      AS duration_ms
+  FROM documents
+)
+SELECT kind,
+       CASE WHEN width < 640 THEN 'sd'
+            WHEN width < 1280 THEN 'hd' ELSE 'fhd' END AS res_bucket,
+       CAST(count(*) AS BIGINT)            AS n_assets,
+       CAST(sum(width) // count(*) AS BIGINT)  AS avg_width,
+       CAST(sum(duration_ms) AS BIGINT)    AS sum_duration_ms
+FROM a GROUP BY 1, 2
+""",
+)
+def multimodal_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-inventory rollup by resolution class — the first report a
+    multimodal ingest produces (what fraction of the drop is SD vs HD vs
+    FHD per modality decides decode budgets, resize targets, and shard
+    sizing downstream). Buckets on the metadata struct ONLY: the binary
+    payload column is never touched, so the scan prunes to the few-byte
+    meta fields — the posture every metadata-plane query over a 100 TB
+    media lake must have (payloads dominate row size; a rollup that
+    drags them through the shuffle pays 1000x the IO).
+
+    Derives from the deterministic asset table (``build_assets``); the
+    oracle re-expresses the same metadata arithmetic over the source
+    rows. Average width is exact integer division; durations sum on the
+    integer ms lattice. Bounded output: |kinds| x |buckets| rows.
+    """
+    a = build_assets(spark, sf_dir)
+    width = F.col("width")
+    return (
+        a.select(
+            "kind",
+            F.col("meta.width").alias("width"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .groupBy(
+            "kind",
+            F.when(width < 640, "sd")
+            .when(width < 1280, "hd")
+            .otherwise("fhd")
+            .alias("res_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("duration_ms").cast("bigint").alias("sum_duration_ms"),
+        )
+        .select(
+            "kind",
+            "res_bucket",
+            "n_assets",
+            F.expr("sum_width DIV n_assets").alias("avg_width"),
+            "sum_duration_ms",
+        )
+    )

@@ -286,3 +286,48 @@ def sql_api_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q22_SQL)
+
+
+@register(
+    "filter_scalar_subquery",
+    oracle="""
+WITH avg_cents AS (
+  SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           // count(*) AS a
+  FROM orders
+)
+SELECT o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM orders o, avg_cents
+WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) > avg_cents.a
+""",
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter by an uncorrelated scalar subquery — ``WHERE price >
+    (SELECT avg(price) ...)``, the above-average idiom. The threshold is
+    computed on the exact integer cents lattice (sum DIV count), so
+    membership at the boundary is deterministic: a float avg differs
+    between engines in the last ulp, and a row sitting exactly on it
+    would flip the hash.
+
+    Plan shape: the 1-row aggregate broadcasts into the scan-side filter
+    (Catalyst rewrites the scalar subquery to a broadcast exchange), so
+    the fact table is read ONCE for the aggregate and once for the
+    filtered projection — both scans prune to the two referenced
+    columns. At 100 TB the aggregate pass is the cheap one (map-side
+    combine to a single row) and the filter pass is where predicate
+    evaluation must stay in the scan stage, which it does (asserted by
+    the plan audit's no-BNLJ-unless-declared rule: the 1-row join IS
+    the declared broadcast).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    priced = o.select("o_orderkey", cents.alias("price_cents"))
+    avg_cents = priced.agg(
+        F.expr("sum(price_cents) DIV count(*)").alias("a")
+    )
+    return (
+        priced.crossJoin(F.broadcast(avg_cents))
+        .filter(F.col("price_cents") > F.col("a"))
+        .select("o_orderkey", "price_cents")
+    )

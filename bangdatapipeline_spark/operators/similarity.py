@@ -2677,3 +2677,62 @@ def eval_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_ppm"),
         F.sum(F.when(F.col("hits") == TOP_K, 1).otherwise(0)).alias("n_perfect"),
     )
+
+
+_SIM_HIST_BINS = 20  # histogram over [-1, 1], width 0.1
+
+
+@register(
+    "emb_sim_histogram",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), sims AS (
+  SELECT {_duck_dot('q.q_emb', 'e.embedding')} AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.q_id
+)
+SELECT CAST(least(greatest(floor((sim + 1.0) * 10), 0),
+                  {_SIM_HIST_BINS - 1}) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM sims GROUP BY 1
+""",
+)
+def emb_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity distribution audit: histogram of query-corpus
+    cosine scores in {_SIM_HIST_BINS} fixed bins over [-1, 1] — the
+    embedding-space health check run before trusting ANN structures on a
+    new corpus (a distribution collapsing toward 1.0 signals degenerate
+    embeddings / hubness; a healthy one is centered with thin tails, and
+    the histogram also calibrates the dedup/decontamination thresholds
+    the semantic family uses).
+
+    Same bounded-query x streamed-corpus pair pass as the exact kNN
+    baseline (broadcast query side, Arrow dot kernel with the oracle's
+    exact fold order), but the reduction is a {_SIM_HIST_BINS}-key count
+    — map-side combine collapses the pair stream per task, so unlike
+    top-k nothing per-pair ever shuffles. At 100 TB the query side is a
+    fixed sample and the corpus pass reuses the blocked-GEMM kernel;
+    bin membership is floor() of bit-identical doubles (clamped at the
+    edges), hence hash-exact.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(e.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim")
+        )
+    )
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("sim") + 1.0) * 10), F.lit(0)),
+        F.lit(_SIM_HIST_BINS - 1),
+    ).cast("int")
+    return sims.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -588,3 +588,137 @@ def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", F.round("value", 2).alias("latest_value"))
     )
+
+
+@register(
+    "events_session_funnel",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM o
+), sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+), s1 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id, sess_id) AS t_view
+    FROM sess
+), s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+                OVER (PARTITION BY user_id, sess_id) AS t_click
+    FROM s1
+), s3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+                OVER (PARTITION BY user_id, sess_id) AS t_purch
+    FROM s2
+), per_sess AS (
+    SELECT user_id, sess_id, min(ts) AS sess_start,
+           max(t_view) AS t_view, max(t_click) AS t_click,
+           max(t_purch) AS t_purch
+    FROM s3 GROUP BY 1, 2
+)
+SELECT strftime(CAST(sess_start AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(t_view) AS BIGINT)  AS n_view,
+       CAST(count(t_click) AS BIGINT) AS n_click,
+       CAST(count(t_purch) AS BIGINT) AS n_converted,
+       CAST((count(t_purch) * 1000000 + count(*) // 2) // count(*) AS BIGINT)
+         AS conv_ppm
+FROM per_sess GROUP BY 1
+""",
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped ordered funnel: within each 30-minute-gap session,
+    view -> first click at-or-after that view -> first purchase
+    at-or-after that click, rolled up to per-day session conversion —
+    the per-visit complement of ``events_funnel``'s user-lifetime
+    funnel (a user who viewed in January and purchased in March counts
+    there but converts NO session here).
+
+    The sessionize window, the three stage-min windows, and the
+    per-session collapse all ride the SAME user_id partitioning (the
+    stage windows only refine the partition key to (user, session) —
+    no extra exchange); the day rollup then shuffles |sessions|
+    pre-combined rows. Ordering inside a session is enforced by the
+    min-ts chain, not event adjacency, exactly like the lifetime
+    funnel. Conversion is integer ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts") - F.col("prev_ts")
+                > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id")
+    staged = (
+        sess.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "t_purch",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(ws),
+        )
+    )
+    per_sess = staged.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purch").alias("t_purch"),
+    )
+    agg = per_sess.groupBy(
+        F.date_format("sess_start", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purch").alias("n_converted"),
+    )
+    return agg.select(
+        "day",
+        "n_sessions",
+        "n_view",
+        "n_click",
+        "n_converted",
+        F.expr(
+            "(n_converted * 1000000 + n_sessions DIV 2) DIV n_sessions"
+        ).alias("conv_ppm"),
+    )

@@ -1394,3 +1394,123 @@ def ts_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(span_us) DIV 1000000").alias("covered_s"),
         F.expr("max(span_us) DIV 1000000").alias("max_island_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Local-peak detection on the daily series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_peak_detection",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+nbr AS (
+  SELECT event_type, day, cents,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev_cents,
+         lead(cents) OVER (PARTITION BY event_type ORDER BY day) AS next_cents
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+       cents - prev_cents AS rise_cents,
+       cents - next_cents AS fall_cents
+FROM nbr
+WHERE prev_cents IS NOT NULL AND next_cents IS NOT NULL
+  AND cents > prev_cents AND cents > next_cents
+""",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily revenue series: a day is a
+    peak when its exact-cents total strictly exceeds BOTH neighbors
+    (series endpoints can never qualify — a one-sided comparison is not
+    a peak). Emits each peak with its rise and fall magnitudes — the
+    spike shortlist an anomaly triage queue starts from, complementing
+    the deviation-based monitors (dq_volume_anomaly's MAD fence flags
+    level shifts; this flags local extrema regardless of level).
+
+    The event stream collapses to the bounded (event_type, day) daily
+    table first — map-side combine absorbs raw volume — and the
+    lag/lead pass rides one partition per event_type over a
+    |days|-sized series: at 100 TB the windowed stage sees a few
+    thousand rows no matter the input. Strict > on the integer cents
+    lattice makes peak membership exact (no float tie ambiguity).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    nbr = daily.withColumn("prev_cents", F.lag("cents").over(w)).withColumn(
+        "next_cents", F.lead("cents").over(w)
+    )
+    return (
+        nbr.filter(
+            F.col("prev_cents").isNotNull()
+            & F.col("next_cents").isNotNull()
+            & (F.col("cents") > F.col("prev_cents"))
+            & (F.col("cents") > F.col("next_cents"))
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            (F.col("cents") - F.col("prev_cents")).alias("rise_cents"),
+            (F.col("cents") - F.col("next_cents")).alias("fall_cents"),
+        )
+    )
+
+
+@register(
+    "ts_cumulative_reach",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+newc AS (SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(days.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(newc.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(newc.n_new, 0)) OVER (ORDER BY days.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
+FROM days LEFT JOIN newc ON newc.day = days.day
+""",
+)
+def ts_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-reach curve: distinct users ever seen up to each day —
+    the growth metric next to the windowed DAU/WAU family
+    (events_dau_wau counts a trailing window; this counts the
+    all-time union). The trick that makes it exact AND scalable: a
+    running COUNT(DISTINCT) never runs distinct per day — each user
+    collapses to their FIRST-seen day once, and the reach curve is the
+    running SUM of first-seen counts, which is algebraically the same
+    number.
+
+    Shapes: one groupBy(user_id) min (keyed on users), one bounded
+    day-keyed count, then a cumulative window over the |days|-row spine
+    (single tiny partition by construction — same posture as every daily
+    rollup here). At 100 TB the user collapse is the only big shuffle
+    and it is the minimal one possible for this statistic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    newc = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    spine = days.join(newc, "day", "left").select(
+        "day", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return spine.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_reach"),
+    )

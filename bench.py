@@ -284,6 +284,22 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_whitening", "emb_whitening"),
     ("doc_source_rollup", "curation_source_rollup"),
     ("graph_closeness", "graph_closeness_sample"),
+    ("doc_bpe_pair_counts", "text_bpe_pair_counts"),
+    ("orders_priority_mode", "agg_mode_exact"),
+    ("asof_next_event_forward", "join_asof_forward"),
+    ("events_session_bounces", "win_session_bounces"),
+    ("doc_temperature_mix", "sample_temperature_weights"),
+    ("events_peak_days", "ts_peak_detection"),
+    ("emb_sim_histogram", "emb_sim_histogram"),
+    ("assets_resolution_buckets", "multimodal_resolution_buckets"),
+    ("events_session_funnel", "events_session_funnel"),
+    ("orders_above_avg", "filter_scalar_subquery"),
+    ("nations_segment_listagg", "agg_string_agg"),
+    ("orders_chi_square", "agg_chi_square"),
+    ("events_cumulative_reach", "ts_cumulative_reach"),
+    ("doc_bigram_topk", "text_ngram_topk"),
+    ("doc_langid_confusion", "text_langid_confusion"),
+    ("doc_length_percentiles", "text_length_percentiles"),
 ]
 
 RUNS = 3

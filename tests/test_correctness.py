@@ -11,6 +11,7 @@ from tests.oracle import compare_query
 REGISTRY = load_all()
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("key", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, key):
     ok, msg = compare_query(spark, REGISTRY[key], sf_dir)

@@ -24,6 +24,10 @@ import pytest
 
 from bangdatapipeline_spark.registry import load_all
 
+# Full-registry sweep: deselectable for the fast iteration path
+# (pytest -m "not sweep"); the default run still includes it.
+pytestmark = pytest.mark.sweep
+
 # Keys whose plan legitimately contains a cartesian product: either the
 # all-pairs form IS the declared semantics (bounded exact baselines the
 # approximate paths are graded against), or the crossJoin attaches a
@@ -82,6 +86,9 @@ CARTESIAN_OK = {
     "eval_er_quality",  # three 1-row metric counters combined into one row
     "curation_source_rollup",  # composes text_surprisal_buckets' 1-row cuts
     "sample_temperature_weights",  # 1-row corpus-total scalars crossJoined
+    "emb_sim_histogram",  # exact pair pass (broadcast query side, knn pattern)
+    "filter_scalar_subquery",  # 1-row avg threshold broadcast into the filter
+    "agg_chi_square",  # 1-row total + dof scalar crossJoins
 }
 
 
