@@ -783,3 +783,116 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("drift"),
     )
+
+
+@register(
+    "dq_join_fanout_histogram",
+    oracle="""
+WITH per_order AS (
+  SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_lines
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT n_lines,
+       CAST(count(*) AS BIGINT)     AS n_orders,
+       CAST(sum(n_lines) AS BIGINT) AS n_rows_out
+FROM per_order GROUP BY n_lines
+""",
+)
+def dq_join_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout histogram — the cardinality audit run BEFORE pointing
+    a 1000-executor job at a fact-fact join: for the orders->lineitem
+    key, how many children does each parent have (bucketed), how many
+    parents sit in each bucket, and how many output rows each bucket
+    contributes. A surprise heavy bucket here is tomorrow's exploded
+    join; zero-line parents (n_lines = 0) quantify the LEFT-join null
+    fringe. Complements dq_hot_keys (this is the full distribution, not
+    the top-5) and dq_referential_integrity (orphans are the mirror
+    audit).
+
+    The child side pre-aggregates to one row per parent key BEFORE
+    anything joins — the shuffle is keyed on parent cardinality, never
+    child row count — and the histogram is a bounded second aggregate
+    (|distinct fanouts| keys) with map-side combine. At 100 TB this is
+    two cheap passes that can save a 10-hour exploded join.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_child = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    per_order = o.join(per_child, "o_orderkey", "left").select(
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines")
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_rows_out"),
+    )
+
+
+_BOT_TOP = 20
+
+
+@register(
+    "dq_bot_rate_suspects",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         date_diff('microsecond', min(ts), max(ts)) AS span_us
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, n_events, CAST(span_us AS BIGINT) AS span_us,
+         CAST(n_events * 60000000 // greatest(span_us, 1) AS BIGINT)
+           AS events_per_min
+  FROM u WHERE n_events >= 2
+)
+SELECT user_id, n_events, span_us, events_per_min,
+       CAST(row_number() OVER (ORDER BY events_per_min DESC, user_id ASC)
+            AS INT) AS rk
+FROM r QUALIFY rk <= {_BOT_TOP}
+""",
+)
+def dq_bot_rate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likelihood ranking by sustained event rate — the traffic-
+    quality gate a training-data pipeline runs on behavioral logs before
+    trusting them (bot/scraper sessions poison both analytics and
+    training mixes; rate is the first-order tell). Per user: event
+    count, active span, and events-per-minute on the exact integer
+    lattice (count x 60e6 DIV span_us — no float rate to drift), ranked
+    to the top {_BOT_TOP} suspects with a deterministic tie-break.
+    Ranking rather than thresholding keeps the report non-empty on any
+    corpus — the threshold is a policy knob the consumer applies.
+
+    One groupBy(user_id) with min/max/count (map-side combine), a
+    |users|-row projection, and a top-{_BOT_TOP} window — the global
+    sort runs over pre-aggregated user rows, never events. Single-digit
+    seconds at any event volume; the heavy lifting was already paid by
+    the aggregate's combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    r = (
+        u.filter(F.col("n_events") >= 2)
+        .withColumn(
+            "span_us",
+            F.expr("timestampdiff(MICROSECOND, t0, t1)").cast("bigint"),
+        )
+        .withColumn(
+            "events_per_min",
+            F.expr(
+                "n_events * 60000000 DIV greatest(span_us, 1)"
+            ).cast("bigint"),
+        )
+    )
+    w = Window.orderBy(F.col("events_per_min").desc(), F.col("user_id").asc())
+    return (
+        r.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BOT_TOP)
+        .select("user_id", "n_events", "span_us", "events_per_min", "rk")
+    )

@@ -405,3 +405,38 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("int").alias("max_k"),
         F.count(F.when(F.col("valid"), 1)).alias("n_valid"),
     )
+
+
+@register(
+    "bool_agg_funcs",
+    oracle="""
+SELECT c_mktsegment,
+       bool_and(c_acctbal > 0)                        AS all_positive,
+       bool_or(c_acctbal < 0)                         AS any_negative,
+       CAST(count_if(c_acctbal > 5000) AS BIGINT)     AS n_high,
+       CAST(count_if(c_nationkey % 2 = 0) AS BIGINT)  AS n_even_nation,
+       CAST(count(*) AS BIGINT)                       AS n
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def bool_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: ``bool_and`` / ``bool_or`` (SQL
+    EVERY/ANY) and ``count_if`` per group — the predicate-rollup
+    functions every data-quality dashboard leans on ("are ALL balances
+    positive in this segment, does ANY go negative, how many exceed the
+    threshold"). The engines must agree on three-valued logic here:
+    these reduce predicates, not values, so a NULL-handling divergence
+    shows up as a flipped boolean, not a drifted float.
+
+    Pure map-side-combinable aggregates over a bounded key space — the
+    cheapest possible shape at any scale (booleans fold to 1 bit of
+    state, count_if to one counter).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+        F.count_if(F.col("c_acctbal") > 5000).alias("n_high"),
+        F.count_if(F.col("c_nationkey") % 2 == 0).alias("n_even_nation"),
+        F.count(F.lit(1)).alias("n"),
+    )

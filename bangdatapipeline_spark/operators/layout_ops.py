@@ -578,3 +578,146 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
         shutil.rmtree(d_o, ignore_errors=True)
         shutil.rmtree(d_c, ignore_errors=True)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip: land the events table as ORC (the other
+    major columnar format a lakehouse ingests from Hive-era producers),
+    read it back through the ORC reader, and hash-check an aggregate
+    against the ORIGINAL parquet rows — value-preserving ingestion is
+    the entire contract of a format connector, and this proves it
+    column-type by column-type (bigint keys, strings, doubles on the
+    exact cents lattice).
+
+    Write: repartition(4) so the ORC dataset is multi-stripe/multi-file
+    and the read-back scan splits (same canonical-layout rationale as
+    BASELINE.md round 2). Predicate pushdown and column pruning work in
+    the ORC reader the same as parquet (Catalyst emits ORC
+    PushedFilters); the demo aggregate prunes to 3 columns. Result
+    pinned via localCheckpoint so the temp dataset is removed before
+    returning (txn_optimize_table contract).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"orc_rt_{uuid.uuid4().hex[:8]}")
+    try:
+        ev.repartition(4).write.orc(path)
+        back = spark.read.orc(path)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "layout_merge_on_read",
+    oracle="""
+WITH delta AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 13 = 0 THEN TRUE ELSE FALSE END AS is_delete,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 777 AS new_cents
+  FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 7 = 0
+),
+merged AS (
+  SELECT c.c_mktsegment,
+         coalesce(d.new_cents, CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+           AS cents,
+         d.key IS NOT NULL AND NOT d.is_delete AS updated
+  FROM customer c LEFT JOIN delta d ON d.key = c.c_custkey
+  WHERE NOT coalesce(d.is_delete, FALSE)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count_if(updated) AS BIGINT) AS n_updated,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY c_mktsegment
+""",
+)
+def layout_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ — the other half of the lakehouse merge design
+    space (the txn table's MERGE is copy-on-write): the base file set
+    is IMMUTABLE, a small delta file carries upserts + delete markers
+    (deletion-vector pattern), and the merge happens at READ time as a
+    left join + tombstone filter. Writes are O(delta) with zero
+    rewrite; reads pay the join until compaction folds the delta in —
+    exactly the trade Iceberg v2 / Delta DVs make for streaming-write
+    workloads, and the batch shape of the cdc_merge read-side sinks.
+
+    Demo: base customer parquet + a delta parquet (updates +777 cents
+    on keys = 0 mod 7, tombstones on 0 mod 13) written to temp files,
+    merged at read, aggregated per segment, hash-checked against the
+    one-shot SQL merge. At 100 TB: bucket base AND delta by key and
+    the read-side join is exchange-free on the base (the delta
+    broadcast-joins when small, which it is by construction); the
+    compaction that retires the delta is txn_optimize_table's job.
+    Pinned via localCheckpoint before the temp files are removed.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    root = os.path.join(tempfile.gettempdir(), f"mor_{uuid.uuid4().hex[:8]}")
+    try:
+        base_path = os.path.join(root, "base")
+        delta_path = os.path.join(root, "delta")
+        c.select("c_custkey", "c_mktsegment", cents.alias("cents")).write.parquet(
+            base_path
+        )
+        key = F.col("c_custkey")
+        c.filter((key % 13 == 0) | (key % 7 == 0)).select(
+            key.alias("key"),
+            (key % 13 == 0).alias("is_delete"),
+            (cents + F.lit(777)).alias("new_cents"),
+        ).write.parquet(delta_path)
+
+        base = spark.read.parquet(base_path)
+        delta = spark.read.parquet(delta_path)
+        merged = (
+            base.join(
+                F.broadcast(delta),
+                base["c_custkey"] == delta["key"],
+                "left",
+            )
+            .filter(~F.coalesce("is_delete", F.lit(False)))
+            .select(
+                "c_mktsegment",
+                F.coalesce("new_cents", "cents").alias("cents"),
+                (F.col("key").isNotNull() & ~F.col("is_delete")).alias(
+                    "updated"
+                ),
+            )
+        )
+        out = merged.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.coalesce("updated", F.lit(False))).alias("n_updated"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1470,6 +1470,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_cumulative_reach",
+    tags=("stream_twin", "stream_test:test_cumulative_reach_stream_equals_batch"),
     oracle="""
 WITH first_seen AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
@@ -1501,10 +1502,18 @@ def ts_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    return reach_from_first_seen(first_seen, days)
+
+
+def reach_from_first_seen(first_seen: DataFrame, days: DataFrame) -> DataFrame:
+    """The day-spine cumsum half of ``ts_cumulative_reach``, shared with
+    its streaming twin (the twin maintains per-user min-day as streaming
+    state and calls this read-side): ``first_seen (user_id, d0)`` +
+    ``days (day)`` -> per-day new users and running reach."""
     newc = first_seen.groupBy(F.col("d0").alias("day")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
     spine = days.join(newc, "day", "left").select(
         "day", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )

@@ -164,3 +164,57 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+def _arrow_token_stats(batches):
+    """mapInArrow body: per-batch token/char counts computed with
+    pyarrow.compute kernels — columnar end to end, no pandas
+    materialization (the zero-copy lane for wide binary/text batches)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        toks = pc.list_value_length(pc.split_pattern(text, " "))
+        chars = pc.utf8_length(text)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("source"), toks.cast(pa.int64()), chars.cast(pa.int64())],
+            names=["source", "n_tokens", "n_chars_obs"],
+        )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Python-integration surface: ``mapInArrow`` — raw Arrow
+    RecordBatches in and out, no pandas conversion at all. The body
+    computes per-document token and character counts with
+    pyarrow.compute kernels (split_pattern + list_value_length +
+    utf8_length); the SQL oracle re-expresses the same counts, proving
+    the Arrow lane computes exactly what the declarative path would
+    (the same parity contract as udf_scalar/udaf_grouped/udtf_expand).
+
+    When to pick this over pandas_udf: wide text/binary batches where
+    the pandas conversion (object arrays, copies) dominates —
+    mapInArrow hands the worker the Arrow buffers zero-copy, which is
+    why the multimodal family's production decode path would sit here.
+    Narrow transformation (no shuffle); the downstream rollup is a
+    bounded |sources| aggregate with map-side combine.
+    """
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    stats = d.mapInArrow(
+        _arrow_token_stats, "source string, n_tokens long, n_chars_obs long"
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_chars_obs").alias("sum_chars"),
+    )

@@ -921,3 +921,67 @@ def win_session_bounces(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_bounces * 1000000 + n_sessions DIV 2) DIV n_sessions"
         ).alias("bounce_ppm"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         row_number() OVER w AS rn,
+         first_value(o_orderdate) OVER w AS first_date,
+         nth_value(o_orderdate, 2) OVER w AS second_date,
+         last_value(o_orderdate) OVER w AS last_date,
+         count(*) OVER w AS n_orders
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       strftime(first_date, '%Y-%m-%d') AS first_date,
+       strftime(second_date, '%Y-%m-%d') AS second_date,
+       strftime(last_date, '%Y-%m-%d') AS last_date
+FROM o WHERE rn = 1
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``first_value`` / ``nth_value(2)`` / ``last_value`` over a
+    FULL-partition frame — the positional window family the analytic
+    suite was missing (win_analytic covers lag/lead offsets; these are
+    rank-positional): per customer, the first, second, and last order
+    dates plus the order count, one row per customer. The frame is
+    explicitly UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING: the default
+    running frame silently turns last_value into current-row (the
+    classic window bug) and nth_value(2) into null until row 2 — the
+    full frame is the semantics both engines agree on. second_date is
+    NULL for single-order customers (nth beyond the partition), and
+    the (date, orderkey) composite order makes every position
+    deterministic under ties.
+
+    One shuffle on o_custkey; emitting via rn = 1 keeps one row per
+    key without a second aggregate pass. At 100 TB the full-frame
+    positional read is still a single per-partition scan — Spark
+    buffers only the frame's positional targets, not the partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wf).alias("n_orders"),
+            F.date_format(F.first("o_orderdate").over(wf), "yyyy-MM-dd").alias(
+                "first_date"
+            ),
+            F.date_format(
+                F.nth_value("o_orderdate", 2).over(wf), "yyyy-MM-dd"
+            ).alias("second_date"),
+            F.date_format(F.last("o_orderdate").over(wf), "yyyy-MM-dd").alias(
+                "last_date"
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "n_orders", "first_date", "second_date", "last_date")
+    )

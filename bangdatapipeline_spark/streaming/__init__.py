@@ -557,6 +557,21 @@ def _scd2_latest(key, pdf_iter, state: GroupState):
     )
 
 
+def first_seen_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_cumulative_reach``'s state half: per-user
+    FIRST-seen day maintained as a streaming min aggregate (complete
+    mode — the state is |users| rows of one date each, the minimal
+    state any reach metric can carry). The day-spine cumsum runs
+    read-side over it (``timeseries.reach_from_first_seen``), because
+    the curve needs all users' first days together — the same
+    state-plus-read-side split as the volume/freshness monitors."""
+    return (
+        _event_time(events)
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+
+
 def scd2_snapshot_state(snapshot_stream: DataFrame) -> DataFrame:
     """Streaming twin of ``scd2_apply_changes``' state half: the incoming
     dimension snapshot arrives as keyed version rows ``(key, new_bal,
@@ -635,6 +650,9 @@ def _stream_twins():
         # accumulates it against the previous batch's state table, the
         # A-vs-B classify runs read-side (snapshot_diff_result)
         "cdc_snapshot_diff": sinks.snapshot_accumulate_sink,
+        # cumulative reach: per-user first-seen day is the state; the
+        # day-spine cumsum runs read-side (reach_from_first_seen)
+        "ts_cumulative_reach": first_seen_state,
     }
 
 

@@ -300,6 +300,13 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_bigram_topk", "text_ngram_topk"),
     ("doc_langid_confusion", "text_langid_confusion"),
     ("doc_length_percentiles", "text_length_percentiles"),
+    ("doc_map_in_arrow", "udf_map_in_arrow"),
+    ("orders_nth_value", "win_nth_value"),
+    ("customers_bool_aggs", "bool_agg_funcs"),
+    ("events_orc_roundtrip", "source_orc_roundtrip"),
+    ("customers_merge_on_read", "layout_merge_on_read"),
+    ("orders_join_fanout", "dq_join_fanout_histogram"),
+    ("events_bot_suspects", "dq_bot_rate_suspects"),
 ]
 
 RUNS = 3

@@ -837,6 +837,27 @@ def test_scd2_apply_stream_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_cumulative_reach_stream_equals_batch(spark, chunks):
+    """Per-user first-seen-day streaming state (complete-mode min agg)
+    plus the shared read-side day-spine cumsum reproduces the batch
+    ts_cumulative_reach curve EXACTLY (all-integer counts)."""
+    from bangdatapipeline_spark.operators.timeseries import (
+        reach_from_first_seen,
+    )
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(
+        streaming.first_seen_state(stream), mode="complete"
+    )
+    days = load_table(spark, SF, "events").select(
+        F.to_date("ts").alias("day")
+    ).distinct()
+    out = reach_from_first_seen(state.select("user_id", "d0"), days)
+    batch = REGISTRY["ts_cumulative_reach"].fn(spark, SF)
+    cols = ["day", "n_new", "cum_reach"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def test_snaive_backtest_stream_equals_batch(spark, chunks):
     """Tumbling daily cents as streaming state + the shared read-side
     day-7 backtest reproduces the batch ts_forecast_snaive_eval report
