@@ -77,17 +77,27 @@ _MODULE_PRIORITY = [
 ]
 
 
-def _correctness_history() -> tuple[set[str], set[str]]:
-    """(keys green in some prior round, keys that errored/failed somewhere).
+def _correctness_history() -> tuple[dict[str, int], set[str]]:
+    """({green key: latest green round}, keys that errored/failed somewhere).
 
     A pass with 0 rows on both sides is NOT counted green: a 0=0 match is
     vacuous evidence (both engines agreeing on an empty result proves only
     the schema), so such keys rotate back into the re-verify tier until a
     round records a non-empty match.
+
+    The latest-green round number drives tier-3 rotation (VERDICT r7 task
+    2): with every key green, each round's bounded window would otherwise
+    re-verify the SAME insertion-order prefix forever while r1-era
+    evidence ages unrefreshed.
     """
-    green: set[str] = set()
+    green: dict[str, int] = {}
     failed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):].split(".")[0])
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -103,10 +113,10 @@ def _correctness_history() -> tuple[set[str], set[str]]:
             if passed and row.get("spark_rows", 0) == 0 == row.get("oracle_rows", 0):
                 failed.add(key)  # vacuous 0=0 pass: re-verify
             elif passed:
-                green.add(key)
+                green[key] = max(rnd, green.get(key, 0))
             else:
                 failed.add(key)
-    return green, failed - green
+    return green, failed - set(green)
 
 
 def _registry_snapshot() -> set[str]:
@@ -150,7 +160,13 @@ def _ordered_registry():
         # with the same urgency as a failed snapshot key (tier 0 keeps
         # insertion order), and tier 3 ordering is inert anyway
         newer = 0 if (tier in (0, 3) or not snapshot or key in snapshot) else 1
-        return (tier, newer, mod_rank, insertion[key])
+        # Tier-3 staleness rotation (VERDICT r7 task 2): oldest green
+        # evidence re-verifies first (a key last green in r1 outranks one
+        # green in r7), so the bounded per-round window sweeps the whole
+        # registry over successive rounds instead of re-checking the same
+        # insertion-order prefix. Inert for tiers 0-2 (age 0 there).
+        age = green.get(key, 0) if tier == 3 else 0
+        return (tier, newer, age, mod_rank, insertion[key])
 
     return {key: registry[key] for key in sorted(registry, key=rank)}
 

@@ -1781,11 +1781,18 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg_cms_heavy_hitters is the registered sketch path).
     """
     d = load_table(spark, sf_dir, "documents")
+    # Guard IN-ROW (CASE inside the generator), not via a post-explode
+    # where clause: sequence(1, 0) is the DESCENDING [1, 0] in Spark, so a
+    # single-token doc would index element_at(tokens, 0) and raise unless
+    # the optimizer happened to push the predicate below the Generate —
+    # same in-row posture as text_bpe_pair_counts (ADVICE r7).
     bg = d.selectExpr(
-        "explode(transform(sequence(1, size(split(text, ' ')) - 1),"
+        "explode(CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))) AS bigram"
-    ).where("size(split(text, ' ')) >= 2")
+        "             element_at(split(text, ' '), i + 1)))"
+        " ELSE array() END) AS bigram"
+    )
     counted = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (

@@ -541,16 +541,19 @@ _SCD2_OUT_SCHEMA = StructType(
 
 def _scd2_latest(key, pdf_iter, state: GroupState):
     """Keyed latest-version state: keep the (ord, new_bal) with the
-    highest ord seen for this dimension key, emitting the current
-    winner on every update — ord-based argmax, never last-row-wins, so
-    arrival order inside a micro-batch cannot change the outcome."""
+    highest (ord, new_bal) seen for this dimension key, emitting the
+    current winner on every update — lexicographic argmax over BOTH
+    columns (ADVICE r7: an ord-only argmax with idxmax keeps the first
+    row in arrival order on ties, so two revisions sharing an _ord
+    would make the outcome arrival-dependent; the new_bal tie-break
+    makes it a pure function of the row multiset)."""
     best_ord, best_bal = state.get if state.exists else (-1, 0)
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        row = pdf.loc[pdf["_ord"].idxmax()]
-        if int(row["_ord"]) > best_ord:
-            best_ord, best_bal = int(row["_ord"]), int(row["new_bal"])
+        for o, b in zip(pdf["_ord"], pdf["new_bal"]):
+            if (int(o), int(b)) > (best_ord, best_bal):
+                best_ord, best_bal = int(o), int(b)
     state.update((best_ord, best_bal))
     yield pd.DataFrame(
         {"key": [key[0]], "ord": [best_ord], "new_bal": [best_bal]}

@@ -278,7 +278,13 @@ def snapshot_accumulate_sink(snapshot_stream: DataFrame, target: str | None = No
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        w = Window.partitionBy("key").orderBy(F.col("_ord").desc())
+        # cents_b as a deterministic secondary sort key (ADVICE r7): if a
+        # prior-state row and a slice row ever share an _ord for the same
+        # key with different payloads, _ord-only row_number would keep a
+        # nondeterministic winner; the payload tie-break pins it.
+        w = Window.partitionBy("key").orderBy(
+            F.col("_ord").desc(), F.col("cents_b").desc()
+        )
         delta = (
             batch_df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -66,6 +66,8 @@ CARTESIAN_OK = {
     "graph_modularity",  # 1-row edge-count scalar crossJoined into terms
     "ts_xcorr_leadlag",  # 5-row lag spine crossJoined onto the bounded daily table
     "text_langid",  # language-profile constant table broadcast
+    "text_langid_confusion",  # composes text_langid: inherits its constant
+    # language-profile broadcast (same declared pattern, composed plan)
     "text_tfidf",  # 1-row corpus-size scalar for the IDF term
     "win_rfm_segments",  # 1-row quintile cut points crossJoined
     "dedup_semantic_clustered",  # k-centroid array broadcast as a 1-row crossJoin

@@ -17,6 +17,7 @@ properties that make the same query viable at 100 TB:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bangdatapipeline_spark.registry import load_all
 from bangdatapipeline_spark.tables import load_table
@@ -61,6 +62,39 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
     plan = _plan(REGISTRY["win_topk_per_group"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+# Global top-k keys that rank-filter an UNPARTITIONED row_number window:
+# each relies on Catalyst bounding the single-partition sort — either
+# LimitPushDownThroughWindow rewriting it to TakeOrderedAndProject
+# (per-partition heaps) or InferWindowGroupLimit capping per-partition
+# input at k. VERDICT r7 task 6: these rewrites were load-bearing but
+# unpinned, so a rewrite-breaking change (e.g. rank -> ntile, or a
+# projection between filter and window) would silently reintroduce a
+# full global sort. text_zipf_fit and multimodal_shard_plan are NOT
+# here: they rank every row (no k-filter), so no group limit can apply —
+# their windows run over already-aggregated bounded tables by design.
+_GLOBAL_TOPK_KEYS = [
+    "text_vocab",
+    "retrieval_rrf_hybrid",
+    "text_bpe_pair_counts",
+    "text_ngram_topk",
+    "dq_hot_keys",
+    "dq_bot_rate_suspects",
+    "graph_neighbor_jaccard",
+    "graph_neighbor_minhash",
+    "emb_knn_outlier",
+    "text_repeated_spans",
+]
+
+
+@pytest.mark.parametrize("key", _GLOBAL_TOPK_KEYS)
+def test_global_rank_filter_windows_are_bounded(spark, sf_dir, key):
+    plan = _plan(REGISTRY[key].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        f"{key}: global rank-filter window lost its bounded-sort rewrite\n"
+        + plan[:2000]
+    )
 
 
 def test_global_topk_avoids_full_sort(spark, sf_dir):
