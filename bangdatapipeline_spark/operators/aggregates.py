@@ -2309,3 +2309,108 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cells",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-moment distribution shape (skewness / excess kurtosis)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+WITH c AS (
+  SELECT c_mktsegment AS segment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS HUGEINT) AS cents
+  FROM customer
+),
+s AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT)         AS n,
+         CAST(sum(cents) AS DOUBLE)       AS s1,
+         CAST(sum(cents * cents) AS DOUBLE)                 AS s2,
+         CAST(sum(cents * cents * cents) AS DOUBLE)         AS s3,
+         CAST(sum(cents * cents * cents * cents) AS DOUBLE) AS s4
+  FROM c GROUP BY segment
+),
+m AS (
+  SELECT segment, n,
+         s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+                + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT segment, n,
+       round(m1 / 100, 4)                    AS mean_bal,
+       round(sqrt(m2) / 100, 4)              AS pop_std_bal,
+       round(m3 / (m2 * sqrt(m2)), 6)        AS skewness,
+       round(m4 / (m2 * m2) - 3, 6)          AS kurtosis_excess
+FROM m
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per customer segment: population
+    skewness and excess kurtosis of account balances — the moments a
+    data-quality gate reads to detect a lopsided or heavy-tailed feed
+    before it poisons downstream z-scores (agg_stats stops at variance;
+    this is the next two moments).
+
+    Exactness protocol: raw power sums over the integer cents lattice,
+    accumulated EXACTLY — Spark sums cents^k as DECIMAL(38,0) (cents^4
+    <= 1e24, segment sums <= 1e28, well inside 38 digits), the oracle as
+    HUGEINT — then ONE cast of each exact sum to double (IEEE-identical
+    across engines for any integer, even above 2^53: both round to
+    nearest) and an identical float expression tree on both sides.
+    m2^1.5 is spelled m2 * sqrt(m2) (sqrt is correctly rounded by IEEE;
+    pow is libm-dependent and would not be). Central moments via the
+    standard raw-to-central identities.
+
+    Scale: one map-side-combinable hash aggregate keyed on segment —
+    the same single-shuffle shape as agg_stats, because power sums are
+    algebraic (mergeable partials); no second pass, no window. The
+    decimal accumulators cost a few extra bytes per partial and nothing
+    else; at 100 TB this is a full-scan + 5-number-per-segment reduce.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    s = (
+        c.select(F.col("c_mktsegment").alias("segment"), cents.alias("cents"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("double").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).cast("double").alias("s2"),
+            F.sum(F.col("cents") * F.col("cents") * F.col("cents"))
+            .cast("double")
+            .alias("s3"),
+            F.sum(
+                F.col("cents") * F.col("cents") * F.col("cents") * F.col("cents")
+            )
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3) * m1 * (F.col("s2") / F.col("n"))
+        + F.lit(2) * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4) * m1 * (F.col("s3") / F.col("n"))
+        + F.lit(6) * m1 * m1 * (F.col("s2") / F.col("n"))
+        - F.lit(3) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "segment",
+        "n",
+        F.round(m1 / 100, 4).alias("mean_bal"),
+        F.round(F.sqrt(m2) / 100, 4).alias("pop_std_bal"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+    )

@@ -1725,3 +1725,98 @@ def curation_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_middle",
         "n_tail",
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering: quality-bucketed, shard-interleaved training order
+# --------------------------------------------------------------------------
+
+# Fixed quality cut points (ppm distinct-token ratio). Constants, not
+# corpus quantiles, ON PURPOSE: bucket assignment stays a scan-local
+# projection (no global sort / ntile pass), the curriculum is stable
+# across corpus versions, and at 100 TB you tune the constants from a
+# sampled profile (text_length_percentiles / profile_columns), not from
+# an exact full-corpus rank.
+_CURR_HI = 550_000  # >= : bucket 1 (cleanest — train first)
+_CURR_MID = 400_000  # >= : bucket 2; below: bucket 3 (noisiest — last)
+_CURR_SHARDS = 8
+
+
+@register(
+    "layout_curriculum_order",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000000.0
+                    / len(string_split(text, ' '))) AS BIGINT) AS quality_ppm
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, quality_ppm,
+         CASE WHEN quality_ppm >= {_CURR_HI} THEN 1
+              WHEN quality_ppm >= {_CURR_MID} THEN 2
+              ELSE 3 END AS bucket,
+         CAST(doc_id % {_CURR_SHARDS} AS BIGINT) AS shard,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS gate
+  FROM q
+)
+SELECT doc_id, source, quality_ppm,
+       CAST(bucket AS INT) AS bucket,
+       shard,
+       CAST(row_number() OVER (PARTITION BY bucket, shard
+                               ORDER BY gate, doc_id) AS BIGINT)
+         AS rank_in_shard
+FROM b
+""",
+)
+def layout_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum training order: score each document's
+    quality (distinct-token ratio, the cheap single-scan proxy), bucket
+    into clean/mid/noisy tiers by FIXED ppm cut points, shard within
+    each tier by key, and assign a reproducible shuffled rank inside
+    every (tier, shard) by content hash. A training loader consumes
+    tiers in order (clean first) reading shards round-robin — curriculum
+    learning's data-side contract, produced without any RNG state (the
+    md5 gate is the sample_hash_det idiom: same order on any engine,
+    partitioning, or rerun).
+
+    Scale (100 TB): quality + bucket + shard + gate are all scan-local
+    projections; the ONLY shuffle is the (bucket, shard) repartition for
+    the in-shard rank — 24 independent partitions whose windows never
+    see more than corpus/24 rows, vs the single-partition sort an
+    ntile/global-rank curriculum would need. Cut points are constants
+    (tuned offline from a sampled profile) precisely so no full-corpus
+    rank pass exists anywhere in the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.floor(
+            F.size(F.array_distinct(toks)) * 1000000.0 / F.size(toks)
+        )
+        .cast("bigint")
+        .alias("quality_ppm"),
+    )
+    b = q.select(
+        "doc_id",
+        "source",
+        "quality_ppm",
+        F.when(F.col("quality_ppm") >= _CURR_HI, 1)
+        .when(F.col("quality_ppm") >= _CURR_MID, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+        (F.col("doc_id") % _CURR_SHARDS).cast("bigint").alias("shard"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("gate"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("gate", "doc_id")
+    return b.select(
+        "doc_id",
+        "source",
+        "quality_ppm",
+        "bucket",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("rank_in_shard"),
+    )

@@ -721,3 +721,66 @@ def layout_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)  AS sum_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT)   AS key_checksum
+FROM documents GROUP BY lang, source
+""",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines connector round-trip: land the documents corpus as
+    .jsonl (THE interchange format LLM training corpora actually arrive
+    in — one JSON object per line, splittable, append-friendly), read it
+    back through the JSON reader with an EXPLICIT schema, and hash-check
+    a per-(lang, source) aggregate against the ORIGINAL parquet rows —
+    same value-preserving contract as source_orc_roundtrip, proved for
+    the string/bigint columns a text corpus carries.
+
+    Explicit schema on read is the production posture: schema inference
+    re-scans the whole dataset (a second full pass at 100 TB) and can
+    widen types under drift; pinning StructType makes ingestion one
+    pass and deterministic. Write: repartition(4) so the .jsonl dataset
+    is multi-file and the read-back scan splits line-parallel (JSONL is
+    splittable by newline, unlike a single JSON array). Result pinned
+    via localCheckpoint so the temp dataset is removed before returning
+    (txn_optimize_table contract).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_rt_{uuid.uuid4().hex[:8]}")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    try:
+        d.repartition(4).write.json(path)
+        back = spark.read.schema(schema).json(path)
+        out = back.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+                "sum_tokens"
+            ),
+            F.sum("doc_id").alias("key_checksum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1523,3 +1523,243 @@ def reach_from_first_seen(first_seen: DataFrame, days: DataFrame) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_reach"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (trend + weekly seasonal + residual)
+# --------------------------------------------------------------------------
+
+_SD_TREND = 7  # centered moving-average width (3 preceding + self + 3 following)
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, day, n,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(floor(sum(n) OVER w * 1000000.0 / 7) AS BIGINT)
+         END AS trend_ppm
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dowed AS (SELECT *, dayofweek(day) AS dow FROM tr),
+seas AS (
+  SELECT event_type, dow,
+         CAST(floor(avg(n * 1000000 - trend_ppm)) AS BIGINT) AS seasonal_ppm
+  FROM dowed WHERE trend_ppm IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT t.event_type,
+       strftime(t.day, '%Y-%m-%d') AS day,
+       t.n,
+       t.trend_ppm,
+       s.seasonal_ppm,
+       CASE WHEN t.trend_ppm IS NOT NULL
+            THEN t.n * 1000000 - t.trend_ppm - s.seasonal_ppm
+       END AS resid_ppm
+FROM dowed t LEFT JOIN seas s
+  ON s.event_type = t.event_type AND s.dow = t.dow
+""",
+    tags=("stream_twin", "stream_test:test_seasonal_decompose_stream_equals_batch"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-feed daily
+    volume series: trend = centered 7-day moving average (full windows
+    only), seasonal = per day-of-week mean of the detrended series,
+    residual = observed - trend - seasonal. The decomposition behind
+    "is Monday always low, or is THIS Monday low?" — the volume-anomaly
+    monitor's seasonal-aware sibling (dq_volume_anomaly flags against a
+    trailing window; this separates the weekly shape out first).
+
+    Exactness: everything lives on the integer ppm lattice — trend_ppm =
+    floor(sum7 * 1e6 / 7) (exact-double product and one division, both
+    IEEE-identical across engines), seasonal_ppm = floor of a mean of
+    bigints, residual pure int64 arithmetic. Edge days (incomplete
+    7-day window) carry NULL trend/residual rather than a biased
+    partial-window estimate.
+
+    Scale (100 TB): the one volume-bearing shuffle is the daily rollup
+    keyed (event_type, day); the decomposition itself runs over the
+    |feeds| x |days| state table — same state-plus-read-side split as
+    the volume/freshness monitors, and the shared read-side projection
+    is what the streaming twin replays over its tumbling-count state
+    (tests/test_streaming.py::test_seasonal_decompose_stream_equals_batch).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return seasonal_decompose_from_daily(daily)
+
+
+def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
+    """trend/seasonal/residual projection over a (event_type, day, n)
+    daily rollup — shared by the batch operator above and the streaming
+    twin (where ``daily`` is the tumbling-count STATE maintained by
+    ``streaming.daily_type_counts`` and this runs read-side)."""
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            F.count(F.lit(1)).over(w) == _SD_TREND,
+            F.floor(F.sum("n").over(w) * 1000000.0 / _SD_TREND).cast("bigint"),
+        ).alias("trend_ppm"),
+    ).withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    # seas derives from tr, so the rejoin is a SELF-join: renaming the
+    # grouped keys (fresh exprIds via alias-projection) disambiguates it
+    # for any `daily` lineage — a parquet scan or a streaming state view
+    # whose branches would otherwise share attribute ids.
+    seas = (
+        tr.where(F.col("trend_ppm").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("s_event_type"),
+            F.col("dow").alias("s_dow"),
+        )
+        .agg(
+            F.floor(
+                F.avg(F.col("n") * 1000000 - F.col("trend_ppm"))
+            )
+            .cast("bigint")
+            .alias("seasonal_ppm")
+        )
+    )
+    return tr.join(
+        seas,
+        (F.col("event_type") == F.col("s_event_type"))
+        & (F.col("dow") == F.col("s_dow")),
+        "left",
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "trend_ppm",
+        "seasonal_ppm",
+        F.when(
+            F.col("trend_ppm").isNotNull(),
+            F.col("n") * 1000000 - F.col("trend_ppm") - F.col("seasonal_ppm"),
+        ).alias("resid_ppm"),
+    )
+
+
+_SA_K = 3  # flag when |resid - median(resid)| > K * MAD(resid)
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from bangdatapipeline_spark.registry import REGISTRY
+
+    base = REGISTRY["ts_seasonal_decompose"].oracle
+    return f"""
+WITH dec AS ({base}),
+r AS (SELECT event_type, day, n, resid_ppm FROM dec WHERE resid_ppm IS NOT NULL),
+m AS (
+  SELECT event_type, list_sort(list(resid_ppm)) AS arr,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM r GROUP BY event_type
+),
+m2 AS (
+  SELECT event_type, cnt,
+         arr[(cnt + 1) // 2] + arr[cnt // 2 + 1] AS med2
+  FROM m
+),
+d AS (
+  SELECT r.event_type, r.day, r.n, r.resid_ppm, m2.med2,
+         abs(r.resid_ppm * 2 - m2.med2) AS dev2
+  FROM r JOIN m2 USING (event_type)
+),
+dm AS (
+  SELECT event_type, list_sort(list(dev2)) AS devarr,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM d GROUP BY event_type
+),
+mad AS (
+  SELECT event_type,
+         devarr[(cnt + 1) // 2] + devarr[cnt // 2 + 1] AS mad4
+  FROM dm
+)
+SELECT d.event_type, d.day, d.n, d.resid_ppm,
+       CAST(d.med2 AS BIGINT) AS med2,
+       CAST(mad.mad4 AS BIGINT) AS mad4,
+       abs(d.resid_ppm * 4 - d.med2 * 2) > {_SA_K} * mad.mad4
+         AS is_seasonal_anomaly
+FROM d JOIN mad USING (event_type)
+"""
+
+
+@register("ts_seasonal_anomaly", oracle=_seasonal_anomaly_oracle())
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly flags: median/MAD gate on the RESIDUALS of
+    ts_seasonal_decompose — "is THIS Monday low, given that Mondays are
+    low?". Complements dq_volume_anomaly (trailing-window raw counts):
+    deseasonalizing first means a normal weekend dip never eats the MAD
+    budget, so genuinely anomalous days flag at the same K.
+
+    Exactness: residuals are already int64 ppm; medians use the doubled
+    lattice exactly as the volume monitor (med2 = lo+hi of the sorted
+    values, deviations x2, MAD x4, flag compares |r*4 - med2*2| with
+    K*mad4) — pure integer arithmetic both engines, no float medians.
+
+    Scale: composes the REGISTERED decompose (its daily rollup is the
+    only volume-bearing shuffle); the median/MAD passes aggregate the
+    |feeds| x |days| state table into |feeds|-row arrays (bounded by the
+    day span, ~30 here) and broadcast-join back — the monitor costs the
+    same at 100 TB once the daily rollup exists.
+    """
+    base = ts_seasonal_decompose(spark, sf_dir)
+    r = base.where(F.col("resid_ppm").isNotNull()).select(
+        "event_type", "day", "n", "resid_ppm"
+    )
+
+    def _med2(arr_col, cnt_col):
+        lo = F.element_at(arr_col, F.floor((cnt_col + 1) / 2).cast("int"))
+        hi = F.element_at(arr_col, (F.floor(cnt_col / 2) + 1).cast("int"))
+        return lo + hi
+
+    m = r.groupBy(F.col("event_type").alias("m_event_type")).agg(
+        F.sort_array(F.collect_list("resid_ppm")).alias("arr"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    m2 = m.select(
+        "m_event_type", _med2(F.col("arr"), F.col("cnt")).alias("med2")
+    )
+    d = r.join(
+        F.broadcast(m2), F.col("event_type") == F.col("m_event_type")
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "resid_ppm",
+        "med2",
+        F.abs(F.col("resid_ppm") * 2 - F.col("med2")).alias("dev2"),
+    )
+    mad = (
+        d.groupBy(F.col("event_type").alias("d_event_type"))
+        .agg(
+            F.sort_array(F.collect_list("dev2")).alias("devarr"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "d_event_type", _med2(F.col("devarr"), F.col("cnt")).alias("mad4")
+        )
+    )
+    return d.join(
+        F.broadcast(mad), F.col("event_type") == F.col("d_event_type")
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "resid_ppm",
+        F.col("med2").cast("bigint").alias("med2"),
+        F.col("mad4").cast("bigint").alias("mad4"),
+        (
+            F.abs(F.col("resid_ppm") * 4 - F.col("med2") * 2)
+            > _SA_K * F.col("mad4")
+        ).alias("is_seasonal_anomaly"),
+    )

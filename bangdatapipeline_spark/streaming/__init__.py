@@ -656,6 +656,10 @@ def _stream_twins():
         # cumulative reach: per-user first-seen day is the state; the
         # day-spine cumsum runs read-side (reach_from_first_seen)
         "ts_cumulative_reach": first_seen_state,
+        # seasonal decomposition: tumbling daily counts are the state
+        # (same state as the volume monitor); the trend/seasonal/residual
+        # projection runs read-side (seasonal_decompose_from_daily)
+        "ts_seasonal_decompose": daily_type_counts,
     }
 
 

@@ -48,13 +48,35 @@ Noisy-host self-defense: when the main sweep's ``noise_ratio`` exceeds
 ``RETRY_NOISE_THRESHOLD`` (1.8 — r6's driver capture ran at 2.56 and
 every cross-round delta that round was host noise), the headline rows
 are re-timed ONCE after the main sweep under their own three-checkpoint
-sentinel. Whichever pass has the lower noise ratio is the published
-headline sample (timings/plan/setup/cold and the matching floor), and
-the map is tagged ``retried: true`` with BOTH ratios
-(``noise_ratio_initial`` / ``noise_ratio_retry``) plus
-``retry_published`` so a reader can always tell which sample they are
-looking at. Rule stated in BASELINE.md; fields pinned by
-tests/test_bench_contract.py.
+sentinel. Publication rule (r8, replaces the r7 whole-pass-min rule):
+
+  * retry sentinel QUIET (<= threshold): the retry pass is published
+    wholesale (``retry_published: true``) with its own floor;
+  * BOTH passes noisy: per-query ``min(initial, retry)`` is published
+    for each headline row (``headline_min_published: true``) — host
+    noise is strictly additive on top of the true cost, so the smaller
+    sample is always the better estimate; the floor and noise_ratio
+    published are likewise the smaller pass's. r7 hit exactly this case
+    (1.814 initial / 1.996 retry) and the old whole-pass rule kept a
+    noisy sample.
+
+``cold_sec`` always keeps the MAIN sweep's value: a retry re-run is
+warm-remeasured (the main sweep already materialized every stage), so
+overwriting cold with it would fake a fast cold path. The retry's
+re-run times are still recorded as ``cold_sec_retry`` (explicitly
+warm). Both passes' raw headline maps and sentinel checkpoints are kept
+in BENCH_FULL (``headline_initial`` / ``headline_retry`` /
+``floor_checkpoints_initial`` / ``floor_checkpoints_retry``) so every
+published number is recomputable from its own pass. Rule stated in
+BASELINE.md; fields pinned by tests/test_bench_contract.py.
+
+Cold-outlier recheck: any row whose cold_sec exceeds
+``COLD_OUTLIER_RATIO`` x max(steady, floor) is re-materialized once at
+sweep end and the time recorded in ``cold_recheck`` — a recheck at
+steady level proves the cold spike was transient (host contention /
+first-query JVM warm-up landing on that key), not intrinsic to the
+plan (VERDICT r7 task 4: dedup_exact_canonical's 41.6 s cold vs 0.25 s
+steady).
 """
 
 from __future__ import annotations
@@ -307,13 +329,168 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_merge_on_read", "layout_merge_on_read"),
     ("orders_join_fanout", "dq_join_fanout_histogram"),
     ("events_bot_suspects", "dq_bot_rate_suspects"),
+    # r8: the full TPC-H SQL-API suite as bench rows — the canonical join/
+    # agg workload mix, so a plan regression in any TPC-H shape shows in
+    # BENCH_FULL cross-round diffs (VERDICT r7 task 7).
+    ("tpch_sql_q1", "sql_api_q1"),
+    ("tpch_sql_q2", "sql_api_q2"),
+    ("tpch_sql_q3", "sql_api_q3"),
+    ("tpch_sql_q4", "sql_api_q4"),
+    ("tpch_sql_q5", "sql_api_q5"),
+    ("tpch_sql_q6", "sql_api_q6"),
+    ("tpch_sql_q7", "sql_api_q7"),
+    ("tpch_sql_q8", "sql_api_q8"),
+    ("tpch_sql_q9", "sql_api_q9"),
+    ("tpch_sql_q10", "sql_api_q10"),
+    ("tpch_sql_q11", "sql_api_q11"),
+    ("tpch_sql_q12", "sql_api_q12"),
+    ("tpch_sql_q13", "sql_api_q13"),
+    ("tpch_sql_q14", "sql_api_q14"),
+    ("tpch_sql_q15", "sql_api_q15"),
+    ("tpch_sql_q16", "sql_api_q16"),
+    ("tpch_sql_q17", "sql_api_q17"),
+    ("tpch_sql_q18", "sql_api_q18"),
+    ("tpch_sql_q19", "sql_api_q19"),
+    ("tpch_sql_q20", "sql_api_q20"),
+    ("tpch_sql_q21", "sql_api_q21"),
+    ("tpch_sql_q22", "sql_api_q22"),
+    ("orders_correlated_subquery", "subquery_correlated"),
+    # r8: remaining distinct execution shapes that had no bench row
+    ("emb_knn_lsh", "knn_ann_lsh"),
+    ("emb_knn_ivf", "knn_ivf_topk"),
+    ("emb_semantic_recall_eval", "eval_semantic_recall"),
+    ("doc_simhash_dedup", "dedup_near_simhash"),
+    ("doc_dedup_clusters", "dedup_clusters"),
+    ("customers_fuzzy_match", "fuzzy_match_names"),
+    ("events_stream_stream_join", "stream_stream_join"),
+    ("cust_scd2_ranges", "scd2_ranges"),
+    ("cust_txn_cdc_merge", "txn_cdc_merge_table"),
+    ("events_interval_overlap", "join_interval_overlap"),
+    ("orders_lateral_topk", "join_lateral"),
+    ("doc_pipeline_e2e", "pipeline_e2e"),
+    ("parts_neighbor_minhash", "graph_neighbor_minhash"),
+    # r8 new operators
+    ("events_seasonal_decompose", "ts_seasonal_decompose"),
+    ("events_seasonal_anomaly", "ts_seasonal_anomaly"),
+    ("customers_higher_moments", "agg_higher_moments"),
+    ("doc_curriculum_order", "layout_curriculum_order"),
+    ("doc_jsonl_roundtrip", "source_jsonl_roundtrip"),
 ]
+
+# Registry keys deliberately NOT benched — every key is either in
+# BENCH_QUERIES or here, with the reason and the benched row that covers
+# its execution shape. The partition is pinned by
+# tests/test_bench_contract.py::test_registry_benched_or_exempt, so a new
+# key cannot silently join the un-benched tail (VERDICT r7 task 7).
+BENCH_EXEMPT: dict[str, str] = {
+    # --- expression-family projections: scan + JVM expression eval, no
+    # shuffle; the shape is benched via events_json_extract (headline) and
+    # events_map_hof. A regression would be an expression-eval regression,
+    # visible in every benched row.
+    "str_funcs": "projection-only expression family; shape = events_json_extract",
+    "date_funcs": "projection-only expression family; shape = events_json_extract",
+    "math_funcs": "projection-only expression family; shape = events_json_extract",
+    "cond_funcs": "projection-only expression family; shape = events_json_extract",
+    "array_funcs": "projection-only expression family; shape = events_map_hof",
+    "array_higher_order": "projection-only expression family; shape = events_map_hof",
+    "map_funcs": "projection-only expression family; shape = events_map_hof",
+    "hash_funcs": "projection-only expression family; shape = doc_exact_dedup's digest",
+    # --- single-scan relational demos: filter/project pushdown shapes
+    # exercised by every headline scan
+    "project_rename": "scan+project only; shape = any headline scan",
+    "filter_pred": "scan+pushed filter; shape = q1_pricing_summary's scan",
+    "filter_null_semantics": "scan+null-semantics filter; shape = filter_pred",
+    # --- §2 join demos over dims: broadcast-join shapes benched via
+    # q5_region_revenue (multiway) and customers_null_safe_join
+    "join_inner_equi": "broadcast dim equi-join; shape = q5_region_revenue",
+    "join_left_right_full": "broadcast outer joins; shape = q5_region_revenue",
+    "join_semi_anti": "broadcast semi/anti; shape = orders_bloom_prefilter",
+    "join_theta_range": "bounded range theta-join; shape = events_range_windows",
+    "join_cross": "small x small declared cartesian; no scale path to track",
+    "join_asof_nearest": "asof variant; shape = asof_last_event_before_order",
+    # --- aggregate variants: one hash-agg shuffle, benched via
+    # q1_pricing_summary / orders_quantiles_exact / events_cms_heavy_hitters
+    "agg_distinct": "distinct agg shuffle; shape = q1_pricing_summary",
+    "agg_approx_distinct": "HLL agg; shape = events_hll_rollup",
+    "agg_stats": "moment aggregates; shape = q1_pricing_summary",
+    "agg_minmax_by": "argmin/argmax agg; shape = q1_pricing_summary",
+    "agg_rollup_cube_sets": "grouping-sets agg; shape = lineitem_grouping_levels",
+    "agg_having": "agg + post-filter; shape = q1_pricing_summary",
+    "agg_quantiles": "approx quantiles; shape = orders_quantiles_exact",
+    "agg_histogram": "fixed-bin histogram agg; shape = emb_calibration_bins",
+    "agg_mode": "mode agg; shape = orders_priority_mode",
+    "agg_winsorize": "clipped agg over percentile cuts; shape = orders_quantiles_exact",
+    "events_gapfill": "day-spine gapfill; shape = events_interpolate_daily",
+    "events_anomaly": "daily z-score; shape = events_volume_anomaly",
+    "events_dwell": "lead/lag dwell; shape = events_sessionize_30m",
+    "text_bigrams": "per-doc bigram stats; shape = doc_bigram_topk",
+    # --- window variants benched via window_rank_orders (headline),
+    # events_rolling_stats, events_rolling_median
+    "win_analytic": "lead/lag/ntile; shape = window_rank_orders",
+    "win_frames": "rows/range frames; shape = events_rolling_stats",
+    "win_topk_per_group": "WindowGroupLimit top-k; shape = window_rank_orders",
+    "win_range_time": "time-range frame; shape = events_rolling_stats",
+    # --- setops/sort benched via setops_segments (headline)
+    "setop_union_all": "union-all concat; shape = setops_segments",
+    "setop_union_distinct": "union+distinct shuffle; shape = setops_segments",
+    "sort_multi": "multi-key global sort; shape = window_rank_orders' sort",
+    # --- reshape: bounded-output pivots/explodes
+    "pivot_wide": "pivot over |nations| columns, bounded output; shape = q1 agg",
+    "unpivot_long": "stack() projection, no shuffle; shape = str_funcs class",
+    "explode_normalize": "explode + renormalize; shape = doc_bigram_topk's explode",
+    # --- batch twins of streaming semantics (tiny keyed state); the two
+    # volume-bearing ones (tumbling, session) are headline rows
+    "stream_sliding": "sliding windows; shape = events_tumbling_1d x overlap",
+    "stream_dedup": "keyed first-wins dedup; shape = doc_exact_dedup",
+    "stream_static_join": "stream-static broadcast; shape = join_inner_equi class",
+    "stream_late": "watermark late-drop; shape = events_tumbling_1d",
+    "stream_stateful": "keyed running state; shape = events_cdc_compaction",
+    "stream_stream_left_join": "outer s-s join; shape = events_stream_stream_join",
+    "stream_stream_full_join": "full s-s join; shape = events_stream_stream_join",
+    "stream_topk": "windowed top-k; shape = events_hot_keys",
+    # --- Arrow UDF demos; the volume-bearing Arrow path is benched via
+    # doc_map_in_arrow and the GEMM kernels
+    "udf_scalar": "pandas UDF projection; shape = doc_map_in_arrow",
+    "udaf_grouped": "grouped-map UDAF; shape = emb_knn_top5's kernel",
+    "udtf_expand": "UDTF expansion; shape = doc_map_in_arrow",
+    # --- text variants: single-scan token transforms benched via
+    # doc_token_stats (headline), doc_tfidf_top5, doc_gopher_rules
+    "text_tf": "per-doc term freq; shape = doc_tfidf_top5",
+    "text_tokens": "tokenize + count; shape = doc_token_stats",
+    "text_quality": "quality ratios; shape = doc_gopher_rules",
+    "text_fingerprint": "rolling-hash fingerprint; shape = doc_paragraph_dedup",
+    "text_rep_ngram": "repeated-ngram share; shape = doc_repeated_spans",
+    "text_redact_pii": "regex redaction projection; shape = doc_token_stats",
+    "text_zipf_fit": "rank-all over bounded vocab table; shape = doc_vocab_oov",
+    # --- similarity: fold-form exact baselines kept for the correctness
+    # gate; production kernels are benched (emb_knn_top5, emb_threshold_gemm)
+    "knn_threshold_pairs": "fold-form exact baseline, documented ~25x slower than emb_threshold_gemm",
+    "multimodal_cols": "metadata-plane projection; shape = assets_resolution_buckets",
+    "emb_dim_stats": "per-dim moments; shape = lineitem_cov_matrix",
+    # --- multimodal stub-decode plumbing: payload-bounded Arrow UDFs;
+    # the metadata-plane rows are benched (assets_*)
+    "multimodal_decode": "stub decode Arrow UDF; shape = doc_map_in_arrow",
+    "multimodal_frames": "frame-sample expansion; shape = multimodal_decode",
+    "multimodal_audio_chunks": "chunk expansion; shape = multimodal_decode",
+    # --- sampling: deterministic-hash projections, no shuffle
+    "sample_hash_det": "hash-bucket sample; shape = doc_per_lang_sample",
+    "sample_stratified": "per-stratum hash sample; shape = doc_per_lang_sample",
+    "sample_weighted": "weighted hash sample; shape = doc_mixture_resample",
+    "sample_split": "train/val/test split; shape = sample_hash_det",
+    "sample_temporal_split": "time-cut split; shape = sample_hash_det",
+    # --- exact ground truth / demo keys
+    "dedup_near_jaccard": "bounded exact all-pairs ground truth; graded by doc_dedup_recall_eval, never a perf path",
+}
 
 RUNS = 3
 SENTINEL_RUNS = 3
 # Main-sweep noise_ratio above this triggers one headline re-time pass
 # (r6 driver capture: 2.56; quiet-host runs sit at 1.0-1.3).
 RETRY_NOISE_THRESHOLD = 1.8
+# cold_sec > this multiple of max(steady median, floor) triggers one
+# re-materialization at sweep end (cold_recheck) to separate transient
+# host spikes from intrinsically expensive cold paths.
+COLD_OUTLIER_RATIO = 10.0
 
 
 def _floor_sentinel(spark) -> float:
@@ -455,15 +632,24 @@ def main() -> None:
         )
         floor_sec_initial = round(statistics.median(floor_checkpoints), 4)
 
-        # Noisy-host self-defense (BASELINE.md rule): re-time the headline
-        # rows once under their own sentinel and publish the lower-noise
-        # sample. Non-headline rows keep the main-sweep sample (they have
-        # no BASELINE budget line, so the floor rule never applies to them).
+        # Noisy-host self-defense (BASELINE.md rule, r8 form): re-time the
+        # headline rows once under their own sentinel; publish the retry
+        # wholesale if its sentinel is quiet, else per-query min (noise is
+        # additive, so min is always the better estimate). Non-headline
+        # rows keep the main-sweep sample (they have no BASELINE budget
+        # line, so the floor rule never applies to them).
         retried = noise_ratio_initial > RETRY_NOISE_THRESHOLD
         retry_published = False
+        headline_min_published = False
         noise_ratio_retry = None
+        floor_sec_retry = None
+        retry_checkpoints: list[float] = []
+        headline_initial: dict[str, float] = {}
+        headline_retry: dict[str, float] = {}
+        cold_sec_retry: dict[str, float] = {}
         floor_sec = floor_sec_initial
         noise_ratio = noise_ratio_initial
+        floor_checkpoints_published = floor_checkpoints
         if retried:
             r_tim: dict[str, float] = {}
             r_plan: dict[str, float] = {}
@@ -482,19 +668,55 @@ def main() -> None:
                 r_tim[metric] = round(exec_s, 4)
                 r_plan[metric] = round(plan_s, 4)
                 r_setup[metric] = round(setup_s, 4)
+                # the retry "cold" run is warm-remeasured (the main sweep
+                # already materialized every stage) — recorded, never
+                # published as cold_sec
                 r_cold[metric] = round(cold_s, 4)
             retry_checkpoints.append(_floor_sentinel(spark))  # retry END
             noise_ratio_retry = round(
                 max(retry_checkpoints) / min(retry_checkpoints), 3
             )
-            if noise_ratio_retry < noise_ratio_initial:
+            floor_sec_retry = round(statistics.median(retry_checkpoints), 4)
+            headline_initial = {m: timings[m] for m in r_tim}
+            headline_retry = dict(r_tim)
+            cold_sec_retry = r_cold
+            if noise_ratio_retry <= RETRY_NOISE_THRESHOLD:
+                # quiet retry: publish it wholesale with its own floor
                 retry_published = True
                 timings.update(r_tim)
                 plan_secs.update(r_plan)
                 setup_secs.update(r_setup)
-                cold_secs.update(r_cold)
-                floor_sec = round(statistics.median(retry_checkpoints), 4)
+                floor_sec = floor_sec_retry
                 noise_ratio = noise_ratio_retry
+                floor_checkpoints_published = retry_checkpoints
+            else:
+                # both passes noisy: per-query min (additive-noise rule)
+                headline_min_published = True
+                for m, v in r_tim.items():
+                    if v < timings[m]:
+                        timings[m] = v
+                        plan_secs[m] = r_plan[m]
+                        setup_secs[m] = r_setup[m]
+                if floor_sec_retry < floor_sec_initial:
+                    floor_sec = floor_sec_retry
+                    floor_checkpoints_published = retry_checkpoints
+                noise_ratio = min(noise_ratio_initial, noise_ratio_retry)
+
+        # Cold-outlier recheck (VERDICT r7 task 4): re-materialize any row
+        # whose cold run was >COLD_OUTLIER_RATIO x its steady cost once,
+        # fresh lineage. A recheck at steady level attributes the spike to
+        # transient host/JVM effects; a recheck that stays high means the
+        # cold path is intrinsically expensive and needs a look.
+        cold_recheck: dict[str, float] = {}
+        recheck_rows = [(m, k, SF_DIR) for m, k in benchable] + [
+            (m, k, canon_dir) for m, k in _CANONICAL_ROWS
+        ]
+        for metric, key, d in recheck_rows:
+            bar = COLD_OUTLIER_RATIO * max(timings[metric], floor_sec)
+            if cold_secs[metric] > bar:
+                t0 = time.perf_counter()
+                registry[key].fn(spark, d).toPandas()
+                cold_recheck[metric] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(canon_dir, ignore_errors=True)
 
@@ -515,12 +737,25 @@ def main() -> None:
         "plan_sec_total": plan_total,
         "setup_sec_total": setup_total,
         "floor_sec": floor_sec,
-        "floor_checkpoints": [round(s, 4) for s in floor_checkpoints],
+        # the published pass's checkpoints (so floor_sec/noise_ratio are
+        # always recomputable from them), plus both raw passes
+        "floor_checkpoints": [round(s, 4) for s in floor_checkpoints_published],
+        "floor_checkpoints_initial": [round(s, 4) for s in floor_checkpoints],
+        "floor_checkpoints_retry": (
+            [round(s, 4) for s in retry_checkpoints] if retried else None
+        ),
+        "floor_sec_initial": floor_sec_initial,
+        "floor_sec_retry": floor_sec_retry,
         "noise_ratio": noise_ratio,
         "retried": retried,
         "retry_published": retry_published,
+        "headline_min_published": headline_min_published,
         "noise_ratio_initial": noise_ratio_initial,
         "noise_ratio_retry": noise_ratio_retry,
+        "headline_initial": headline_initial,
+        "headline_retry": headline_retry,
+        "cold_sec_retry": cold_sec_retry,
+        "cold_recheck": cold_recheck,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -543,6 +778,7 @@ def main() -> None:
                 "noise_ratio": noise_ratio,
                 "retried": retried,
                 "retry_published": retry_published,
+                "headline_min_published": headline_min_published,
                 "noise_ratio_initial": noise_ratio_initial,
                 "noise_ratio_retry": noise_ratio_retry,
                 "n_queries_total": len(timings),

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""sf1 scale smoke: run EVERY registry key at ~10x the bench scale.
+
+The driver ships sf0.001/0.01/0.1 only, but two whole bug classes found
+by review (int64 lattice wrap, key-offset collision once c_custkey
+passes 150k) are exactly the kind only a bigger scale exposes — so this
+script synthesizes an sf1-shaped dataset by replicating sf0.1 tenfold
+with disjoint key offsets and executes every registered query against
+it, rows-only (no oracle: DuckDB comparison at this scale is a
+correctness statement sf0.01 already makes; the smoke asserts the plans
+EXECUTE — no overflow, no OOM, no key collision, no runtime exception).
+
+Synthesis contract (VERDICT r7 task 8):
+  * dims (region, nation) stay as-is — scale factors don't grow them;
+  * fact/entity tables get 10 copies, copy i offsetting every entity key
+    by i * KEY_OFFSET so referential integrity is preserved WITHIN a
+    copy and keys never collide ACROSS copies (KEY_OFFSET = 10^8 clears
+    the engine's own internal key-shift constants, which use 10^9-range
+    shifts on purpose — see operators/incremental.py);
+  * supplier/part/customer replicate with the same offsets their fact
+    FKs use, so join fan-outs stay sf-realistic (10x rows, same per-key
+    cardinality);
+  * payload columns (text, embedding, props) replicate verbatim: a 10x
+    corpus with 10 exact copies of every document is a HARDER dedup
+    input than organic growth (every band bucket is 10-dense), which is
+    the point of a scale smoke.
+
+Usage:
+    python scripts/sf1_smoke.py [--keep] [--only key1,key2,...]
+
+Writes the synthesized tables to $SPARK_GRAFT_SF1_DIR (default
+/tmp/bdp_sf1, reused if already present), runs the sweep, prints one
+JSON line per failure and a final summary line, exit 0 iff all keys ran.
+Results are recorded in docs/SCALE.md ("sf1 smoke" section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from bangdatapipeline_spark.registry import load_all  # noqa: E402
+from bangdatapipeline_spark.session import get_spark  # noqa: E402
+from bangdatapipeline_spark.tables import load_table  # noqa: E402
+
+SRC_DIR = "/root/testdata/sf0.1"
+OUT_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/bdp_sf1")
+COPIES = 10
+KEY_OFFSET = 10**8
+
+# per-table: columns that carry entity keys and must shift per copy
+_KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_DIMS = ["region", "nation"]
+
+
+def synthesize(spark) -> None:
+    for name in _DIMS:
+        dst = os.path.join(OUT_DIR, f"{name}.parquet")
+        if not os.path.exists(dst):
+            load_table(spark, SRC_DIR, name).write.mode("overwrite").parquet(dst)
+    for name, key_cols in _KEY_COLS.items():
+        dst = os.path.join(OUT_DIR, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = load_table(spark, SRC_DIR, name)
+        copies = []
+        for i in range(COPIES):
+            c = base
+            for col in key_cols:
+                c = c.withColumn(
+                    col, (F.col(col).cast("bigint") + F.lit(i * KEY_OFFSET))
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        # canonical multi-file layout so scans split (BASELINE.md round 2)
+        out.repartition(32).write.mode("overwrite").option(
+            "parquet.block.size", 8 * 1024 * 1024
+        ).parquet(dst)
+        n = spark.read.parquet(dst).count()
+        print(f"synthesized {name}: {n} rows", file=sys.stderr)
+
+
+def main() -> int:
+    keep = "--keep" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark("sf1_smoke")
+    synthesize(spark)
+
+    registry = load_all()
+    failures: dict[str, str] = {}
+    timings: dict[str, float] = {}
+    keys = [k for k in sorted(registry) if only is None or k in only]
+    for i, key in enumerate(keys):
+        t0 = time.perf_counter()
+        try:
+            n = registry[key].fn(spark, OUT_DIR).count()
+            dt = time.perf_counter() - t0
+            timings[key] = round(dt, 2)
+            print(f"[{i + 1}/{len(keys)}] {key}: {n} rows ({dt:.1f}s)", file=sys.stderr)
+            if n == 0:
+                failures[key] = "0 rows at sf1 (vacuous execution)"
+        except Exception as exc:  # noqa: BLE001 — smoke: record and continue
+            failures[key] = f"{type(exc).__name__}: {exc}"[:400]
+            print(json.dumps({"key": key, "error": failures[key]}))
+        finally:
+            spark.catalog.clearCache()
+    summary = {
+        "metric": "sf1_smoke",
+        "keys": len(keys),
+        "failed": sorted(failures),
+        "slowest": sorted(timings, key=timings.get, reverse=True)[:10],
+        "slowest_sec": {
+            k: timings[k]
+            for k in sorted(timings, key=timings.get, reverse=True)[:10]
+        },
+        "total_sec": round(sum(timings.values()), 1),
+        "out_dir": OUT_DIR,
+    }
+    print(json.dumps(summary))
+    if not keep and not failures:
+        pass  # leave the synthesized dir for re-runs; it's /tmp, host-reaped
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

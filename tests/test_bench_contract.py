@@ -27,6 +27,24 @@ def test_no_duplicate_bench_metrics_or_keys():
     assert len(metrics) == len(set(metrics)), "duplicate metric names"
 
 
+def test_registry_benched_or_exempt():
+    """Every registry key is either benched or exempt-with-reason — a new
+    operator cannot silently join an un-benched tail where a perf
+    regression would be invisible to BENCH_FULL cross-round diffs
+    (VERDICT r7 task 7). Exemption reasons must name the benched row
+    covering the shape (or declare the key a non-perf path)."""
+    registry = load_all()
+    benched = {k for _, k in bench.BENCH_QUERIES}
+    exempt = set(bench.BENCH_EXEMPT)
+    assert not benched & exempt, sorted(benched & exempt)
+    missing = set(registry) - benched - exempt
+    assert missing == set(), f"keys neither benched nor exempt: {sorted(missing)}"
+    stale = exempt - set(registry)
+    assert stale == set(), f"exemptions for unregistered keys: {sorted(stale)}"
+    for key, reason in bench.BENCH_EXEMPT.items():
+        assert len(reason) >= 10, f"exemption reason too thin: {key}"
+
+
 def test_headline_metrics_resolve():
     """Every headline metric must be produced by the run: either a
     BENCH_QUERIES entry or a canonical-layout twin the runner adds."""
@@ -53,6 +71,7 @@ def test_final_line_stays_under_tail_capture_budget():
         "noise_ratio": 99999.999,
         "retried": True,
         "retry_published": False,
+        "headline_min_published": True,
         "noise_ratio_initial": 99999.999,
         "noise_ratio_retry": 99999.999,
         "n_queries_total": len(bench.BENCH_QUERIES) + 1,
@@ -82,23 +101,61 @@ def test_bench_full_has_breakout_and_plan_budget():
         "floor_sec",
         "noise_ratio",
         "floor_checkpoints",
+        "floor_checkpoints_initial",
+        "floor_checkpoints_retry",
+        "floor_sec_initial",
+        "floor_sec_retry",
         "retried",
         "retry_published",
+        "headline_min_published",
         "noise_ratio_initial",
         "noise_ratio_retry",
+        "headline_initial",
+        "headline_retry",
+        "cold_sec_retry",
+        "cold_recheck",
     ):
         assert field in full, f"BENCH_FULL.json missing {field}"
-    # Noisy-host self-defense invariants: a retry fires iff the main sweep
-    # was noisy; the published ratio is the lower-noise pass's.
+    # Noisy-host self-defense invariants (r8 rule): a retry fires iff the
+    # main sweep was noisy; a quiet retry publishes wholesale; two noisy
+    # passes publish per-query min. Exactly one publication mode holds.
     assert full["retried"] == (
         full["noise_ratio_initial"] > bench.RETRY_NOISE_THRESHOLD
     )
+    assert not (full["retry_published"] and full["headline_min_published"])
     if full["retry_published"]:
         assert full["retried"]
         assert full["noise_ratio"] == full["noise_ratio_retry"]
-        assert full["noise_ratio_retry"] < full["noise_ratio_initial"]
+        assert full["noise_ratio_retry"] <= bench.RETRY_NOISE_THRESHOLD
+        # published floor must be recomputable from published checkpoints
+        assert full["floor_checkpoints"] == full["floor_checkpoints_retry"]
+    elif full["headline_min_published"]:
+        assert full["retried"]
+        assert full["noise_ratio_retry"] > bench.RETRY_NOISE_THRESHOLD
+        assert full["noise_ratio"] == min(
+            full["noise_ratio_initial"], full["noise_ratio_retry"]
+        )
+        # every published headline value is the per-query min of the two
+        # raw passes, and both raw maps are present to recompute it
+        for m, v in full["headline_initial"].items():
+            assert full["queries"][m] == min(v, full["headline_retry"][m])
+        assert full["floor_sec"] == min(
+            full["floor_sec_initial"], full["floor_sec_retry"]
+        )
     else:
         assert full["noise_ratio"] == full["noise_ratio_initial"]
+        assert full["floor_checkpoints"] == full["floor_checkpoints_initial"]
+    if full["retried"]:
+        # cold_sec stays the main sweep's genuinely-cold sample; the
+        # retry's warm re-runs are recorded separately
+        assert set(full["cold_sec_retry"]) == set(full["headline_retry"])
+    # every cold outlier got a recheck row (transient-vs-intrinsic audit)
+    for m, cold in full["cold_sec"].items():
+        bar = bench.COLD_OUTLIER_RATIO * max(
+            full["queries"][m], full["floor_sec"]
+        )
+        if cold > bar:
+            assert m in full["cold_recheck"], f"cold outlier unexplained: {m}"
     n = len(full["queries"])
     assert set(full["plan_sec"]) == set(full["queries"])
     assert set(full["cold_sec"]) == set(full["queries"])

@@ -720,6 +720,22 @@ def test_volume_anomaly_stream_equals_batch(spark, chunks):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_seasonal_decompose_stream_equals_batch(spark, chunks):
+    """Tumbling daily counts as streaming state + the shared read-side
+    trend/seasonal/residual projection reproduces the batch
+    ts_seasonal_decompose report."""
+    from bangdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose_from_daily,
+    )
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(streaming.daily_type_counts(stream), mode="complete")
+    out = seasonal_decompose_from_daily(state)
+    batch = REGISTRY["ts_seasonal_decompose"].fn(spark, SF)
+    cols = ["event_type", "day", "n", "trend_ppm", "seasonal_ppm", "resid_ppm"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def test_drawdown_stream_equals_batch(spark):
     """Replaying purchases in (ts, event_id) order through the stateful
     drawdown twin reaches EXACTLY the batch ``win_drawdown`` rows — the
