@@ -8,7 +8,9 @@ the dict order IS the coverage scheduler. Four tiers:
      deprioritized behind never-checked snapshot keys);
   1. never-checked SURVEY §2 contract keys — snapshot keys first;
   2. never-checked extras — snapshot keys first;
-  3. green in a prior round — inert tail, snapshot membership ignored.
+  3. green in a prior round — tail, snapshot membership ignored, ordered
+     by latest-green round ASCENDING (oldest evidence re-verifies first —
+     the r8 staleness rotation, see tests/test_entry_rotation.py).
 
 These tests monkeypatch the history/snapshot inputs so the ordering is
 asserted as pure logic, independent of the real CORRECTNESS_r*.json files
@@ -78,7 +80,7 @@ def test_green_keys_sink_and_ignore_snapshot(monkeypatch):
     (module, insertion) rank."""
     keys = _order(
         monkeypatch,
-        green={S2_A, EXTRA_A},
+        green={S2_A: 1, EXTRA_A: 1},  # same round: age ties, rank decides
         failed=set(),
         snapshot={EXTRA_A},
     )
@@ -129,5 +131,5 @@ def test_vacuous_and_failed_rows_requeue(monkeypatch, tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
     monkeypatch.setattr(e, "_ROOT", str(tmp_path))
     green, failed = e._correctness_history()
-    assert green == {"real_pass"}
+    assert green == {"real_pass": 1}  # value = latest green round
     assert failed == {"vacuous_pass", "hard_fail", "errored"}
