@@ -1893,3 +1893,76 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", 0.95), 6).alias("p95"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk,
+         sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM c
+)
+SELECT CAST(min(total) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT)   AS vocab_size,
+       CAST(min(CASE WHEN cum * 100 >= 50 * total THEN rk END) AS BIGINT)
+         AS vocab_for_50pct,
+       CAST(min(CASE WHEN cum * 100 >= 90 * total THEN rk END) AS BIGINT)
+         AS vocab_for_90pct,
+       CAST(min(CASE WHEN cum * 100 >= 99 * total THEN rk END) AS BIGINT)
+         AS vocab_for_99pct
+FROM r
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: how many of the most frequent types
+    cover 50/90/99% of all corpus tokens — the sizing statistic a
+    tokenizer budget decision reads (if 32k types cover 99.5%, the 96k
+    vocab buys almost nothing), and the Zipf companion to text_zipf_fit
+    (that fits the slope; this reads the integral).
+
+    Same bounded-domain count-CDF pattern as ts_ship_delay_cdf, one
+    level up: token counts collapse to |vocab| rows (the only shuffle
+    with corpus-sized input has map-side combine onto vocab keys), the
+    rank/cumulative windows run over that bounded table, and the three
+    coverage picks are conditional mins — spelled identically in both
+    engines. Output is one row of corpus constants, all exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    wrk = Window.orderBy(*order)
+    wcum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = c.select(
+        F.row_number().over(wrk).alias("rk"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+
+    def pick(q: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= q * F.col("total"), F.col("rk"))
+        ).cast("bigint")
+
+    return r.agg(
+        F.min("total").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        pick(50).alias("vocab_for_50pct"),
+        pick(90).alias("vocab_for_90pct"),
+        pick(99).alias("vocab_for_99pct"),
+    )

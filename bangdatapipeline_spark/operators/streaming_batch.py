@@ -722,3 +722,99 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_converted * 1000000 + n_sessions DIV 2) DIV n_sessions"
         ).alias("conv_ppm"),
     )
+
+
+@register(
+    "events_time_to_convert_hist",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purch
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    GROUP BY e.user_id
+), lat AS (
+    SELECT v.user_id,
+           epoch(date_trunc('second', p.t_purch))
+             - epoch(date_trunc('second', v.t_view)) AS secs
+    FROM v JOIN p ON p.user_id = v.user_id
+), b AS (
+    -- floor(), not //: epoch() yields DOUBLE and DuckDB's // on doubles
+    -- ROUNDS the quotient (34432.0 // 3600 = 10), it does not floor
+    SELECT CAST(floor(secs / 3600) AS BIGINT) AS bucket_h,
+           CAST(count(*) AS BIGINT)           AS n_users
+    FROM lat GROUP BY 1
+)
+SELECT bucket_h, n_users,
+       CAST(sum(n_users) OVER (ORDER BY bucket_h
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users,
+       CAST(sum(n_users) OVER (ORDER BY bucket_h ROWS UNBOUNDED PRECEDING)
+            * 1000000 // sum(n_users) OVER () AS BIGINT) AS cum_ppm
+FROM b
+""",
+)
+def events_time_to_convert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert DISTRIBUTION for funnel completers: view→purchase
+    latency bucketed by hour with cumulative user share in ppm — the
+    curve behind "half our conversions land within N hours" that
+    events_funnel's single mean cannot show (a long tail and a fast
+    core average to the same number).
+
+    Stages reuse the funnel's one-partitioning-key shape (groupBy min
+    per stage, user_id joins throughout); the histogram then collapses
+    to |buckets| rows, so the cumulative windows run over a bounded
+    table (single tiny partition by construction — same posture as every
+    daily-spine rollup). Latency is exact integer seconds on truncated
+    timestamps (DuckDB's datediff counts boundary crossings, so both
+    sides truncate first), bucket = floor-div 3600, share on the integer
+    ppm lattice — hash-exact end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click").alias("e")
+        .join(v, "user_id")
+        .filter(F.col("e.ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase").alias("e")
+        .join(c, "user_id")
+        .filter(F.col("e.ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purch"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', t_view),"
+            " date_trunc('SECOND', t_purch))"
+        ).alias("secs")
+    )
+    b = lat.groupBy(
+        F.floor(F.col("secs") / 3600).cast("bigint").alias("bucket_h")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    wcum = Window.orderBy("bucket_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("n_users").over(wcum)
+    return b.select(
+        "bucket_h",
+        F.col("n_users").cast("bigint"),
+        cum.cast("bigint").alias("cum_users"),
+        F.floor(cum * 1000000 / F.sum("n_users").over(wall))
+        .cast("bigint")
+        .alias("cum_ppm"),
+    )

@@ -1763,3 +1763,86 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _SA_K * F.col("mad4")
         ).alias("is_seasonal_anomaly"),
     )
+
+
+@register(
+    "ts_ship_delay_cdf",
+    oracle="""
+WITH d AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+c AS (
+  SELECT month, delay_days, CAST(count(*) AS BIGINT) AS cnt
+  FROM d GROUP BY month, delay_days
+),
+cdf AS (
+  SELECT month, delay_days, cnt,
+         sum(cnt) OVER (PARTITION BY month ORDER BY delay_days
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY month) AS n
+  FROM c
+)
+SELECT month,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN cum * 100 >= 50 * n THEN delay_days END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cum * 100 >= 90 * n THEN delay_days END) AS BIGINT) AS p90_days,
+       CAST(min(CASE WHEN cum * 100 >= 99 * n THEN delay_days END) AS BIGINT) AS p99_days
+FROM cdf GROUP BY month
+""",
+)
+def ts_ship_delay_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order month (p50/p90/p99 of
+    days between o_orderdate and l_shipdate) — the logistics SLA report,
+    computed EXACTLY via a count-CDF over the bounded delay domain: per
+    (month, delay) counts, a cumulative window over <= ~130 distinct
+    delays per month, and the discrete quantile picked as the smallest
+    delay whose cumulative share reaches q (the pick rule is spelled
+    identically in both engines — no reliance on either engine's
+    quantile_disc position convention).
+
+    Third exact-quantile pattern in the registry, for a different data
+    shape: agg_median_exact / agg_quantiles_exact bisect an UNBOUNDED
+    value domain (histogram pass + targeted re-scan); this one exploits
+    a naturally SMALL integer domain (days, buckets, grades), where one
+    counting aggregate IS the full distribution and percentiles are a
+    projection over it. At 100 TB: the join shuffles on orderkey (or
+    disappears under orderkey bucketing — layout_bucketed_join), the
+    count collapses to |months| x |delays| rows, and the window runs on
+    that tiny table; no re-scan, no sort of raw rows, any percentile of
+    a bounded-domain metric is O(domain) after one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    c = d.groupBy("month", "delay_days").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("month")
+        .orderBy("delay_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("month")
+    cdf = c.select(
+        "month",
+        "delay_days",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def pick(q: int):
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= q * F.col("n"), F.col("delay_days")
+            )
+        ).cast("bigint")
+
+    return cdf.groupBy("month").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        pick(50).alias("p50_days"),
+        pick(90).alias("p90_days"),
+        pick(99).alias("p99_days"),
+    )
