@@ -760,6 +760,7 @@ SELECT bucket_h, n_users,
             * 1000000 // sum(n_users) OVER () AS BIGINT) AS cum_ppm
 FROM b
 """,
+    tags=("stream_twin", "stream_test:test_funnel_state_stream_equals_batch"),
 )
 def events_time_to_convert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert DISTRIBUTION for funnel completers: view→purchase
@@ -800,6 +801,15 @@ def events_time_to_convert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             " date_trunc('SECOND', t_purch))"
         ).alias("secs")
     )
+    return convert_hist_from_secs(lat)
+
+
+def convert_hist_from_secs(lat: DataFrame) -> DataFrame:
+    """The hour-bucket histogram + cumulative-ppm projection over a
+    one-column ``secs`` latency relation — shared by the batch operator
+    above and the streaming twin (where ``lat`` is derived from the
+    per-user funnel STATE maintained by ``streaming.funnel_state`` and
+    this runs read-side over completed users)."""
     b = lat.groupBy(
         F.floor(F.col("secs") / 3600).cast("bigint").alias("bucket_h")
     ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -660,7 +660,94 @@ def _stream_twins():
         # (same state as the volume monitor); the trend/seasonal/residual
         # projection runs read-side (seasonal_decompose_from_daily)
         "ts_seasonal_decompose": daily_type_counts,
+        # funnel position: per-user (view, click, purchase) stage
+        # timestamps as 3-BIGINT state; the latency histogram runs
+        # read-side over completers (convert_hist_from_secs)
+        "events_time_to_convert_hist": funnel_state,
     }
+
+
+# (evaluated at end of module so every twin entry point is defined)
+
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purch", LongType()),
+    ]
+)
+_FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purch_us", LongType()),
+    ]
+)
+
+
+def _funnel_state(key, pdf_iter, state: GroupState):
+    """Per-user funnel state machine: first view, first click at-or-after
+    it, first purchase at-or-after that — three epoch-microsecond
+    BIGINTs (-1 = stage not reached). Rows are sorted by (ts, event_id)
+    within each micro-batch; combined with in-order replay the walk sees
+    events in the batch window's total order, under which each stage
+    timestamp is set exactly once and equals the batch min (a later
+    event can never lower an earlier stage's min when time only moves
+    forward), so the final state is bit-equal to the batch funnel."""
+    t_view, t_click, t_purch = state.get if state.exists else (-1, -1, -1)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        for et, us in zip(pdf["event_type"], ts_us):
+            us = int(us)
+            if et == "view" and t_view < 0:
+                t_view = us
+            elif et == "click" and t_view >= 0 and t_click < 0 and us >= t_view:
+                t_click = us
+            elif (
+                et == "purchase"
+                and t_click >= 0
+                and t_purch < 0
+                and us >= t_click
+            ):
+                t_purch = us
+    state.update((t_view, t_click, t_purch))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "view_us": [t_view],
+            "click_us": [t_click],
+            "purch_us": [t_purch],
+        }
+    )
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming twin STATE of ``events_time_to_convert_hist`` (and the
+    stage-count half of ``events_funnel``): the per-user funnel position
+    as three BIGINTs in the state store, regardless of event volume.
+    The latency histogram runs read-side over completed users
+    (``streaming_batch.convert_hist_from_secs``), because bucket shares
+    need all completers together — the usual state-plus-read-side
+    split."""
+    return (
+        events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_state,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 STREAM_TWINS = _stream_twins()

@@ -775,6 +775,47 @@ def test_drawdown_stream_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_funnel_state_stream_equals_batch(spark):
+    """Replaying funnel events in (ts, event_id) order through the
+    per-user funnel state machine, then running the shared histogram
+    read-side over completers, reaches EXACTLY the batch
+    events_time_to_convert_hist rows. Stage timestamps are set once and
+    never change (-1 = unset), so the final state per user is the
+    column-wise max of its updates."""
+    from pyspark.sql import Window as W
+
+    from bangdatapipeline_spark.operators.streaming_batch import (
+        convert_hist_from_secs,
+    )
+
+    ev = load_table(spark, SF, "events")
+    ordered = ev.withColumn(
+        "_ord", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    d = replay.write_chunks(spark, SF, n_chunks=6, df=ordered, order_col="_ord")
+    try:
+        stream = replay.read_stream(spark, d).drop("_ord")
+        out = replay.run_stream(streaming.funnel_state(stream), mode="update")
+        final = out.groupBy("user_id").agg(
+            F.max("view_us").alias("view_us"),
+            F.max("purch_us").alias("purch_us"),
+        )
+        lat = final.filter(
+            (F.col("view_us") >= 0) & (F.col("purch_us") >= 0)
+        ).select(
+            (
+                F.floor(F.col("purch_us") / 1000000)
+                - F.floor(F.col("view_us") / 1000000)
+            ).alias("secs")
+        )
+        hist = convert_hist_from_secs(lat)
+        batch = REGISTRY["events_time_to_convert_hist"].fn(spark, SF)
+        cols = ["bucket_h", "n_users", "cum_users", "cum_ppm"]
+        assert _rows(hist, cols) == _rows(batch, cols)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_snapshot_diff_stream_equals_batch(spark):
     """The B snapshot replayed as micro-batch slices through the
     foreachBatch accumulate sink, then diffed read-side against A,
