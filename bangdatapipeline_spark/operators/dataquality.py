@@ -896,3 +896,73 @@ def dq_bot_rate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BOT_TOP)
         .select("user_id", "n_events", "span_us", "events_per_min", "rk")
     )
+
+
+_DEBOUNCE_MIN_RUN = 2  # alert only after this many consecutive flagged days
+
+
+def _alert_debounce_oracle() -> str:
+    from bangdatapipeline_spark.registry import REGISTRY
+
+    base = REGISTRY["dq_volume_anomaly"].oracle
+    return f"""
+WITH mon AS ({base}),
+r AS (
+  SELECT event_type, day, n, is_anomaly,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM mon
+),
+flagged AS (
+  SELECT event_type, day, n, rn,
+         rn - row_number() OVER (PARTITION BY event_type ORDER BY day)
+           AS island
+  FROM r WHERE is_anomaly
+)
+SELECT event_type,
+       min(day)                      AS alert_start,
+       max(day)                      AS alert_end,
+       CAST(count(*) AS BIGINT)      AS run_days,
+       CAST(sum(n) AS BIGINT)        AS events_in_run
+FROM flagged
+GROUP BY event_type, island
+HAVING count(*) >= {_DEBOUNCE_MIN_RUN}
+"""
+
+
+@register("dq_alert_debounce", oracle=_alert_debounce_oracle())
+def dq_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced volume alerts: collapse the daily anomaly flags of
+    ``dq_volume_anomaly`` into alert EPISODES and page only on runs of
+    >= _DEBOUNCE_MIN_RUN (2) consecutive flagged days — the flap
+    suppressor every
+    monitoring pipeline puts between a detector and a pager (a single
+    noisy day self-heals; two in a row is an incident). Emits one row
+    per episode with its span and event volume.
+
+    Gaps-islands on the row index (rn over the daily monitor table minus
+    rn over its flagged subset is constant within a consecutive run),
+    composed over the REGISTERED monitor plan: the detector's daily
+    rollup is the only volume-bearing work, the debounce adds two
+    windows and one aggregate over the |feeds| x |days| state table —
+    free at any scale once the monitor runs.
+    """
+    mon = dq_volume_anomaly(spark, sf_dir)
+    wr = Window.partitionBy("event_type").orderBy("day")
+    r = mon.select(
+        "event_type", "day", "n", "is_anomaly",
+        F.row_number().over(wr).alias("rn"),
+    )
+    flagged = r.where(F.col("is_anomaly")).withColumn(
+        "island", F.col("rn") - F.row_number().over(wr)
+    )
+    return (
+        flagged.groupBy("event_type", "island")
+        .agg(
+            F.min("day").alias("alert_start"),
+            F.max("day").alias("alert_end"),
+            F.count(F.lit(1)).cast("bigint").alias("run_days"),
+            F.sum("n").cast("bigint").alias("events_in_run"),
+        )
+        .where(F.col("run_days") >= _DEBOUNCE_MIN_RUN)
+        .drop("island")
+    )

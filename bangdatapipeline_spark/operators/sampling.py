@@ -473,3 +473,93 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("boost_x1000"),
     )
+
+
+_BUDGET_TOKENS = 10_000_000  # per-epoch token budget to allocate
+
+
+@register(
+    "pipeline_token_budget_schedule",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS s FROM c),
+tot AS (SELECT sum(s) AS s_total FROM t),
+q AS (
+  SELECT lang, n_docs,
+         {_BUDGET_TOKENS} * s / s_total AS quota,
+         CAST(floor({_BUDGET_TOKENS} * s / s_total) AS BIGINT) AS base
+  FROM t, tot
+),
+r AS (
+  SELECT lang, n_docs, base,
+         quota - base AS frac,
+         row_number() OVER (ORDER BY quota - base DESC, lang ASC) AS rk,
+         sum(base) OVER () AS base_total
+  FROM q
+)
+SELECT lang, n_docs,
+       CAST(rk AS INT) AS remainder_rank,
+       rk <= {_BUDGET_TOKENS} - base_total AS got_extra,
+       CAST(base + CASE WHEN rk <= {_BUDGET_TOKENS} - base_total
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM r
+""",
+)
+def pipeline_token_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch token-budget allocation across languages by temperature
+    weight (α = 0.5, the sample_temperature_weights mix) with
+    LARGEST-REMAINDER rounding, so the integer allocations sum EXACTLY
+    to the budget — the schedule a training-data loader actually
+    consumes (a ppm weight table leaves the off-by-a-few-tokens
+    reconciliation to the reader; this settles it deterministically:
+    floor every quota, hand the leftover tokens to the largest
+    fractional remainders, lang as the tie-break).
+
+    Float policy: quotas are sqrt-weighted doubles (identical IEEE
+    expression both engines); floor/fraction/comparison all operate on
+    those bit-identical doubles, and the allocation itself is pure
+    integers, so the sum-to-budget invariant is exact, not approximate.
+    Plan: one bounded groupBy (|langs| keys), a 1-row total broadcast,
+    and windows over the |langs|-row table — free at any corpus size
+    once the count exists.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.select(
+        "lang", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("s")
+    )
+    tot = t.agg(F.sum("s").alias("s_total"))
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.lit(_BUDGET_TOKENS) * F.col("s") / F.col("s_total")).alias("quota"),
+        F.floor(F.lit(_BUDGET_TOKENS) * F.col("s") / F.col("s_total"))
+        .cast("bigint")
+        .alias("base"),
+    )
+    wrk = Window.orderBy((F.col("quota") - F.col("base")).desc(), F.col("lang").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = q.select(
+        "lang",
+        "n_docs",
+        "base",
+        F.row_number().over(wrk).alias("rk"),
+        F.sum("base").over(wall).alias("base_total"),
+    )
+    leftover = F.lit(_BUDGET_TOKENS) - F.col("base_total")
+    return r.select(
+        "lang",
+        "n_docs",
+        F.col("rk").cast("int").alias("remainder_rank"),
+        (F.col("rk") <= leftover).alias("got_extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= leftover, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

@@ -378,6 +378,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_time_to_convert", "events_time_to_convert_hist"),
     ("orders_ship_delay_cdf", "ts_ship_delay_cdf"),
     ("doc_vocab_coverage", "text_vocab_coverage"),
+    ("events_alert_debounce", "dq_alert_debounce"),
+    ("doc_token_budget_schedule", "pipeline_token_budget_schedule"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

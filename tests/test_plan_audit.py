@@ -88,6 +88,7 @@ CARTESIAN_OK = {
     "eval_er_quality",  # three 1-row metric counters combined into one row
     "curation_source_rollup",  # composes text_surprisal_buckets' 1-row cuts
     "sample_temperature_weights",  # 1-row corpus-total scalars crossJoined
+    "pipeline_token_budget_schedule",  # same 1-row sqrt-total scalar crossJoin
     "emb_sim_histogram",  # exact pair pass (broadcast query side, knn pattern)
     "filter_scalar_subquery",  # 1-row avg threshold broadcast into the filter
     "agg_chi_square",  # 1-row total + dof scalar crossJoins
