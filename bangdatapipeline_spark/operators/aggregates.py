@@ -2414,3 +2414,190 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test — nonparametric two-sample comparison
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+WITH x AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT cents,
+         CAST(sum(is_a) AS BIGINT)     AS n_a,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT)      AS n
+  FROM x GROUP BY cents
+),
+r AS (
+  SELECT cents, n_a, n_b, n,
+         2 * (sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - n)
+           + n + 1 AS rank2
+  FROM c
+),
+s AS (
+  SELECT CAST(sum(n_a) AS BIGINT)            AS na,
+         CAST(sum(n_b) AS BIGINT)            AS nb,
+         CAST(sum(n_a * rank2) AS BIGINT)    AS r2_a,
+         CAST(sum(n * n * n - n) AS BIGINT)  AS tie_term
+  FROM r
+)
+SELECT na, nb,
+       CAST(r2_a - na * (na + 1) AS BIGINT) AS u2_a,
+       tie_term,
+       round(
+         ((r2_a - na * (na + 1)) / 2.0 - na * nb / 2.0)
+         / sqrt(
+             na * nb / 12.0
+             * ((na + nb + 1.0)
+                - tie_term / ((na + nb) * (na + nb - 1.0)))
+           ),
+         6
+       ) AS z_score
+FROM s
+""",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (normal approximation with tie correction) on
+    click-vs-view event values — the NONPARAMETRIC sibling of
+    agg_welch_ttest: compares distributions by rank, immune to the
+    heavy tails and outliers that bend a mean-based t statistic.
+
+    Scale pattern: ranks depend only on per-distinct-value counts, so
+    no row is ever sorted — one hash aggregate onto the cents lattice
+    (map-side combine absorbs the corpus), a cumulative window over the
+    |distinct cents| table, and a 1-row reduction. Average ranks for
+    ties live on the half-integer lattice, carried DOUBLED (rank2 =
+    2*cum_before + n + 1), so the rank sum, doubled U, and the tie term
+    Σ(t³ − t) are all exact int64 on both engines; only the final
+    z-score touches doubles (identical IEEE expression, rounded 6 dp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    c = x.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = c.select(
+        "n_a",
+        "n_b",
+        "n",
+        (
+            2 * (F.sum("n").over(wcum) - F.col("n")) + F.col("n") + 1
+        ).alias("rank2"),
+    )
+    s = r.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.sum(F.col("n_a") * F.col("rank2")).cast("bigint").alias("r2_a"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u_a = (F.col("r2_a") - na * (na + 1)) / 2.0
+    var_u = (
+        na * nb / 12.0
+        * ((na + nb + 1.0) - F.col("tie_term") / ((na + nb) * (na + nb - 1.0)))
+    )
+    return s.select(
+        "na",
+        "nb",
+        (F.col("r2_a") - na * (na + 1)).cast("bigint").alias("u2_a"),
+        "tie_term",
+        F.round((u_a - na * nb / 2.0) / F.sqrt(var_u), 6).alias("z_score"),
+    )
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+WITH x AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT cents,
+         CAST(sum(is_a) AS BIGINT)            AS n_a,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS n_b
+  FROM x GROUP BY cents
+),
+r AS (
+  SELECT sum(n_a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(n_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(n_a) OVER () AS na,
+         sum(n_b) OVER () AS nb
+  FROM c
+)
+SELECT CAST(min(na) AS BIGINT) AS na,
+       CAST(min(nb) AS BIGINT) AS nb,
+       CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+       round(max(abs(cum_a * nb - cum_b * na)) * 1.0 / (min(na) * min(nb)), 6)
+         AS d_stat,
+       round(max(abs(cum_a * nb - cum_b * na)) * 1.0 / (min(na) * min(nb))
+             * sqrt(min(na) * min(nb) * 1.0 / (min(na) + min(nb))), 6)
+         AS ks_stat
+FROM r
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on click-vs-view values:
+    D = max |F_a(x) − F_b(x)| over the observed support, plus the
+    scaled statistic D·sqrt(na·nb/(na+nb)) — the distribution-shift
+    test a drift monitor runs when PSI's fixed bins are too coarse
+    (dq_drift_psi) and a t/U test's location focus is too narrow.
+
+    Same zero-sort CDF pattern as agg_mann_whitney (the two share the
+    per-distinct-cents count table): D's numerator is carried as the
+    exact integer |cum_a·nb − cum_b·na| (cross-multiplied to avoid
+    float CDFs entirely), so the max is exact int64 and doubles appear
+    only in the final two rounded projections. One hash aggregate, one
+    bounded window, one reduction — any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    c = x.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = c.select(
+        F.sum("n_a").over(wcum).alias("cum_a"),
+        F.sum("n_b").over(wcum).alias("cum_b"),
+        F.sum("n_a").over(wall).alias("na"),
+        F.sum("n_b").over(wall).alias("nb"),
+    )
+    d_num = F.max(F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")))
+    na, nb = F.min("na"), F.min("nb")
+    return r.agg(
+        na.cast("bigint").alias("na"),
+        nb.cast("bigint").alias("nb"),
+        d_num.cast("bigint").alias("d_num"),
+        F.round(d_num * 1.0 / (na * nb), 6).alias("d_stat"),
+        F.round(
+            d_num * 1.0 / (na * nb) * F.sqrt(na * nb * 1.0 / (na + nb)), 6
+        ).alias("ks_stat"),
+    )

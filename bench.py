@@ -380,6 +380,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_vocab_coverage", "text_vocab_coverage"),
     ("events_alert_debounce", "dq_alert_debounce"),
     ("doc_token_budget_schedule", "pipeline_token_budget_schedule"),
+    ("events_mann_whitney", "agg_mann_whitney"),
+    ("events_ks_test", "agg_ks_test"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in
