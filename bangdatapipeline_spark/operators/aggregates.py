@@ -2463,6 +2463,7 @@ SELECT na, nb,
        ) AS z_score
 FROM s
 """,
+    tags=("stream_twin", "stream_test:test_mann_whitney_stream_equals_batch"),
 )
 def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U test (normal approximation with tie correction) on
@@ -2487,8 +2488,17 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = x.groupBy("cents").agg(
         F.sum("is_a").cast("bigint").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    return mann_whitney_from_counts(c)
+
+
+def mann_whitney_from_counts(c: DataFrame) -> DataFrame:
+    """The rank-sum statistic over a (cents, n_a, n_b) count table —
+    shared by the batch operator above and the streaming twin (where
+    ``c`` is the per-value count STATE maintained by
+    ``streaming.value_class_counts``; counts are order-insensitive, so
+    the twin needs no ordered replay)."""
+    c = c.withColumn("n", (F.col("n_a") + F.col("n_b")).cast("bigint"))
     wcum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2554,6 +2564,7 @@ SELECT CAST(min(na) AS BIGINT) AS na,
          AS ks_stat
 FROM r
 """,
+    tags=("stream_twin", "stream_test:test_ks_stream_equals_batch"),
 )
 def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic on click-vs-view values:
@@ -2578,6 +2589,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("bigint").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
     )
+    return ks_from_counts(c)
+
+
+def ks_from_counts(c: DataFrame) -> DataFrame:
+    """The KS statistic over a (cents, n_a, n_b) count table — shared by
+    the batch operator above and the streaming twin (same count state as
+    the Mann-Whitney twin)."""
     wcum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

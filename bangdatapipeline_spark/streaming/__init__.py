@@ -664,6 +664,10 @@ def _stream_twins():
         # timestamps as 3-BIGINT state; the latency histogram runs
         # read-side over completers (convert_hist_from_secs)
         "events_time_to_convert_hist": funnel_state,
+        # two-sample tests: per-value class counts are the state
+        # (order-insensitive); rank/CDF statistics run read-side
+        "agg_mann_whitney": value_class_counts,
+        "agg_ks_test": value_class_counts,
     }
 
 
@@ -747,6 +751,30 @@ def funnel_state(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+
+def value_class_counts(events: DataFrame) -> DataFrame:
+    """Streaming per-value class-count STATE shared by the two-sample
+    test twins (Mann-Whitney, KS): per cents value, how many click (A)
+    vs view (B) events — a plain streaming aggregate in complete mode,
+    state bounded by the distinct-value lattice regardless of volume.
+    Counts are order-insensitive, so these twins need no ordered
+    replay; the rank/CDF statistics run read-side over the state
+    (``aggregates.mann_whitney_from_counts`` / ``ks_from_counts``)
+    because they need the whole support together."""
+    x = events.where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    return x.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
     )
 
 

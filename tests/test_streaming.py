@@ -816,6 +816,38 @@ def test_funnel_state_stream_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_mann_whitney_stream_equals_batch(spark, chunks):
+    """Per-value class counts as streaming state + the shared rank-sum
+    read-side reproduces the batch agg_mann_whitney row exactly (counts
+    are order-insensitive, so unordered replay suffices)."""
+    from bangdatapipeline_spark.operators.aggregates import (
+        mann_whitney_from_counts,
+    )
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(
+        streaming.value_class_counts(stream), mode="complete"
+    )
+    out = mann_whitney_from_counts(state)
+    batch = REGISTRY["agg_mann_whitney"].fn(spark, SF)
+    cols = ["na", "nb", "u2_a", "tie_term", "z_score"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_ks_stream_equals_batch(spark, chunks):
+    """Same count state, KS read-side: replayed statistic equals batch."""
+    from bangdatapipeline_spark.operators.aggregates import ks_from_counts
+
+    stream = replay.read_stream(spark, chunks)
+    state = replay.run_stream(
+        streaming.value_class_counts(stream), mode="complete"
+    )
+    out = ks_from_counts(state)
+    batch = REGISTRY["agg_ks_test"].fn(spark, SF)
+    cols = ["na", "nb", "d_num", "d_stat", "ks_stat"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def test_snapshot_diff_stream_equals_batch(spark):
     """The B snapshot replayed as micro-batch slices through the
     foreachBatch accumulate sink, then diffed read-side against A,
