@@ -2150,3 +2150,112 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("6 DIV dist")).cast("bigint").alias("harmonic_x6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar edge strength (link-prediction weighting of common neighbors)
+# --------------------------------------------------------------------------
+
+_AA_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+wt AS (SELECT u, CAST(floor(1000000.0 / ln(d)) AS BIGINT) AS w_ppm FROM deg),
+common AS (
+  SELECT e.pa, e.pb,
+         CAST(count(*) AS BIGINT)  AS n_common,
+         CAST(sum(wt.w_ppm) AS BIGINT) AS aa_ppm
+  FROM edges e
+  JOIN und x ON x.u = e.pa
+  JOIN und y ON y.u = e.pb AND y.v = x.v
+  JOIN wt ON wt.u = x.v
+  GROUP BY e.pa, e.pb
+)
+SELECT pa, pb, n_common, aa_ppm,
+       CAST(row_number() OVER (ORDER BY aa_ppm DESC, pa, pb) AS INT) AS rk
+FROM common
+QUALIFY rk <= {_NBR_TOP}
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar edge strength: for each adjacent part pair, the sum
+    over common neighbors w of 1/ln(deg(w)) — the link-prediction
+    classic that upgrades raw common-neighbor counts (neighbor_jaccard's
+    numerator) by discounting promiscuous hubs: a shared rare neighbor
+    is strong evidence of affinity, a shared hub is none.
+
+    Exactness: the per-neighbor weight is floored ONCE onto the integer
+    ppm lattice (floor(1e6/ln(deg_w))), so the pair score is an exact
+    BIGINT SUM — deliberately avoiding a float Σ1/ln(d) whose value
+    would depend on summation order (docs/dialect_notes.md); the
+    lattice, not the float, IS the operator's semantics on both engines.
+
+    Plan: the same oriented-DAG triangle enumeration as
+    graph_neighbor_jaccard/graph_triangles (each triangle row credits
+    its three edges, weighted by the THIRD node's degree), one
+    broadcast of the |V|-row weight table, one keyed aggregate, and a
+    distributed top-k (orderBy+limit -> TakeOrderedAndProject). Cost is
+    the triangle count, not the wedge count — the hub discount comes
+    free from the degree table the orientation already built.
+    """
+    oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
+    adj = _out_adjacency(spark, sf_dir)
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    tris = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(_size_gated_broadcast(au), "u")
+        .join(_size_gated_broadcast(av), "v")
+        .select(
+            "u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w")
+        )
+        .cache()
+    )
+    # credit each triangle to its three edges, weighted by the third node
+    contrib = (
+        tris.select(
+            F.least("u", "v").alias("pa"),
+            F.greatest("u", "v").alias("pb"),
+            F.col("w").alias("third"),
+        )
+        .unionAll(
+            tris.select(
+                F.least("u", "w").alias("pa"),
+                F.greatest("u", "w").alias("pb"),
+                F.col("v").alias("third"),
+            )
+        )
+        .unionAll(
+            tris.select(
+                F.least("v", "w").alias("pa"),
+                F.greatest("v", "w").alias("pb"),
+                F.col("u").alias("third"),
+            )
+        )
+    )
+    wt = deg.select(
+        F.col("node").alias("third"),
+        F.floor(1000000.0 / F.log(F.col("d"))).cast("bigint").alias("w_ppm"),
+    )
+    scored = (
+        contrib.join(F.broadcast(wt), "third")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w_ppm").cast("bigint").alias("aa_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("aa_ppm").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(_NBR_TOP)
+    w = Window.orderBy(F.col("aa_ppm").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))

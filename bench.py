@@ -382,6 +382,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_token_budget_schedule", "pipeline_token_budget_schedule"),
     ("events_mann_whitney", "agg_mann_whitney"),
     ("events_ks_test", "agg_ks_test"),
+    ("parts_adamic_adar", "graph_adamic_adar"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in
