@@ -1109,3 +1109,105 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+_FUZZY_EVAL_BOUND = 2000  # custkey bound for the exact all-pairs ground truth
+
+
+@register(
+    "eval_fuzzy_blocking",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk
+  FROM customer WHERE c_custkey < {_FUZZY_EVAL_BOUND}
+),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM c a JOIN c b ON a.nk = b.nk AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+v AS (
+  SELECT id, nk, unnest(list_distinct(list_append(
+           [name[1:i-1] || name[i+1:] FOR i IN range(1, length(name) + 1)],
+           name))) AS vkey
+  FROM c
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.nk = b.nk AND a.vkey = b.vkey AND a.id < b.id
+),
+hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand)  AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hit)   AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM hit) * 1000000
+            // (SELECT count(*) FROM truth) AS BIGINT)  AS recall_ppm,
+       CAST((SELECT count(*) FROM hit) * 1000000
+            // (SELECT count(*) FROM cand) AS BIGINT)   AS precision_ppm
+""",
+)
+def eval_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality of the deletion-neighborhood join
+    behind ``fuzzy_match_names``, measured against bounded exact ground
+    truth (all nation-blocked pairs at Levenshtein <= 1, custkey <
+    _FUZZY_EVAL_BOUND = 2000): recall MUST be 1,000,000 ppm — D1 overlap is a complete
+    certificate for distance <= 1, so a single missed pair is a bug,
+    not a tuning knob — while precision quantifies how many candidates
+    the verify step pays for (D1 overlap admits some distance-2 pairs,
+    e.g. adjacent transpositions). Same measured-not-asserted posture
+    as eval_dedup_recall: the detector's completeness claim ships with
+    the number that proves it.
+
+    Plan: ground truth is the bounded quadratic (the eval's cost cap);
+    the candidate side is the production equi-join restricted to the
+    same bound; metrics are three counts + two exact integer ratios.
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < _FUZZY_EVAL_BOUND
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    a = c.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"), "nk")
+    b = c.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"), "nk")
+    truth = (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b")
+    )
+    variants = F.array_union(
+        F.array(F.col("name")),
+        F.expr(
+            "transform(sequence(1, length(name)),"
+            " i -> concat(substring(name, 1, i - 1),"
+            "             substring(name, i + 1, length(name))))"
+        ),
+    )
+    v = c.select("id", "nk", F.explode(variants).alias("vkey"))
+    va = v.select(F.col("id").alias("id_a"), "nk", "vkey")
+    vb = v.select(F.col("id").alias("id_b"), "nk", "vkey")
+    cand = (
+        va.join(vb, ["nk", "vkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hit = cand.intersect(truth)
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    rows = [
+        (
+            n_true,
+            n_cand,
+            n_hit,
+            n_hit * 1000000 // n_true if n_true else None,
+            n_hit * 1000000 // n_cand if n_cand else None,
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n_true bigint, n_cand bigint, n_hit bigint,"
+        " recall_ppm bigint, precision_ppm bigint"
+    )

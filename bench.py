@@ -383,6 +383,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_mann_whitney", "agg_mann_whitney"),
     ("events_ks_test", "agg_ks_test"),
     ("parts_adamic_adar", "graph_adamic_adar"),
+    ("customers_fuzzy_blocking_eval", "eval_fuzzy_blocking"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in
