@@ -30,3 +30,6 @@ from bangdatapipeline_spark.operators import (  # noqa: E402,F401
     dataquality,
     layout_ops,
 )
+
+# round-8 additions (same tail-append contract as above).
+from bangdatapipeline_spark.operators import inference  # noqa: E402,F401

@@ -1966,3 +1966,102 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90).alias("vocab_for_90pct"),
         pick(99).alias("vocab_for_99pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CAP = 20     # ids materialized per posting list
+# df band, relative to corpus size: terms in fewer than max(5, 1%) of
+# documents are noise, terms in more than 10% are head terms whose posting
+# lists are unselective (you'd store them as bitmaps, not id lists).
+_POSTINGS_LO = "greatest(5, {n} // 100)"
+_POSTINGS_HI = "{n} // 10"
+
+
+@register(
+    "text_postings",
+    oracle=f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS term
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+), p AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM bg
+), g AS (
+  SELECT term,
+         count(*) AS df,
+         string_agg(CASE WHEN rn <= {_POSTINGS_CAP}
+                         THEN CAST(doc_id AS VARCHAR) END,
+                    ',' ORDER BY doc_id) AS postings
+  FROM p GROUP BY term
+)
+SELECT g.term, CAST(g.df AS BIGINT) AS df, g.postings
+FROM g CROSS JOIN nd
+WHERE g.df BETWEEN {_POSTINGS_LO.format(n='nd.n')}
+               AND {_POSTINGS_HI.format(n='nd.n')}
+""",
+)
+def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction over word bigrams: for every mid-df
+    term (document frequency between max(5, 1%) and 10% of the corpus —
+    the selectivity band where id-list postings beat bitmaps and the
+    term is still discriminative), the sorted posting list of the first
+    20 doc_ids plus the true df. This is the build step behind every
+    lexical retrieval operator here (``text_bm25``/``text_tfidf`` score
+    at query time; a real search system materializes postings once and
+    intersects them at query time). Terms are bigrams because this
+    corpus's unigram vocabulary is saturated (every word appears in
+    ~every document — df bands are only meaningful one n-gram level up).
+
+    Determinism: posting ids are rank-capped by a row_number over
+    (term ORDER BY doc_id) and string-joined in doc_id order — never
+    collect-order-dependent (the ``agg_string_agg`` discipline). The
+    df band is RELATIVE (computed from a 1-row corpus-count scalar,
+    declared broadcast), so the operator is meaningful at every scale
+    factor instead of pinning absolute df constants.
+
+    Scale shape: bigrams generate in-row (no positional self-join),
+    doc-distinct in-row too; ONE exchange on term feeds both the
+    rank window and the aggregate (same key, sort reused), and the
+    conditional collect keeps per-term aggregate state <= 20 ids no
+    matter how hot the term — the unbounded-listagg anti-pattern never
+    appears. At 100 TB the posting store is range-partitioned by term
+    with doc-sorted runs, which is exactly what this plan's per-term
+    sorted partitions are.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    bg = d.selectExpr(
+        "doc_id",
+        "explode(array_distinct(CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+        " ELSE array() END)) AS term",
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    p = bg.withColumn("rn", F.row_number().over(w))
+    g = p.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= _POSTINGS_CAP, F.col("doc_id"))
+                )
+            ).cast("array<string>"),
+            ",",
+        ).alias("postings"),
+    )
+    lo = F.expr(_POSTINGS_LO.format(n="n").replace("//", "div"))
+    hi = F.expr(_POSTINGS_HI.format(n="n").replace("//", "div"))
+    return (
+        g.crossJoin(F.broadcast(nd))
+        .filter(F.col("df").between(lo, hi))
+        .select("term", F.col("df").cast("long").alias("df"), "postings")
+    )

@@ -1846,3 +1846,67 @@ def ts_ship_delay_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90).alias("p90_days"),
         pick(99).alias("p99_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_twap",
+    oracle="""
+WITH seg AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)   AS n_segments,
+       CAST(sum(gap_us) AS BIGINT) AS span_us,
+       CAST(sum(cents * gap_us) // sum(gap_us) AS BIGINT) AS twap_cents
+FROM seg WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: treat each
+    event's value as holding until the NEXT event of the same type, and
+    average weighted by holding time — the metric that makes irregular
+    samples comparable (a plain AVG over-weights bursts; TWAP weights by
+    how long each observation was "in force"). The last observation per
+    type has no successor and contributes no segment, the standard
+    half-open convention.
+
+    Exact integer lattice end to end: holding times are microsecond
+    differences of epoch integers, values are cents, and the weighted
+    mean is one int64 division — sum(cents x gap_us) stays under 2^63
+    up to ~2 x 10^5 type-years of span at these magnitudes; coarsen the
+    weight lattice to milliseconds (divide gaps by 1000 on both sides)
+    for longer horizons.
+
+    Scale shape: one window (lead) partitioned by event_type ordered by
+    time, then one keyed aggregate — the same single-shuffle posture as
+    ``ts_ohlc_resample``; for feeds too hot for a per-type sort, the
+    two-level day-bucketed decomposition used by ``ts_max_silence``
+    applies verbatim (intra-bucket leads + boundary stitching).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("gap_us").cast("bigint").alias("span_us"),
+        F.expr("CAST(sum(cents * gap_us) div sum(gap_us) AS BIGINT)").alias(
+            "twap_cents"
+        ),
+    )

@@ -384,6 +384,11 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_ks_test", "agg_ks_test"),
     ("parts_adamic_adar", "graph_adamic_adar"),
     ("customers_fuzzy_blocking_eval", "eval_fuzzy_blocking"),
+    ("customers_kaplan_meier", "surv_kaplan_meier"),
+    ("orders_bootstrap_ci", "stats_bootstrap_ci"),
+    ("events_diff_in_diff", "events_diff_in_diff"),
+    ("events_twap", "ts_twap"),
+    ("doc_inverted_postings", "text_postings"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

@@ -92,6 +92,9 @@ CARTESIAN_OK = {
     "emb_sim_histogram",  # exact pair pass (broadcast query side, knn pattern)
     "filter_scalar_subquery",  # 1-row avg threshold broadcast into the filter
     "agg_chi_square",  # 1-row total + dof scalar crossJoins
+    "surv_kaplan_meier",  # 1-row censoring-horizon scalar (max orderdate) crossJoined
+    "events_diff_in_diff",  # 1-row window-midpoint scalar crossJoined
+    "text_postings",  # 1-row corpus-count scalar for the relative df band
 }
 
 
