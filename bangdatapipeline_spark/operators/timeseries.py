@@ -1870,6 +1870,7 @@ SELECT event_type,
 FROM seg WHERE gap_us IS NOT NULL
 GROUP BY event_type
 """,
+    tags=("stream_twin", "stream_test:test_twap_stream_equals_batch"),
 )
 def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value (TWAP) per event type: treat each

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -505,6 +506,81 @@ def drawdown_levels(events: DataFrame) -> DataFrame:
     )
 
 
+_TWAP_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_cents", LongType()),
+        StructField("n_seg", LongType()),
+        StructField("span", LongType()),
+        StructField("wsum", LongType()),
+    ]
+)
+_TWAP_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_segments", LongType()),
+        StructField("span_us", LongType()),
+        StructField("wsum_cents_us", LongType()),
+    ]
+)
+
+
+def _twap_state(key, pdf_iter, state: GroupState):
+    """Per-feed TWAP fold: carry (last event's epoch-µs and cents, plus
+    the running Σ cents·gap_µs and Σ gap_µs) in the state store. Rows
+    are sorted by (ts, event_id) within each micro-batch; with in-order
+    replay the fold closes exactly the segments the batch ``ts_twap``
+    window's lead() defines, in exact BIGINT arithmetic — the open
+    segment (last event, no successor yet) is correctly NOT counted,
+    which is the batch operator's half-open convention."""
+    import math
+
+    last_us, last_cents, n_seg, span, wsum = (
+        state.get if state.exists else (-1, 0, 0, 0, 0)
+    )
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us_arr = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for us, val in zip(us_arr, pdf["value"]):
+            cents = int(math.floor(val * 100 + 0.5))
+            if last_us >= 0:
+                gap = int(us) - last_us
+                n_seg += 1
+                span += gap
+                wsum += last_cents * gap
+            last_us, last_cents = int(us), cents
+    state.update((last_us, last_cents, n_seg, span, wsum))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_segments": [n_seg],
+            "span_us": [span],
+            "wsum_cents_us": [wsum],
+        }
+    )
+
+
+def twap_levels(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_twap``: the time-weighted-average
+    accumulators maintained per event_type in the state store (update
+    mode) — the always-on market-data version of the batch window.
+    State is 5 BIGINTs per feed regardless of volume; each micro-batch
+    emits the running (n_segments, span_us, Σcents·µs) for the feeds it
+    touched, and twap_cents = wsum div span is a read-side projection
+    over |feeds| rows."""
+    return (
+        events.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _twap_state,
+            outputStructType=_TWAP_OUT_SCHEMA,
+            stateStructType=_TWAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def daily_cents(events: DataFrame) -> DataFrame:
     """Streaming daily-revenue STATE: per (event_type, day) running exact
     cents total — the tumbling rollup behind ``ts_forecast_snaive_eval``.
@@ -643,6 +719,10 @@ def _stream_twins():
         # running drawdown levels: 4-BIGINT per-user state, exact-cents
         # fold in (ts, event_id) order
         "win_drawdown": drawdown_levels,
+        # running TWAP accumulators: 5-BIGINT per-feed state, exact
+        # cents·µs fold in (ts, event_id) order; twap = wsum div span
+        # is a read-side projection
+        "ts_twap": twap_levels,
         # seasonal-naive backtest: tumbling daily cents are the state;
         # the day-7 MAE/bias projection runs read-side over it
         "ts_forecast_snaive_eval": daily_cents,

@@ -736,6 +736,44 @@ def test_seasonal_decompose_stream_equals_batch(spark, chunks):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_twap_stream_equals_batch(spark):
+    """Replaying events in (ts, event_id) order through the stateful TWAP
+    twin reaches EXACTLY the batch ``ts_twap`` rows — the cents·µs fold
+    is integer arithmetic, so after the read-side division the equality
+    is exact. Chunks are cut on the composite order for the same reason
+    as the drawdown test (equal-ts rows of one feed must not split
+    across micro-batches out of order)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF, "events")
+    ordered = ev.withColumn(
+        "_ord", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    d = replay.write_chunks(spark, SF, n_chunks=6, df=ordered, order_col="_ord")
+    try:
+        stream = replay.read_stream(spark, d).drop("_ord")
+        out = replay.run_stream(streaming.twap_levels(stream), mode="update")
+        # all three accumulators are monotone (cents >= 1, gaps >= 0), so
+        # the final state per feed is the column-wise max of its updates
+        final = {
+            r.event_type: (r.n_segments, r.span_us, r.wsum_cents_us // r.span_us)
+            for r in out.groupBy("event_type")
+            .agg(
+                F.max("n_segments").alias("n_segments"),
+                F.max("span_us").alias("span_us"),
+                F.max("wsum_cents_us").alias("wsum_cents_us"),
+            )
+            .collect()
+        }
+        batch = {
+            r.event_type: (r.n_segments, r.span_us, r.twap_cents)
+            for r in REGISTRY["ts_twap"].fn(spark, SF).collect()
+        }
+        assert final == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_drawdown_stream_equals_batch(spark):
     """Replaying purchases in (ts, event_id) order through the stateful
     drawdown twin reaches EXACTLY the batch ``win_drawdown`` rows — the
