@@ -346,3 +346,206 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cpre / 100, 4).alias("mean_ctrl_pre"),
         F.round((tp - tpre - cp + cpre) / 100, 4).alias("did"),
     )
+
+
+_PERM_R = 500  # sign-flip replicates; p-value uses the add-one convention
+
+
+@register(
+    "stats_permutation_test",
+    oracle=f"""
+WITH mid AS (
+  SELECT min(epoch_us(ts)) + max(epoch_us(ts)) AS mm FROM events
+), per_user AS (
+  SELECT e.user_id,
+         sum(CASE WHEN 2 * epoch_us(e.ts) < mid.mm
+                  THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS s_pre,
+         sum(CASE WHEN 2 * epoch_us(e.ts) < mid.mm THEN 1 ELSE 0 END)  AS n_pre,
+         sum(CASE WHEN 2 * epoch_us(e.ts) >= mid.mm
+                  THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS s_post,
+         sum(CASE WHEN 2 * epoch_us(e.ts) >= mid.mm THEN 1 ELSE 0 END) AS n_post
+  FROM events e CROSS JOIN mid
+  GROUP BY e.user_id
+), d AS (
+  SELECT user_id, s_post * n_pre - s_pre * n_post AS d_u
+  FROM per_user WHERE n_pre > 0 AND n_post > 0
+), obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(d_u) AS BIGINT) AS t_obs
+  FROM d
+), reps AS (
+  SELECT r.r, sum(CASE WHEN ((d.user_id % {_LAT}) * {_LCG_A}
+                             + r.r * {_LCG_C}) % {_LAT} < {_LAT // 2}
+                       THEN d.d_u ELSE -d.d_u END) AS t_r
+  FROM d CROSS JOIN (SELECT unnest(range(1, {_PERM_R + 1})) AS r) r
+  GROUP BY r.r
+)
+SELECT obs.n_users, obs.t_obs,
+       CAST(count(*) FILTER (WHERE abs(reps.t_r) >= abs(obs.t_obs))
+            AS BIGINT) AS n_extreme,
+       CAST({_PERM_R} AS BIGINT) AS n_replicates,
+       CAST((1000000 * (count(*) FILTER (WHERE abs(reps.t_r) >= abs(obs.t_obs)) + 1))
+            // ({_PERM_R} + 1) AS BIGINT) AS p_ppm
+FROM reps CROSS JOIN obs
+GROUP BY obs.n_users, obs.t_obs
+""",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired randomization (Fisher sign-flip) test: did per-user event
+    value drift between the first and second half of the observation
+    window? Each user contributes the integer paired contrast
+    d_u = s_post·n_pre − s_pre·n_post (the post-minus-pre mean
+    difference put over the common denominator n_pre·n_post, so it
+    stays on the exact cents lattice); under H0 the sign of every d_u
+    is exchangeable, so the null distribution is T_r = Σ ±d_u with
+    signs flipped by the SAME deterministic 2^20 hash lattice the
+    bootstrap uses. p = (#{|T_r| ≥ |T_obs|} + 1)/(R + 1), the add-one
+    convention that keeps the test exact-level, reported in ppm — the
+    whole pipeline is integer arithmetic end to end, no RNG state.
+
+    Complements the two-sample family (Welch/Mann-Whitney/KS compare
+    independent groups; this is the PAIRED design) and the bootstrap
+    (CI vs hypothesis test). Scale shape: one keyed aggregate to
+    per-user contrasts, one xR scan-local explode collapsed by
+    map-side partials to R replicate sums, one bounded comparison
+    against the 1-row observed statistic (declared scalar crossJoin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    mid = ev.agg((F.min(us) + F.max(us)).alias("mm"))
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    post = us * 2 >= F.col("mm")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~post, cents).otherwise(0)).alias("s_pre"),
+            F.sum(F.when(~post, 1).otherwise(0)).alias("n_pre"),
+            F.sum(F.when(post, cents).otherwise(0)).alias("s_post"),
+            F.sum(F.when(post, 1).otherwise(0)).alias("n_post"),
+        )
+    )
+    d = per_user.filter((F.col("n_pre") > 0) & (F.col("n_post") > 0)).select(
+        "user_id",
+        (
+            F.col("s_post") * F.col("n_pre") - F.col("s_pre") * F.col("n_post")
+        ).alias("d_u"),
+    )
+    obs = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("d_u").cast("long").alias("t_obs"),
+    )
+    sign_flip = F.expr(
+        f"CASE WHEN ((user_id % {_LAT}) * {_LCG_A} + r * {_LCG_C}) % {_LAT}"
+        f" < {_LAT // 2} THEN d_u ELSE -d_u END"
+    )
+    reps = (
+        d.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(_PERM_R))))
+        .groupBy("r")
+        .agg(F.sum(sign_flip).alias("t_r"))
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("t_r")) >= F.abs(F.col("t_obs")), 1).otherwise(0)
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .groupBy("n_users", "t_obs")
+        .agg(
+            extreme.cast("long").alias("n_extreme"),
+            F.lit(_PERM_R).cast("long").alias("n_replicates"),
+            F.expr(
+                f"CAST((1000000 * (sum(CASE WHEN abs(t_r) >= abs(t_obs)"
+                f" THEN 1 ELSE 0 END) + 1)) div ({_PERM_R} + 1) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .select("n_users", "t_obs", "n_extreme", "n_replicates", "p_ppm")
+    )
+
+
+_QTE_PCTS = (25, 50, 75, 90)
+
+
+@register(
+    "stats_quantile_treatment",
+    oracle=f"""
+WITH base AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), vc AS (
+  SELECT treat, cents, count(*) AS c FROM base GROUP BY treat, cents
+), cdf AS (
+  SELECT treat, cents,
+         sum(c) OVER (PARTITION BY treat ORDER BY cents) AS cum,
+         sum(c) OVER (PARTITION BY treat)                AS n
+  FROM vc
+), q AS (
+  SELECT p.p, cdf.treat, min(cdf.cents) AS q_cents
+  FROM cdf JOIN (SELECT unnest([{", ".join(str(p) for p in _QTE_PCTS)}]) AS p) p
+    ON cdf.cum >= (cdf.n * p.p + 99) // 100
+  GROUP BY p.p, cdf.treat
+)
+SELECT CAST(p AS BIGINT) AS pct,
+       CAST(max(CASE WHEN treat THEN q_cents END) AS BIGINT)     AS q_treat_cents,
+       CAST(max(CASE WHEN NOT treat THEN q_cents END) AS BIGINT) AS q_ctrl_cents,
+       CAST(max(CASE WHEN treat THEN q_cents END)
+            - max(CASE WHEN NOT treat THEN q_cents END) AS BIGINT) AS qte_cents
+FROM q GROUP BY p
+""",
+)
+def stats_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: at p25/p50/p75/p90, the difference
+    between the treated and control purchase-value distributions —
+    the distributional view a mean contrast (``events_diff_in_diff``)
+    hides (a treatment that moves only the tail shows a flat mean and
+    a large p90 QTE). Quantiles are EXACT type-1 order statistics
+    (smallest value whose cumulative count reaches ceil(p·n/100)) on
+    the integer cents lattice, so both engines select the identical
+    value — no interpolation, no approx sketch.
+
+    Scale shape: the bounded-domain CDF idiom (``ts_ship_delay_cdf``):
+    one aggregate collapses raw purchases to per-(arm, distinct-value)
+    counts — the window then runs over the VALUE DOMAIN (≤ ~49k cents
+    rows per arm), not the row count, so a 100 TB fact table feeds a
+    kilobyte-scale cumulative sum. The 4-row percentile spine joins on
+    a range predicate against that bounded table (declared pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    vc = base.groupBy("treat", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("treat").orderBy("cents")
+    w_all = Window.partitionBy("treat")
+    cdf = vc.select(
+        "treat",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _QTE_PCTS])).alias("p")
+    )
+    q = (
+        cdf.join(
+            F.broadcast(pcts),
+            F.col("cum") >= F.expr("(n * p + 99) div 100"),
+        )
+        .groupBy("p", "treat")
+        .agg(F.min("cents").alias("q_cents"))
+    )
+    t = F.max(F.when(F.col("treat"), F.col("q_cents")))
+    c = F.max(F.when(~F.col("treat"), F.col("q_cents")))
+    return q.groupBy("p").agg(
+        t.cast("long").alias("q_treat_cents"),
+        c.cast("long").alias("q_ctrl_cents"),
+        (t - c).cast("long").alias("qte_cents"),
+    ).select(
+        F.col("p").cast("long").alias("pct"),
+        "q_treat_cents",
+        "q_ctrl_cents",
+        "qte_cents",
+    )

@@ -389,6 +389,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_diff_in_diff", "events_diff_in_diff"),
     ("events_twap", "ts_twap"),
     ("doc_inverted_postings", "text_postings"),
+    ("events_permutation_test", "stats_permutation_test"),
+    ("events_quantile_treatment", "stats_quantile_treatment"),
+    ("lineitem_sort_compression", "layout_sort_compression_gain"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

@@ -95,6 +95,8 @@ CARTESIAN_OK = {
     "surv_kaplan_meier",  # 1-row censoring-horizon scalar (max orderdate) crossJoined
     "events_diff_in_diff",  # 1-row window-midpoint scalar crossJoined
     "text_postings",  # 1-row corpus-count scalar for the relative df band
+    "stats_permutation_test",  # 1-row observed-statistic + midpoint scalars
+    "stats_quantile_treatment",  # 4-row percentile spine range-joined to the CDF
 }
 
 
