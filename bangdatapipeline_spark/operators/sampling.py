@@ -563,3 +563,66 @@ def pipeline_token_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("alloc_tokens"),
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+WITH e AS (SELECT vec_id, label FROM embeddings),
+c AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+k AS (SELECT min(n) AS k_min FROM c),
+ranked AS (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rk
+  FROM e
+)
+SELECT r.label,
+       CAST(c.n AS BIGINT)         AS n_class,
+       CAST(k.k_min AS BIGINT)     AS n_kept,
+       CAST(sum(r.vec_id) AS BIGINT) AS key_checksum
+FROM ranked r CROSS JOIN k
+JOIN c ON c.label = r.label
+WHERE r.rk <= k.k_min
+GROUP BY r.label, c.n, k.k_min
+""",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every label keeps exactly n_min rows
+    (the minority-class count, derived from the data), chosen by
+    md5-rank — the deterministic undersampling step before training a
+    classifier on skewed labels (``label_purity``'s table). Differs
+    from ``sample_per_group_fixed`` in that K is DATA-DERIVED (the
+    1-row min-class scalar, declared broadcast), so the output is
+    balanced by construction even as the distribution drifts;
+    per-class md5 order makes the keep-set reproducible on any
+    engine/partitioning and stable under corpus append (only the
+    marginal rank moves).
+
+    Output is the per-class audit (original size, kept size, kept-key
+    checksum) rather than the row set — bounded at |labels| rows. Plan:
+    one bounded count, one per-label rank window (WindowGroupLimit
+    cannot apply since K is dynamic, but per-partition sort state is
+    the label's rows only), one filtered aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    k = c.agg(F.min("n").alias("k_min"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = e.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rk") <= F.col("k_min"))
+        .join(F.broadcast(c), "label")
+        .groupBy("label", "n", "k_min")
+        .agg(F.sum("vec_id").cast("long").alias("key_checksum"))
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n_class"),
+            F.col("k_min").cast("long").alias("n_kept"),
+            "key_checksum",
+        )
+    )

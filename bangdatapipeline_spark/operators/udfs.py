@@ -27,7 +27,7 @@ from __future__ import annotations
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import pandas_udf, udtf
 
 from bangdatapipeline_spark.registry import register
@@ -217,4 +217,63 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
         F.sum("n_chars_obs").alias("sum_chars"),
+    )
+
+
+def _rolling_mean_cents_fn(v: pd.Series) -> float:
+    # bounded-frame mean over exact cents integers: the float64 sum is
+    # exact below 2^53, so the single division matches SQL avg() bit-wise
+    return float(v.mean())
+
+
+@register(
+    "udf_window_agg",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       round(avg(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100,
+             4) AS rolling_avg
+FROM orders
+""",
+)
+def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth Python-integration surface: a pandas GROUPED_AGG UDF
+    used as a WINDOW FUNCTION (``WindowInPandas``) — each customer's
+    trailing-5-order mean value computed by a Python callable over the
+    bounded frame, Arrow-batched per window partition. This is the
+    surface a user reaches when the rolling statistic has no built-in
+    (here it deliberately IS avg, so the SQL oracle proves the Python
+    window lane computes exactly what the declarative frame would —
+    the same parity contract as the other four UDF surfaces).
+
+    Frame discipline: ROWS BETWEEN 4 PRECEDING AND CURRENT ROW over the
+    unique (o_orderdate, o_orderkey) order; values enter as exact cents
+    integers so the frame mean is one exact float64 division on both
+    engines, rounded to 4 dp. Scale: WindowInPandas ships each bounded
+    frame's column slice through Arrow — state per task is the frame
+    (5 rows), not the partition; an UNBOUNDED pandas frame over a hot
+    key would be the anti-pattern (use the built-in agg or a keyed
+    pre-aggregate instead).
+    """
+    rolling_mean = pandas_udf(_rolling_mean_cents_fn, "double")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(rolling_mean(F.col("cents")).over(w) / 100, 4).alias(
+            "rolling_avg"
+        ),
     )

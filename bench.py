@@ -392,6 +392,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_permutation_test", "stats_permutation_test"),
     ("events_quantile_treatment", "stats_quantile_treatment"),
     ("lineitem_sort_compression", "layout_sort_compression_gain"),
+    ("orders_udf_window_agg", "udf_window_agg"),
+    ("emb_balanced_classes", "sample_balanced_classes"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

@@ -97,6 +97,7 @@ CARTESIAN_OK = {
     "text_postings",  # 1-row corpus-count scalar for the relative df band
     "stats_permutation_test",  # 1-row observed-statistic + midpoint scalars
     "stats_quantile_treatment",  # 4-row percentile spine range-joined to the CDF
+    "sample_balanced_classes",  # 1-row min-class-count scalar crossJoined
 }
 
 
