@@ -1911,3 +1911,97 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         CAST(floor((b.c - a.c) * 1000000.0
+                    / date_diff('day', a.d, b.d) + 0.5) AS BIGINT) AS slope_u6
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), ranked AS (
+  SELECT event_type, slope_u6,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_u6, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type,
+       CAST(n_pairs AS BIGINT)  AS n_pairs,
+       CAST(slope_u6 AS BIGINT) AS sen_slope_u6
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+""",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per feed: the MEDIAN of all pairwise
+    day-over-day slopes of the daily count series — the estimator that
+    shrugs off the outlier days that pull ``agg_ols_trend``'s
+    least-squares line (up to ~29% contamination). Slopes live on an
+    exact µ-units/day lattice (floor(Δc·1e6/Δdays + .5): one IEEE
+    division of small integers, identically rounded in both engines),
+    and the median is the exact lower order statistic rn = ⌈n/2⌉ with a
+    (slope, d1, d2) tie-break — no interpolation, no float compare.
+
+    Scale shape: the raw stream collapses to the bounded (feed × day)
+    table FIRST (one keyed aggregate with map-side combine); the
+    pairwise self-join runs on that bounded spine (30 days → 435 pairs
+    per feed — an equi-join on feed with the date inequality as its
+    post-filter, never a cartesian over events), and the median window
+    sorts |pairs| rows per feed. At years of history the pair count
+    grows quadratically in DAYS, not rows — cap it with a trailing
+    window or Sen's subsampled variant when the spine outgrows ~10^4
+    days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        b, (a.event_type == b.et2) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        "d1",
+        "d2",
+        F.floor(
+            (F.col("c2") - F.col("c1"))
+            * 1000000.0
+            / F.datediff("d2", "d1")
+            + 0.5
+        )
+        .cast("long")
+        .alias("slope_u6"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope_u6", "d1", "d2")
+    w_all = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope_u6",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_u6").cast("long").alias("sen_slope_u6"),
+    )

