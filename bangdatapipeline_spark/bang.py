@@ -37,7 +37,7 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -253,4 +253,126 @@ def analysis_frame(
     return (
         wide.join(members, ["batch_id", "round", "user_id"], "left")
         .join(stats, ["batch_id", "round", "team_id", "user_id"], "left")
+    )
+
+
+def team_viability(
+    raw: DataFrame, items: list[str] | None = None, kind: str = "mid"
+) -> DataFrame:
+    """Team-viability score — the headline metric of the Bang research
+    line (Whiting et al., CSCW): each member's mean over the viability
+    Likert items (recoded 1-5 via ``likert5``; unrecognized labels are
+    NULL and drop out, the reference's NaN semantics), averaged across
+    the team's respondents per (batch, round, team). ``n_resp`` counts
+    members whose responses produced at least one recognized item.
+
+    Plan: survey explode -> item filter -> two keyed aggregates on the
+    analysis grain, co-partitioned with every other (batch, round,
+    team) merge in ``analysis_frame``.
+    """
+    items = items or ["viable"]
+    s = surveys(raw, kind).filter(F.col("q").isin(items))
+    per_user = (
+        s.select(
+            "batch_id",
+            "round",
+            "user_id",
+            likert5(F.col("answer")).alias("score"),
+        )
+        .groupBy("batch_id", "round", "user_id")
+        .agg(F.avg("score").alias("user_mean"))
+        .filter(F.col("user_mean").isNotNull())
+    )
+    members = team_members(raw)
+    return (
+        per_user.join(members, ["batch_id", "round", "user_id"])
+        .groupBy("batch_id", "round", "team_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_resp"),
+            F.round(F.avg("user_mean"), 3).alias("viability"),
+        )
+    )
+
+
+def turn_taking(msgs: DataFrame) -> DataFrame:
+    """Turn-taking balance per (batch, round, team): message count,
+    active-speaker count, the dominant speaker's share (ppm, exact
+    integer), and the speaker-distribution entropy in nats (round 4) —
+    0 = one voice, ln(team_size) = perfectly balanced. The
+    conversational-equality signal the team-fracture analyses read off
+    the chat log.
+
+    Two keyed aggregates (per-speaker counts, then per-team roll-up);
+    the entropy sum folds <= |members| terms per team.
+    """
+    per_user = msgs.groupBy("batch_id", "round", "team_id", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_team = per_user.groupBy("batch_id", "round", "team_id").agg(
+        F.sum("c").cast("long").alias("n_msgs"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.expr("CAST(max(c) * 1000000 div sum(c) AS BIGINT)").alias(
+            "top_share_ppm"
+        ),
+        # counts sorted in-row so the bounded fold order is deterministic
+        F.array_sort(F.collect_list("c")).alias("cs"),
+    )
+    entropy = F.expr(
+        "aggregate(cs, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc - (x / n_msgs) * ln(x / n_msgs))"
+    )
+    return per_team.select(
+        "batch_id",
+        "round",
+        "team_id",
+        "n_msgs",
+        "n_active",
+        "top_share_ppm",
+        F.round(entropy, 4).alias("entropy_nats"),
+    )
+
+
+def response_latency(msgs: DataFrame) -> DataFrame:
+    """Chat responsiveness per (batch, round, team): the number of
+    inter-message gaps and their exact lower-median in seconds — the
+    silence/latency signal (a viable team answers fast; a fractured one
+    leaves long gaps). Messages are totally ordered by (ts, user_id,
+    message) so equal timestamps cannot flip the gap sequence; teams
+    with fewer than two messages have no gaps and emit no row.
+    """
+    w = Window.partitionBy("batch_id", "round", "team_id").orderBy(
+        "ts", "user_id", "message"
+    )
+    gaps = (
+        msgs.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "batch_id",
+            "round",
+            "team_id",
+            "ts",
+            "user_id",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).alias("gap_s"),
+        )
+    )
+    w_rank = Window.partitionBy("batch_id", "round", "team_id").orderBy(
+        "gap_s", "ts", "user_id"
+    )
+    w_all = Window.partitionBy("batch_id", "round", "team_id")
+    ranked = gaps.select(
+        "batch_id",
+        "round",
+        "team_id",
+        "gap_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_gaps"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n_gaps + 1) div 2")).select(
+        "batch_id",
+        "round",
+        "team_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("gap_s").cast("long").alias("median_gap_s"),
     )

@@ -191,3 +191,49 @@ def test_bangcache_python_datasource(spark, tmp_path):
     assert (b2.n_rounds, b2.n_teams, b2.n_messages) == (1, 2, 4)
     # one input partition per cache file -> parallel ingest
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_team_viability(raw):
+    """Hand-computed: r0/t1 = mean(4, 5) = 4.5 from u1 Agree + u2
+    Strongly agree; r0/t2 = 3.0 (u3 Neutral); r1/t3 = 2.0 — u1
+    'disagree' recodes, u3's 'bogus label' is NULL and drops both from
+    the mean and from n_resp (the reference's NaN semantics)."""
+    rows = {
+        (r.round, r.team_id): (r.n_resp, r.viability)
+        for r in bang.team_viability(raw).collect()
+    }
+    assert rows == {
+        (0, "t1"): (2, 4.5),
+        (0, "t2"): (1, 3.0),
+        (1, "t3"): (1, 2.0),
+    }
+
+
+def test_turn_taking(raw):
+    """t1: 3 msgs from {u1: 2, u2: 1} -> top share 2/3 (666666 ppm,
+    floor), entropy -(2/3 ln 2/3 + 1/3 ln 1/3) = 0.6365 nats; t2: one
+    speaker -> share 1e6, entropy 0; t3 has no chat -> no row."""
+    rows = {
+        (r.round, r.team_id): (
+            r.n_msgs,
+            r.n_active,
+            r.top_share_ppm,
+            r.entropy_nats,
+        )
+        for r in bang.turn_taking(bang.chats(raw)).collect()
+    }
+    assert rows == {
+        (0, "t1"): (3, 2, 666666, 0.6365),
+        (0, "t2"): (1, 1, 1000000, 0.0),
+    }
+
+
+def test_response_latency(raw):
+    """t1's messages at 10:01:00 / 10:01:30 / 10:02:00 give gaps
+    [30, 30] -> lower median 30; t2 has one message (no gaps) and t3
+    none, so neither emits a row."""
+    rows = {
+        (r.round, r.team_id): (r.n_gaps, r.median_gap_s)
+        for r in bang.response_latency(bang.chats(raw)).collect()
+    }
+    assert rows == {(0, "t1"): (2, 30)}
