@@ -2008,6 +2008,7 @@ FROM g CROSS JOIN nd
 WHERE g.df BETWEEN {_POSTINGS_LO.format(n='nd.n')}
                AND {_POSTINGS_HI.format(n='nd.n')}
 """,
+    tags=("stream_twin", "stream_test:test_postings_stream_equals_batch"),
 )
 def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction over word bigrams: for every mid-df

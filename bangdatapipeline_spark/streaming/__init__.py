@@ -748,6 +748,10 @@ def _stream_twins():
         # (order-insensitive); rank/CDF statistics run read-side
         "agg_mann_whitney": value_class_counts,
         "agg_ks_test": value_class_counts,
+        # incremental inverted-index maintenance: per-term (df, min-20
+        # ids) is a monoid, merged per batch in foreachBatch; the
+        # corpus-relative df band runs read-side (postings_result)
+        "text_postings": sinks.postings_index_sink,
     }
 
 

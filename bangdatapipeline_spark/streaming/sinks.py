@@ -408,3 +408,108 @@ def txn_table_merge_sink(changelog_stream: DataFrame, table, app_id: str = "stre
         .start()
     )
     return q
+
+
+def postings_index_sink(df: DataFrame, target: str | None = None):
+    """Streaming inverted-index maintenance: each micro-batch of NEW
+    documents is reduced to per-term partials — (df_delta, the batch's
+    min-20 doc_ids) plus a 1-row doc-count partial — and MERGED into the
+    versioned index state. The streaming twin of ``text_postings``.
+
+    The merge is a pure monoid fold, which is what makes the index
+    incrementally maintainable at all: document frequency is additive
+    over disjoint doc sets, and the rank-capped posting list is a MIN-20
+    (min-20 of a union = min-20 of the two sides' min-20s), so folding
+    any batch cut of the corpus reaches the same state as one batch
+    build. The relative df band is deliberately NOT applied to state —
+    it depends on the final corpus size, so it is a read-side projection
+    (``postings_result``) over the bounded per-term state, exactly like
+    the other monitors' read-side split. Versioned ``v{batch_id}``
+    writes + latest-pointer semantics give idempotent replay.
+    """
+    import pyspark.sql.functions as F
+
+    target = target or os.path.join(
+        tempfile.gettempdir(), f"postings_state_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(target, exist_ok=True)
+
+    def delta_index(batch_df: DataFrame) -> DataFrame:
+        toks = batch_df.selectExpr("doc_id", "split(text, ' ') AS toks")
+        bg = toks.selectExpr(
+            "doc_id",
+            "explode(array_distinct(CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            " ELSE array() END)) AS term",
+        )
+        per_term = bg.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("ids"),
+        )
+        n = batch_df.select(F.countDistinct("doc_id").alias("df")).select(
+            F.lit("__n_docs__").alias("term"),
+            "df",
+            F.array().cast("array<bigint>").alias("ids"),
+        )
+        return per_term.unionByName(n)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = delta_index(batch_df)
+        prior = _latest_state(spark, target, batch_id)
+        merged = delta if prior is None else (
+            prior.unionByName(delta)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("ids"))), 1, 20
+                ).alias("ids"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target, f"v{batch_id:05d}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(), f"ckpt_postings_{uuid.uuid4().hex[:8]}"
+            ),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, target
+
+
+def postings_result(spark: SparkSession, target: str) -> DataFrame:
+    """Read-side projection over the postings state: apply the
+    corpus-relative df band (now that the final doc count is known) and
+    render posting lists — reproduces ``text_postings`` exactly."""
+    import pyspark.sql.functions as F
+
+    state = read_state(spark, target)
+    n = state.filter(F.col("term") == "__n_docs__").select(
+        F.col("df").alias("n")
+    )
+    return (
+        state.filter(F.col("term") != "__n_docs__")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("df").between(
+                F.expr("greatest(5, n div 100)"), F.expr("n div 10")
+            )
+        )
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.array_join(F.col("ids").cast("array<string>"), ",").alias(
+                "postings"
+            ),
+        )
+    )

@@ -736,6 +736,33 @@ def test_seasonal_decompose_stream_equals_batch(spark, chunks):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_postings_stream_equals_batch(spark):
+    """Streaming the documents table in 5 micro-batches through the
+    inverted-index sink, then applying the read-side df band, reproduces
+    the batch ``text_postings`` EXACTLY — df is additive over disjoint
+    doc sets and the rank-capped list is a min-20 monoid, so the fold
+    must be cut-invariant."""
+    from bangdatapipeline_spark.streaming import sinks
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    d = replay.write_chunks(spark, SF, n_chunks=5, df=docs, order_col="doc_id")
+    try:
+        stream = replay.read_stream(spark, d)
+        q, target = sinks.postings_index_sink(stream)
+        q.awaitTermination()
+        got = {
+            r.term: (r.df, r.postings)
+            for r in sinks.postings_result(spark, target).collect()
+        }
+        want = {
+            r.term: (r.df, r.postings)
+            for r in REGISTRY["text_postings"].fn(spark, SF).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_twap_stream_equals_batch(spark):
     """Replaying events in (ts, event_id) order through the stateful TWAP
     twin reaches EXACTLY the batch ``ts_twap`` rows — the cents·µs fold
