@@ -1901,18 +1901,32 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Two RANK-FILTERED window passes over the cached pair table instead of
+    # two stacked full sorts (r7 verdict note): each rank<=K filter lets
+    # InferWindowGroupLimit cap per-partition sort input to K rows, the
+    # expensive pair pass (BNLJ + two dot folds) runs once via the cache,
+    # and full-top-k MEMBERSHIP (all the boolean needs) comes from a left
+    # join against the K-row full-rank set.
+    pairs = pairs.cache()
     wp = Window.partitionBy("q_id").orderBy(F.col("simp").desc(), F.col("n_id").asc())
     wf = Window.partitionBy("q_id").orderBy(F.col("simf").desc(), F.col("n_id").asc())
-    return (
+    top_p = (
         pairs.withColumn("rnp", F.row_number().over(wp).cast("int"))
-        .withColumn("rnf", F.row_number().over(wf))
         .filter(F.col("rnp") <= TOP_K)
+    )
+    top_f = (
+        pairs.withColumn("rnf", F.row_number().over(wf))
+        .filter(F.col("rnf") <= TOP_K)
+        .select("q_id", "n_id", F.lit(True).alias("in_f"))
+    )
+    return (
+        top_p.join(top_f, ["q_id", "n_id"], "left")
         .select(
             "q_id",
             "n_id",
             F.round("simp", 6).alias("sim_prefix"),
             F.col("rnp").alias("rn"),
-            (F.col("rnf") <= TOP_K).alias("in_full_topk"),
+            F.coalesce("in_f", F.lit(False)).alias("in_full_topk"),
         )
     )
 
