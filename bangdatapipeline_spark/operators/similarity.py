@@ -2750,3 +2750,62 @@ def emb_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def _kmeans_quality_oracle() -> str:
+    from bangdatapipeline_spark.registry import REGISTRY
+
+    base = REGISTRY["ml_kmeans_2iter"].oracle
+    return f"""
+WITH base AS ({base}),
+tot AS (SELECT count(*) AS n_total FROM base)
+SELECT base.cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS share_ppm,
+       CAST(sum(CAST(round(d2 * 10000) AS BIGINT)) AS BIGINT) AS inertia_e4,
+       CAST(sum(CAST(round(d2 * 10000) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_d2_e4
+FROM base CROSS JOIN tot
+GROUP BY base.cluster, tot.n_total
+"""
+
+
+@register("eval_kmeans_quality", oracle=_kmeans_quality_oracle())
+def eval_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report over the deterministic k-means
+    assignment (``ml_kmeans_2iter``): per cluster its size, corpus
+    share, INERTIA (sum of squared distances to the centroid — the
+    quantity Lloyd's algorithm minimizes and the k-selection elbow
+    plots), and mean d² — the "is this clustering any good / is one
+    cluster eating everything" eval that turns the assignment into a
+    shippable artifact. Same eval posture as eval_semantic_recall:
+    grade the model IN-QUERY, hash-checked.
+
+    Float discipline: per-row d² is the registered op's 4-dp-rounded
+    output (already hash-equal across engines), lifted onto the exact
+    e4 integer lattice BEFORE summing — so the inertia total is an
+    order-independent BIGINT sum, immune to float-summation ordering,
+    and the mean is one integer division. Scale: composes the zero-
+    shuffle assignment; the report is one keyed aggregate + a 1-row
+    total (declared broadcast).
+    """
+    base = REGISTRY["ml_kmeans_2iter"].fn(spark, sf_dir)
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    i4 = F.expr("CAST(round(d2 * 10000) AS BIGINT)")
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .groupBy("cluster", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(i4).alias("si"),
+        )
+        .select(
+            "cluster",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(n * 1000000 div n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.col("si").cast("long").alias("inertia_e4"),
+            F.expr("CAST(si div n AS BIGINT)").alias("mean_d2_e4"),
+        )
+    )

@@ -395,6 +395,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("orders_udf_window_agg", "udf_window_agg"),
     ("emb_balanced_classes", "sample_balanced_classes"),
     ("events_theil_sen", "ts_theil_sen"),
+    ("emb_kmeans_quality", "eval_kmeans_quality"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

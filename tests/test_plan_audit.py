@@ -98,6 +98,8 @@ CARTESIAN_OK = {
     "stats_permutation_test",  # 1-row observed-statistic + midpoint scalars
     "stats_quantile_treatment",  # 4-row percentile spine range-joined to the CDF
     "sample_balanced_classes",  # 1-row min-class-count scalar crossJoined
+    "eval_kmeans_quality",  # composes ml_kmeans_2iter's k-centroid broadcast
+    # + its own 1-row total scalar
 }
 
 
