@@ -2619,3 +2619,129 @@ def ks_from_counts(c: DataFrame) -> DataFrame:
             d_num * 1.0 / (na * nb) * F.sqrt(na * nb * 1.0 / (na + nb)), 6
         ).alias("ks_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Finance reporting: AR-style aging buckets and a revenue waterfall
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_aging_buckets",
+    oracle="""
+WITH h AS (SELECT max(o_orderdate) AS hmax FROM orders),
+aged AS (
+  SELECT o.o_orderstatus AS status,
+         CASE
+           WHEN date_diff('day', o.o_orderdate, h.hmax) <= 30  THEN '0-30'
+           WHEN date_diff('day', o.o_orderdate, h.hmax) <= 90  THEN '31-90'
+           WHEN date_diff('day', o.o_orderdate, h.hmax) <= 365 THEN '91-365'
+           ELSE '365+'
+         END AS age_bucket,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o CROSS JOIN h
+  WHERE o.o_orderstatus IN ('O', 'P')
+)
+SELECT status, age_bucket,
+       CAST(count(*) AS BIGINT)   AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM aged GROUP BY status, age_bucket
+""",
+)
+def agg_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report (the AR aging the finance team runs every
+    close): orders still open ('O') or partially filled ('P') as of the
+    corpus horizon, bucketed by age in days (0-30 / 31-90 / 91-365 /
+    365+) with count and exact cents exposure per (status, bucket) —
+    the "how much money is stuck, and how stale is it" view that a
+    plain backlog total (``ts_open_backlog``) hides.
+
+    The status filter pushes to the scan; age is an integer day
+    difference against a 1-row horizon scalar (declared broadcast);
+    one conditional aggregate — bounded (2 statuses x 4 buckets)
+    output at any volume.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = o.agg(F.max("o_orderdate").alias("hmax"))
+    age = F.datediff("hmax", F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            bucket.alias("age_bucket"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("status", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "agg_revenue_waterfall",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS gross_cents,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS discount_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            - sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS net_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                     AS BIGINT)) AS BIGINT) AS tax_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            - sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            + sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                       AS BIGINT)) AS BIGINT) AS charge_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per return flag: gross -> discount -> net ->
+    tax -> charged, each step an exact cents total (the decomposition
+    behind TPC-H Q1's sum columns, reported as the bridge a finance
+    review reads: how much list revenue, how much given back, how much
+    collected). Every per-row money term is rounded to cents BEFORE
+    summing — the repo's money-lattice rule — so each waterfall step is
+    an order-independent BIGINT sum and the steps reconcile exactly:
+    net = gross - discount, charge = net + tax, by construction.
+
+    One scan, one conditional-free aggregate with map-side combine,
+    3-row output; the projection stays in whole-stage codegen.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    gross = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    disc = F.expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)")
+    tax = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)"
+        " AS BIGINT)"
+    )
+    return (
+        l.select(
+            "l_returnflag",
+            gross.alias("g"),
+            disc.alias("d"),
+            tax.alias("t"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("g").cast("long").alias("gross_cents"),
+            F.sum("d").cast("long").alias("discount_cents"),
+            (F.sum("g") - F.sum("d")).cast("long").alias("net_cents"),
+            F.sum("t").cast("long").alias("tax_cents"),
+            (F.sum("g") - F.sum("d") + F.sum("t"))
+            .cast("long")
+            .alias("charge_cents"),
+        )
+    )

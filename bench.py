@@ -396,6 +396,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_balanced_classes", "sample_balanced_classes"),
     ("events_theil_sen", "ts_theil_sen"),
     ("emb_kmeans_quality", "eval_kmeans_quality"),
+    ("orders_aging_buckets", "agg_aging_buckets"),
+    ("lineitem_revenue_waterfall", "agg_revenue_waterfall"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

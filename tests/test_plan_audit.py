@@ -100,6 +100,7 @@ CARTESIAN_OK = {
     "sample_balanced_classes",  # 1-row min-class-count scalar crossJoined
     "eval_kmeans_quality",  # composes ml_kmeans_2iter's k-centroid broadcast
     # + its own 1-row total scalar
+    "agg_aging_buckets",  # 1-row horizon scalar (max orderdate) crossJoined
 }
 
 
