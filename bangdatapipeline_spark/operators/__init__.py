@@ -32,4 +32,7 @@ from bangdatapipeline_spark.operators import (  # noqa: E402,F401
 )
 
 # round-8 additions (same tail-append contract as above).
-from bangdatapipeline_spark.operators import inference  # noqa: E402,F401
+from bangdatapipeline_spark.operators import (  # noqa: E402,F401
+    inference,
+    privacy,
+)

@@ -398,6 +398,9 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("emb_kmeans_quality", "eval_kmeans_quality"),
     ("orders_aging_buckets", "agg_aging_buckets"),
     ("lineitem_revenue_waterfall", "agg_revenue_waterfall"),
+    ("customers_k_anonymity", "privacy_k_anonymity"),
+    ("customers_l_diversity", "privacy_l_diversity"),
+    ("customers_generalize_suppress", "privacy_generalize_suppress"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

@@ -101,6 +101,8 @@ CARTESIAN_OK = {
     "eval_kmeans_quality",  # composes ml_kmeans_2iter's k-centroid broadcast
     # + its own 1-row total scalar
     "agg_aging_buckets",  # 1-row horizon scalar (max orderdate) crossJoined
+    "privacy_k_anonymity",  # 1-row row-total scalar crossJoined
+    "privacy_l_diversity",  # 1-row group-count scalar crossJoined
 }
 
 
