@@ -2259,3 +2259,109 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_NBR_TOP)
     w = Window.orderBy(F.col("aa_ppm").desc(), F.col("pa").asc(), F.col("pb").asc())
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction eval (temporal backtest of the transition
+# matrix)
+# --------------------------------------------------------------------------
+
+@register(
+    "eval_markov_next",
+    oracle="""
+WITH mid AS (
+  SELECT min(epoch_us(ts)) + max(epoch_us(ts)) AS mm FROM events
+), seq AS (
+  SELECT e.user_id, e.event_type,
+         lag(e.event_type) OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id) AS prev_type,
+         (2 * epoch_us(e.ts) >= mid.mm) AS is_test
+  FROM events e CROSS JOIN mid
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, is_test
+  FROM seq WHERE prev_type IS NOT NULL
+), model AS (
+  SELECT prev_type, next_type,
+         row_number() OVER (PARTITION BY prev_type
+                            ORDER BY count(*) DESC, next_type ASC) AS rk
+  FROM pairs WHERE NOT is_test
+  GROUP BY prev_type, next_type
+), pred AS (SELECT prev_type, next_type AS predicted FROM model WHERE rk = 1)
+SELECT p.prev_type,
+       any_value(pred.predicted)                           AS predicted,
+       CAST(count(*) AS BIGINT)                            AS n_test,
+       CAST(count(*) FILTER (WHERE p.next_type = pred.predicted)
+            AS BIGINT)                                     AS n_correct,
+       CAST(count(*) FILTER (WHERE p.next_type = pred.predicted) * 1000000
+            // count(*) AS BIGINT)                         AS acc_ppm
+FROM pairs p JOIN pred USING (prev_type)
+WHERE p.is_test
+GROUP BY p.prev_type
+""",
+)
+def eval_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of the Markov transition model
+    (``events_transitions``): train the argmax next-event predictor on
+    the first half of the window, grade top-1 accuracy on the second —
+    the eval that turns the transition matrix into a measured model
+    rather than a descriptive table (same posture as
+    ``ts_forecast_snaive_eval`` for the count series). The split is the
+    exact integer-µs midpoint; the prediction is the train-period modal
+    next type with a deterministic (count desc, type asc) tie-break;
+    accuracy is an exact ppm ratio per antecedent type.
+
+    Scale shape: one per-user lag window (keyed by user — thousands of
+    balanced partitions), then everything collapses to the bounded
+    (type x type) transition domain: the model is an argmax window over
+    ~25 rows, the grading join broadcasts |types| predictions back onto
+    test-pair counts. The midpoint is a 1-row scalar crossJoin
+    (declared broadcast).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    mid = ev.agg((F.min(us) + F.max(us)).alias("mm"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            (us * 2 >= F.col("mm")).alias("is_test"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"), "is_test")
+    )
+    w_rk = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    pred = (
+        seq.filter(~F.col("is_test"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    hit = F.col("next_type") == F.col("predicted")
+    return (
+        seq.filter(F.col("is_test"))
+        .join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.first("predicted").alias("predicted"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("nc"),
+        )
+        .select(
+            "prev_type",
+            "predicted",
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("nc").cast("long").alias("n_correct"),
+            F.expr("CAST(nc * 1000000 div n_test AS BIGINT)").alias(
+                "acc_ppm"
+            ),
+        )
+    )

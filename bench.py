@@ -401,6 +401,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_k_anonymity", "privacy_k_anonymity"),
     ("customers_l_diversity", "privacy_l_diversity"),
     ("customers_generalize_suppress", "privacy_generalize_suppress"),
+    ("events_markov_backtest", "eval_markov_next"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

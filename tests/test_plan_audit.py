@@ -103,6 +103,7 @@ CARTESIAN_OK = {
     "agg_aging_buckets",  # 1-row horizon scalar (max orderdate) crossJoined
     "privacy_k_anonymity",  # 1-row row-total scalar crossJoined
     "privacy_l_diversity",  # 1-row group-count scalar crossJoined
+    "eval_markov_next",  # 1-row window-midpoint scalar crossJoined
 }
 
 
