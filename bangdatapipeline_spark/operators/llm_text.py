@@ -2070,3 +2070,227 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df").between(lo, hi))
         .select("term", F.col("df").cast("long").alias("df"), "postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_N = 5
+_PMI_TOP = 30
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (
+  SELECT u.tok, count(*) AS n
+  FROM t, unnest(t.toks) AS u(tok) GROUP BY u.tok
+),
+ut AS (SELECT sum(n) AS tt FROM uni),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS nab FROM bg GROUP BY w1, w2),
+bt AS (SELECT sum(nab) AS bb FROM bc),
+scored AS (
+  SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+         CAST(bc.nab AS BIGINT) AS n_ab,
+         round(ln(CAST(bc.nab AS DOUBLE)) + 2 * ln(CAST(ut.tt AS DOUBLE))
+               - ln(CAST(bt.bb AS DOUBLE)) - ln(CAST(a.n AS DOUBLE))
+               - ln(CAST(b.n AS DOUBLE)), 4) AS pmi
+  FROM bc
+  JOIN uni a ON a.tok = bc.w1
+  JOIN uni b ON b.tok = bc.w2
+  CROSS JOIN ut CROSS JOIN bt
+  WHERE bc.nab >= {_PMI_MIN_N}
+)
+SELECT bigram, n_ab, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {_PMI_TOP}
+""",
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: for frequent
+    bigrams (n >= 5), PMI = ln(p(ab) / (p(a)·p(b))) — the association
+    score that separates genuine collocations ("machine learning") from
+    merely-frequent pairs of common words, which raw counts
+    (``text_ngram_topk``) cannot. Top-30 by PMI with a bigram
+    tie-break.
+
+    Float discipline: every ln argument is an exact integer count, the
+    score is the SUM of five ln terms in a fixed order (never ln of a
+    product, whose integer product could exceed 2^53 at corpus scale),
+    rounded to 4 dp before ranking. Scale shape: unigram and bigram
+    counts are map-side-combined aggregates over scan-local generators
+    (the shared pre-split `toks` projection); the scoring join
+    broadcasts the vocabulary-bounded unigram table twice plus two
+    1-row totals; the top-30 is a rank-filter window
+    (InferWindowGroupLimit caps the sort).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr("split(text, ' ') AS toks")
+    uni = toks.selectExpr("explode(toks) AS tok").groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ut = uni.agg(F.sum("n").alias("tt"))
+    bg = toks.selectExpr(
+        "explode(CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS w1,"
+        "             element_at(toks, i + 1) AS w2))"
+        " ELSE array() END) AS p"
+    ).select("p.w1", "p.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= _PMI_MIN_N)
+    )
+    bt_tot = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("nab")
+    ).agg(F.sum("nab").alias("bb"))
+    a = uni.select(F.col("tok").alias("w1"), F.col("n").alias("na"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("n").alias("nb"))
+    pmi = F.round(
+        F.log(F.col("nab").cast("double"))
+        + 2 * F.log(F.col("tt").cast("double"))
+        - F.log(F.col("bb").cast("double"))
+        - F.log(F.col("na").cast("double"))
+        - F.log(F.col("nb").cast("double")),
+        4,
+    )
+    scored = (
+        bc.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt_tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("nab").cast("long").alias("n_ab"),
+            pmi.alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _PMI_TOP)
+    )
+
+
+@register(
+    "retrieval_boolean_index",
+    oracle=f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+td AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS term
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+), g AS (
+  SELECT term, count(*) AS df FROM td GROUP BY term
+), banded AS (
+  SELECT g.term, g.df FROM g CROSS JOIN nd
+  WHERE g.df BETWEEN greatest(5, nd.n // 100) AND nd.n // 10
+), pick AS (
+  SELECT term, df, row_number() OVER (ORDER BY term) AS rn
+  FROM banded QUALIFY rn <= 2
+), hits AS (
+  SELECT td.doc_id,
+         max(CASE WHEN p.rn = 1 THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN p.rn = 2 THEN 1 ELSE 0 END) AS h2
+  FROM td JOIN pick p USING (term)
+  GROUP BY td.doc_id
+), agg AS (
+  SELECT CAST(sum(h1 * h2) AS BIGINT)     AS n_and,
+         CAST(count(*) AS BIGINT)         AS n_or
+  FROM hits
+)
+SELECT (SELECT term FROM pick WHERE rn = 1)            AS term_a,
+       (SELECT term FROM pick WHERE rn = 2)            AS term_b,
+       CAST((SELECT df FROM pick WHERE rn = 1) AS BIGINT) AS df_a,
+       CAST((SELECT df FROM pick WHERE rn = 2) AS BIGINT) AS df_b,
+       agg.n_and, agg.n_or,
+       CAST(agg.n_and * 1000000 // agg.n_or AS BIGINT) AS jaccard_ppm
+FROM agg
+""",
+)
+def retrieval_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval THROUGH the inverted index: take the two
+    lexicographically-first banded terms (a deterministic stand-in for
+    a user query) and intersect/union their posting sets — AND count,
+    OR count, and the posting-set Jaccard. This is the query-time half
+    of ``text_postings``' build-time half: posting intersection is how
+    every boolean/conjunctive retrieval engine answers AND queries, and
+    the hit counts are the selectivity statistics a query planner keeps
+    per term pair. Completes the registered IR stack: build
+    (text_postings) -> score (text_bm25/tfidf) -> fuse
+    (retrieval_rrf_hybrid) -> boolean (this).
+
+    Plan: the banded term table is bounded (vocabulary², df-banded), so
+    the 2-term pick is a rank-filter over it; postings probe via one
+    equi-join of the (doc, term) pairs against the 2-row pick
+    (broadcast), one doc-keyed aggregate, one 1-row roll-up — at 100 TB
+    the intersection joins posting LISTS, never documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    td = (
+        d.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr(
+            "doc_id",
+            "explode(array_distinct(CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            " ELSE array() END)) AS term",
+        )
+    )
+    g = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    banded = (
+        g.crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df").between(
+                F.expr("greatest(5, n div 100)"), F.expr("n div 10")
+            )
+        )
+        .select("term", "df")
+    )
+    w = Window.orderBy("term")
+    pick = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    names = pick.groupBy().agg(
+        F.max(F.when(F.col("rn") == 1, F.col("term"))).alias("term_a"),
+        F.max(F.when(F.col("rn") == 2, F.col("term"))).alias("term_b"),
+        F.max(F.when(F.col("rn") == 1, F.col("df"))).cast("long").alias("df_a"),
+        F.max(F.when(F.col("rn") == 2, F.col("df"))).cast("long").alias("df_b"),
+    )
+    hits = (
+        td.join(F.broadcast(pick), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("h1"),
+            F.max(F.when(F.col("rn") == 2, 1).otherwise(0)).alias("h2"),
+        )
+    )
+    agg = hits.agg(
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("n_and"),
+        F.count(F.lit(1)).cast("long").alias("n_or"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(names))
+        .select(
+            "term_a",
+            "term_b",
+            "df_a",
+            "df_b",
+            "n_and",
+            "n_or",
+            F.expr("CAST(n_and * 1000000 div n_or AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -402,6 +402,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_l_diversity", "privacy_l_diversity"),
     ("customers_generalize_suppress", "privacy_generalize_suppress"),
     ("events_markov_backtest", "eval_markov_next"),
+    ("doc_collocation_pmi", "text_collocation_pmi"),
+    ("doc_boolean_retrieval", "retrieval_boolean_index"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

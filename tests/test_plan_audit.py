@@ -104,6 +104,8 @@ CARTESIAN_OK = {
     "privacy_k_anonymity",  # 1-row row-total scalar crossJoined
     "privacy_l_diversity",  # 1-row group-count scalar crossJoined
     "eval_markov_next",  # 1-row window-midpoint scalar crossJoined
+    "text_collocation_pmi",  # two 1-row corpus-total scalars crossJoined
+    "retrieval_boolean_index",  # 1-row corpus-count + 1-row query pivot scalars
 }
 
 
