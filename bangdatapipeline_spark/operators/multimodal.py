@@ -450,3 +450,108 @@ def multimodal_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             "sum_duration_ms",
         )
     )
+
+
+@register(
+    "multimodal_sampling_coverage",
+    oracle=f"""
+WITH vids AS (
+    SELECT doc_id AS asset_id,
+           CAST(((n_chars * 10) % 60000 + 1000) // {FRAME_EVERY_MS} AS INT)
+             AS n_frames
+    FROM documents
+    WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] = 'video'
+), v AS (
+    SELECT 'video' AS kind,
+           least(1000000,
+                 ((((n_frames - 1) // CAST(ceil(n_frames / {MAX_SAMPLED_FRAMES}.0) AS INT))
+                    * CAST(ceil(n_frames / {MAX_SAMPLED_FRAMES}.0) AS INT)
+                   + CAST(ceil(n_frames / {MAX_SAMPLED_FRAMES}.0) AS INT))
+                  * CAST(1000000 AS BIGINT)) // n_frames) AS cov_ppm
+    FROM vids WHERE n_frames > 0
+), auds AS (
+    SELECT doc_id AS asset_id,
+           CAST((n_chars * 10) % 60000 + 1000 AS INT) AS duration_ms
+    FROM documents
+    WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] = 'audio'
+), a AS (
+    SELECT 'audio' AS kind,
+           least(1000000,
+                 ((((duration_ms - {AUDIO_WIN_MS}) // {AUDIO_HOP_MS})
+                    * {AUDIO_HOP_MS} + {AUDIO_WIN_MS}) * CAST(1000000 AS BIGINT))
+                 // duration_ms) AS cov_ppm
+    FROM auds WHERE duration_ms >= {AUDIO_WIN_MS}
+), u AS (SELECT * FROM v UNION ALL SELECT * FROM a)
+SELECT kind,
+       CAST(cov_ppm // 100000 AS BIGINT) AS cov_decile,
+       CAST(count(*) AS BIGINT)          AS n_assets,
+       CAST(min(cov_ppm) AS BIGINT)      AS min_cov_ppm,
+       CAST(max(cov_ppm) AS BIGINT)      AS max_cov_ppm
+FROM u GROUP BY kind, cov_ppm // 100000
+""",
+)
+def multimodal_sampling_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling blind-spot audit for the two metadata samplers: per
+    asset, what fraction of its timeline do the sampled units actually
+    cover — strided frames cover (last_idx + stride) of n_frames;
+    hopped audio windows cover (last_start + win) of duration — and the
+    per-kind decile histogram of that coverage. A decile-0..8 bucket
+    here is content an encoder NEVER sees (the tail a stride/hop plan
+    silently drops); this is the audit run before committing a sampling
+    plan to a 100 TB crawl. Everything is exact integer arithmetic on
+    the same metadata lattice the samplers themselves use (coverage is
+    a ppm ratio of integers; deciles are integer division) — no frame
+    table is even generated: the audit works on closed-form last-unit
+    positions, so it costs one scan of asset metadata at any scale.
+    """
+    a = build_assets(spark, sf_dir)
+    stride = F.expr(
+        f"CAST(ceil((meta.duration_ms DIV {FRAME_EVERY_MS})"
+        f" / {MAX_SAMPLED_FRAMES}.0) AS INT)"
+    )
+    n_frames = F.expr(f"meta.duration_ms DIV {FRAME_EVERY_MS}")
+    v = (
+        a.filter(F.col("kind") == "video")
+        .select(n_frames.alias("nf"), stride.alias("st"))
+        .filter(F.col("nf") > 0)
+        .select(
+            F.lit("video").alias("kind"),
+            F.least(
+                F.lit(1000000),
+                F.expr("(((nf - 1) div st) * st + st) * 1000000 div nf"),
+            ).alias("cov_ppm"),
+        )
+    )
+    au = (
+        a.filter(F.col("kind") == "audio")
+        .select(F.col("meta.duration_ms").alias("dur"))
+        .filter(F.col("dur") >= AUDIO_WIN_MS)
+        .select(
+            F.lit("audio").alias("kind"),
+            F.least(
+                F.lit(1000000),
+                F.expr(
+                    f"(((dur - {AUDIO_WIN_MS}) div {AUDIO_HOP_MS})"
+                    f" * {AUDIO_HOP_MS} + {AUDIO_WIN_MS}) * 1000000 div dur"
+                ),
+            ).alias("cov_ppm"),
+        )
+    )
+    return (
+        v.unionByName(au)
+        .groupBy(
+            "kind", F.expr("cov_ppm div 100000").alias("cov_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("cov_ppm").cast("long").alias("min_cov_ppm"),
+            F.max("cov_ppm").cast("long").alias("max_cov_ppm"),
+        )
+        .select(
+            "kind",
+            F.col("cov_decile").cast("long").alias("cov_decile"),
+            F.col("n_assets").cast("long").alias("n_assets"),
+            "min_cov_ppm",
+            "max_cov_ppm",
+        )
+    )

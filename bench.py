@@ -404,6 +404,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("events_markov_backtest", "eval_markov_next"),
     ("doc_collocation_pmi", "text_collocation_pmi"),
     ("doc_boolean_retrieval", "retrieval_boolean_index"),
+    ("assets_sampling_coverage", "multimodal_sampling_coverage"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in
