@@ -555,3 +555,122 @@ def multimodal_sampling_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cov_ppm",
         )
     )
+
+
+_PREP_MIN_WIDTH = 640    # image gate: drop sd assets
+_PREP_MIN_DUR_MS = 5000  # audio/video gate: drop sub-5s clips
+
+
+@register(
+    "pipeline_multimodal_prep",
+    oracle=f"""
+WITH crawl AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text,
+         CAST(n_chars % 1920 + 16 AS INT)           AS width,
+         CAST((n_chars * 10) % 60000 + 1000 AS INT) AS duration_ms
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_MIRROR_OFFSET},
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1],
+         text,
+         CAST(n_chars % 1920 + 16 AS INT),
+         CAST((n_chars * 10) % 60000 + 1000 AS INT)
+  FROM documents WHERE doc_id % {_MIRROR_EVERY} = 0
+),
+uniq AS (
+  SELECT * FROM (
+    SELECT crawl.*, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY asset_id) AS rn
+    FROM crawl) WHERE rn = 1
+),
+kept AS (
+  SELECT asset_id, kind, CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM uniq
+  WHERE (kind = 'image' AND width >= {_PREP_MIN_WIDTH})
+     OR (kind <> 'image' AND duration_ms >= {_PREP_MIN_DUR_MS})
+),
+sharded AS (
+  SELECT kind, n_bytes,
+         (row_number() OVER (ORDER BY n_bytes DESC, asset_id) - 1)
+           % {N_SHARDS} AS shard
+  FROM kept
+),
+s0 AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_crawl FROM crawl GROUP BY 1),
+s1 AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_unique FROM uniq GROUP BY 1),
+s2 AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(n_bytes) AS BIGINT) AS bytes_kept,
+              CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+       FROM sharded GROUP BY 1)
+SELECT s0.kind, s0.n_crawl,
+       coalesce(s1.n_unique, 0) AS n_unique,
+       coalesce(s2.n_kept, 0)   AS n_kept,
+       coalesce(s2.bytes_kept, 0) AS bytes_kept,
+       coalesce(s2.n_shards, 0) AS n_shards
+FROM s0 LEFT JOIN s1 USING (kind) LEFT JOIN s2 USING (kind)
+""",
+)
+def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-curation pipeline as ONE lazy Catalyst plan, reported
+    as a per-modality funnel — the multimodal sibling of
+    ``pipeline_train_prep``: simulated crawl (with byte-identical
+    mirrors) -> exact byte dedup (digest keep-first; the payload never
+    shuffles, only its md5) -> metadata quality gate (sd images and
+    sub-5s clips dropped — the LAION-style filter, on the same
+    deterministic metadata lattice the family's other ops use) ->
+    size-balanced shard assignment (size-desc round-robin). Columns:
+    asset counts surviving each stage, kept bytes, shards touched.
+
+    Scale posture: the gates are scan-stage projections; dedup shuffles
+    32-byte digests; the only global sort is over KEPT asset metadata
+    (id + size), which is what a shard planner inspects anyway. Every
+    stage count is a side aggregate off shared lineage — nothing
+    materializes eagerly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        "text",
+        (F.col("n_chars") % 1920 + 16).cast("int").alias("width"),
+        ((F.col("n_chars") * 10) % 60000 + 1000).cast("int").alias("duration_ms"),
+    )
+    mirrors = base.filter(F.col("asset_id") % _MIRROR_EVERY == 0).withColumn(
+        "asset_id", F.col("asset_id") + _MIRROR_OFFSET
+    )
+    crawl = base.unionByName(mirrors)
+    wmd5 = Window.partitionBy(F.md5("text")).orderBy("asset_id")
+    uniq = crawl.withColumn("rn", F.row_number().over(wmd5)).filter(
+        F.col("rn") == 1
+    )
+    kept = uniq.filter(
+        ((F.col("kind") == "image") & (F.col("width") >= _PREP_MIN_WIDTH))
+        | ((F.col("kind") != "image") & (F.col("duration_ms") >= _PREP_MIN_DUR_MS))
+    ).select("asset_id", "kind", F.length("text").cast("long").alias("n_bytes"))
+    wsh = Window.orderBy(F.col("n_bytes").desc(), F.col("asset_id"))
+    sharded = kept.withColumn(
+        "shard", (F.row_number().over(wsh) - 1) % N_SHARDS
+    )
+    s0 = crawl.groupBy("kind").agg(F.count(F.lit(1)).alias("n_crawl"))
+    s1 = uniq.groupBy("kind").agg(F.count(F.lit(1)).alias("n_unique"))
+    s2 = sharded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_bytes").alias("bytes_kept"),
+        F.countDistinct("shard").alias("n_shards"),
+    )
+    return (
+        s0.join(s1, "kind", "left")
+        .join(s2, "kind", "left")
+        .select(
+            "kind",
+            F.col("n_crawl").cast("long").alias("n_crawl"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("bytes_kept", F.lit(0)).cast("long").alias("bytes_kept"),
+            F.coalesce("n_shards", F.lit(0)).cast("long").alias("n_shards"),
+        )
+    )

@@ -405,6 +405,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_collocation_pmi", "text_collocation_pmi"),
     ("doc_boolean_retrieval", "retrieval_boolean_index"),
     ("assets_sampling_coverage", "multimodal_sampling_coverage"),
+    ("assets_prep_funnel", "pipeline_multimodal_prep"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in

@@ -85,6 +85,8 @@ _GLOBAL_TOPK_KEYS = [
     "graph_neighbor_minhash",
     "emb_knn_outlier",
     "text_repeated_spans",
+    "text_collocation_pmi",
+    "knn_matryoshka_topk",  # r8: both rank<=K passes must stay group-limited
 ]
 
 
