@@ -602,9 +602,15 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is the per-class audit (original size, kept size, kept-key
     checksum) rather than the row set — bounded at |labels| rows. Plan:
-    one bounded count, one per-label rank window (WindowGroupLimit
-    cannot apply since K is dynamic, but per-partition sort state is
-    the label's rows only), one filtered aggregate.
+    one bounded count, one per-label rank window, one filtered
+    aggregate. Scale caveat stated honestly: WindowGroupLimit cannot
+    apply (K is data-derived), so each label is one sort partition —
+    fine at |labels| x moderate rows, but at 100 TB with few labels the
+    right plan is the registry's two-phase selection
+    (``exact_median2`` / ``agg_quantiles_exact``): a bounded histogram
+    over md5-prefix buckets locates each class's k-th hash threshold,
+    a scan-stage filter keeps rows below it, and only the boundary
+    bucket needs an exact rank — same keep-set, no per-label sort.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
