@@ -229,7 +229,7 @@ def _rolling_mean_cents_fn(v: pd.Series) -> float:
 @register(
     "udf_window_agg",
     oracle="""
-WITH s AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0)
+WITH s AS (SELECT * FROM orders WHERE o_orderkey % 50 = 0)
 SELECT o_orderkey,
        o_custkey,
        round(avg(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -260,14 +260,17 @@ def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate instead).
     """
     rolling_mean = pandas_udf(_rolling_mean_cents_fn, "double")
-    # deterministic 20% key sample: WindowInPandas pays one Python frame
-    # evaluation PER ROW (bounded frames can't batch across rows), so the
-    # parity demo runs on a hash-gated subset — the contract under test is
-    # the surface's exactness, not its volume throughput (the volume-bearing
-    # Arrow lanes are doc_map_in_arrow and the GEMM kernels)
+    # deterministic 2% key sample: WindowInPandas pays one Python frame
+    # evaluation PER ROW for bounded frames (measured ~0.4 ms/row at sf0.1
+    # — the per-row Arrow slice + Python call can't batch across rows), so
+    # the parity demo runs on a hash-gated subset. The contract under test
+    # is the surface's exactness, not volume throughput: this measured cost
+    # IS the docstring's anti-pattern warning, quantified (the
+    # volume-bearing Arrow lanes are doc_map_in_arrow and the GEMM kernels,
+    # which batch thousands of rows per Python call)
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.expr("o_orderkey % 5 = 0"))
+        .filter(F.expr("o_orderkey % 50 = 0"))
         .select(
             "o_orderkey",
             "o_custkey",
