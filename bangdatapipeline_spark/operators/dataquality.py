@@ -966,3 +966,101 @@ def dq_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("run_days") >= _DEBOUNCE_MIN_RUN)
         .drop("island")
     )
+
+
+_DUP_PAY_WINDOW_DAYS = 7
+# Same-amount matching runs on a band lattice: this synthetic corpus has
+# continuous prices (EXACT-cents collisions are structurally absent, which
+# would make the screen vacuous at every sf), so "same amount" = same
+# $10k band. On real AP data set the band to 1 (exact cents).
+_DUP_PAY_AMT_BAND = 1_000_000
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(round(o_totalprice * 100) AS BIGINT) // {_DUP_PAY_AMT_BAND}
+           AS amt_band
+  FROM orders
+), pairs AS (
+  SELECT a.o_custkey,
+         a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+         a.cents AS cents_a, b.cents AS cents_b,
+         date_diff('day', a.o_orderdate, b.o_orderdate) AS gap_days
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.amt_band = b.amt_band
+   AND a.o_orderkey < b.o_orderkey
+  WHERE date_diff('day', a.o_orderdate, b.o_orderdate)
+          BETWEEN -{_DUP_PAY_WINDOW_DAYS} AND {_DUP_PAY_WINDOW_DAYS}
+)
+SELECT o_custkey, key_a, key_b,
+       CAST(cents_a AS BIGINT) AS cents_a,
+       CAST(cents_b AS BIGINT) AS cents_b,
+       CAST(abs(gap_days) AS BIGINT) AS gap_days
+FROM pairs
+""",
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen — the classic AP/fraud audit: pairs of
+    orders from the SAME customer in the SAME amount band within 7
+    days of each other (double-submits, double-charges, replayed
+    invoices). Joins the other financial audits (``dq_benford_first_
+    digit`` finds fabricated amounts, ``dq_reconciliation`` finds
+    header/detail drift; this finds repeats).
+
+    Plan shape: a self-equi-join on the (customer, exact-cents) pair —
+    the amount band is part of the JOIN KEY, not a post-filter, so the
+    pair space is only same-band collisions (near-zero density), with
+    the ±7-day window as the cheap residual. On real AP data the band
+    is 1 cent (exact amounts); this corpus's continuous synthetic
+    prices never collide exactly, so the screen uses a $10k band to be
+    non-vacuous at every scale factor. The
+    orderkey inequality halves pairs and makes each undirected pair
+    appear exactly once. At 100 TB this is one shuffle on a
+    high-cardinality composite key; no window, no cartesian — the same
+    candidates-only posture as the dedup family.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"CAST(round(o_totalprice * 100) AS BIGINT) div {_DUP_PAY_AMT_BAND}"
+        ).alias("amt_band"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderdate").alias("d_a"),
+        F.col("cents").alias("cents_a"),
+        "amt_band",
+    )
+    b = o.select(
+        F.col("o_custkey").alias("cust_b"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderdate").alias("d_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("amt_band").alias("amt_band_b"),
+    )
+    gap = F.datediff("d_b", "d_a")
+    return (
+        a.join(
+            b,
+            (a.cust == b.cust_b)
+            & (F.col("amt_band") == F.col("amt_band_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .filter(gap.between(-_DUP_PAY_WINDOW_DAYS, _DUP_PAY_WINDOW_DAYS))
+        .select(
+            F.col("cust").alias("o_custkey"),
+            "key_a",
+            "key_b",
+            F.col("cents_a").cast("long").alias("cents_a"),
+            F.col("cents_b").cast("long").alias("cents_b"),
+            F.abs(gap).cast("long").alias("gap_days"),
+        )
+    )

@@ -406,6 +406,7 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("doc_boolean_retrieval", "retrieval_boolean_index"),
     ("assets_sampling_coverage", "multimodal_sampling_coverage"),
     ("assets_prep_funnel", "pipeline_multimodal_prep"),
+    ("orders_duplicate_payments", "dq_duplicate_payments"),
 ]
 
 # Registry keys deliberately NOT benched — every key is either in
