@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _ROOT)
 
-from bangdatapipeline_spark.registry import load_all  # noqa: E402
+from bangdatapipeline_spark.registry import load_all, query_hash  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -119,6 +119,26 @@ def _correctness_history() -> tuple[dict[str, int], set[str]]:
     return green, failed - set(green)
 
 
+def _green_hashes() -> dict[str, str]:
+    """{key: evidence fingerprint at its last locally-swept green}.
+
+    Written by scripts/driver_sim.py after a full passing sweep. Makes
+    the rotation SOURCE-AWARE (VERDICT r8 task 1): a green CORRECTNESS
+    row only vouches for the code that ran, so a key whose current
+    ``query_hash`` differs from the recorded one re-verifies FIRST, no
+    matter how fresh its green round is. Missing file / missing key =>
+    no opinion (age-based rotation still applies).
+    """
+    path = os.path.join(_ROOT, "scripts", "green_hashes.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    hashes = data.get("hashes", data) if isinstance(data, dict) else {}
+    return {k: v for k, v in hashes.items() if isinstance(v, str)}
+
+
 def _registry_snapshot() -> set[str]:
     """Keys that existed at the round-4 close (scripts/registry_snapshot_r4.txt).
 
@@ -139,6 +159,7 @@ def _ordered_registry():
     registry = load_all()
     green, failed = _correctness_history()
     snapshot = _registry_snapshot()
+    recorded = _green_hashes()
     insertion = {key: i for i, key in enumerate(registry)}
 
     def rank(key: str):
@@ -151,6 +172,8 @@ def _ordered_registry():
         )
         if key in failed:
             tier = 0  # red rows: re-verify first
+        elif key in green and key in recorded and recorded[key] != query_hash(q):
+            tier = 0  # source/oracle changed since last green: stale evidence
         elif key not in green:
             tier = 1 if key in _S2_KEYS else 2  # contract keys before extras
         else:

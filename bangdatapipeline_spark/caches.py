@@ -35,6 +35,21 @@ from pyspark.sql import SparkSession
 RELEASE_EVERY = 40
 
 
+def session_key(spark: SparkSession) -> str:
+    """Memo key for the engine's per-session caches.
+
+    A session-object ``id()`` is NOT safe here: CPython reuses addresses, so after a
+    session is garbage-collected mid-process a successor session can get
+    the same id and silently alias the predecessor's memo entries (stale
+    broadcasts, plans bound to a dead context). ``applicationId`` is
+    unique per *started* SparkContext, which is exactly the lifetime of
+    the broadcasts and cached plans these memos hold. Sibling sessions
+    from ``newSession()`` share an applicationId — and sharing their
+    context-level broadcasts/scans is correct.
+    """
+    return spark.sparkContext.applicationId
+
+
 def release(spark: SparkSession) -> None:
     """Unpersist everything the engine cached in ``spark`` and reset the
     memo registries that hand out cached plans.

@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
+from bangdatapipeline_spark.caches import session_key
 from bangdatapipeline_spark.tables import load_table
 
 
@@ -273,7 +274,7 @@ _PAGERANK_ITERS = 3
 _DAMPING = 0.85
 
 # (session id, sf_dir) -> (cached contribution edges, initial ranks, |V| df).
-_graph_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_graph_cache: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _trade_contrib(
@@ -288,7 +289,7 @@ def _trade_contrib(
     and ``graph_kcore`` — the edge build (join + distinct over the fact
     table) is the expensive part and is paid once per session, the memo
     pattern of ``tables.load_table``."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _graph_cache.get(key)
     if cached is not None:
         return cached
@@ -588,11 +589,11 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session id, sf_dir) -> cached distinct (order, part) projection —
 # shared by graph_triangles and graph_basket_lift (same memo pattern as
 # _trade_contrib; the fact-table scan + distinct is the shared cost).
-_op_cache: dict[tuple[int, str], DataFrame] = {}
+_op_cache: dict[tuple[str, str], DataFrame] = {}
 
 
 def _order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _op_cache.get(key)
     if cached is None:
         li = load_table(spark, sf_dir, "lineitem")
@@ -606,18 +607,18 @@ def _order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (session id, sf_dir) -> (cached oriented edge list, degree table, edges).
-_oriented_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_oriented_cache: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 # (session id, sf_dir) -> cached adjacency arrays, keyed by orientation.
 # Cached separately from the edge list because the collect_list groupBy is
 # its own shuffle + array build (~1.5 s per materialization at sf0.1) and
 # two broadcast subtrees would otherwise each recompute it.
-_adj_cache: dict[tuple[int, str, str], DataFrame] = {}
+_adj_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _out_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node sorted ORIENTED out-neighbor arrays (src -> [dst...])."""
-    key = (id(spark), sf_dir, "out")
+    key = (session_key(spark), sf_dir, "out")
     cached = _adj_cache.get(key)
     if cached is None:
         oriented, _, _ = _oriented_copurchase(spark, sf_dir)
@@ -637,7 +638,7 @@ def _oriented_copurchase(
     sf_dir): returning the SAME cached DataFrame object (not a per-call
     rebuilt plan) pins the InMemoryRelation so repeated runs reuse it
     deterministically instead of racing cache resolution/eviction."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _oriented_cache.get(key)
     if cached is None:
         op = _order_part(spark, sf_dir)
@@ -1181,13 +1182,13 @@ GROUP BY 1
 # (session id, sf_dir) -> cached per-node LPA labels (the rounds are
 # deterministic, so the cached result is identical to a rebuild; both
 # LPA-consuming queries then skip the round joins).
-_lpa_cache: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_lpa_cache: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(per-node LPA labels after _LPA_ROUNDS synchronous rounds, doubled
     edge list) — shared by graph_label_propagation and graph_modularity."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _lpa_cache.get(key)
     if cached is not None:
         return cached

@@ -51,7 +51,6 @@ _HV_PRICE = 375000.0
 _POIS_T = (385749, 771499, 964373, 1028665, 1044738, 1047952)
 _BOOT_R = 200  # replicates; CI picks order stats 5 (2.5%) and 195 (97.5%)
 _LCG_A = 1103515245
-_LCG_C = 12345
 _LAT = 1048576  # 2^20
 
 
@@ -151,10 +150,29 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rep_hash_sql(key: str, rep: str) -> str:
+    """Deterministic per-(row, replicate) hash on the 2^20 lattice, with
+    the replicate id entering MULTIPLICATIVELY: h = ((k%L)+1) * M_r % L
+    where M_r = (2r+1)*A % L. Each odd multiplier M_r makes h a bijection
+    of the key lattice, and distinct replicates use distinct multipliers,
+    so replicate r+1 is a genuinely different permutation of replicate r
+    — not a cyclic shift. (The earlier additive form h = k*A + r*C made
+    every replicate a shift of one permutation: consecutive resamples
+    differed in only ~8% of weights and total resample mass was
+    near-constant, autocorrelating the bootstrap/permutation null
+    distributions.) Identical text works as a Spark expression and
+    DuckDB SQL; intermediates stay < 2^41, safe in int64 on both engines.
+    """
+    return (
+        f"((CAST(({key}) AS BIGINT) % {_LAT} + 1)"
+        f" * ((2 * CAST(({rep}) AS BIGINT) + 1) * {_LCG_A} % {_LAT})) % {_LAT}"
+    )
+
+
 def _boot_weight_sql(key: str, rep: str) -> str:
     """Poisson(1) weight as a CASE over the deterministic hash lattice —
     identical text works as a Spark expression and DuckDB SQL."""
-    h = f"((({key}) % {_LAT}) * {_LCG_A} + ({rep}) * {_LCG_C}) % {_LAT}"
+    h = _rep_hash_sql(key, rep)
     branches = "".join(
         f" WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
     )
@@ -195,7 +213,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for mean order value per priority class, via a
     DETERMINISTIC Poisson(1) bootstrap: for replicate r, row i gets
     weight ~ Poisson(1) read off a fixed CDF table over the integer hash
-    lattice h(i, r) = ((key % 2^20) * 1103515245 + r * 12345) % 2^20 —
+    lattice h(i, r) = ((key % 2^20 + 1) * ((2r+1)*1103515245 % 2^20))
+    % 2^20 — the replicate id enters MULTIPLICATIVELY (distinct odd
+    multiplier per replicate), so the 200 resamples are independent
+    lattice permutations rather than cyclic shifts of one. This is
     the standard "Poisson bootstrap" used for resampling on
     shared-nothing engines (multinomial resampling needs global
     coordination; independent Poisson(1) weights approximate it with
@@ -279,21 +300,21 @@ WITH mid AS (
 SELECT event_type,
        CAST(sum(n) AS BIGINT) AS n_events,
        round(sum(CASE WHEN treat AND post THEN cents ELSE 0 END) * 1.0
-             / sum(CASE WHEN treat AND post THEN n ELSE 0 END) / 100, 4)     AS mean_treat_post,
+             / nullif(sum(CASE WHEN treat AND post THEN n ELSE 0 END), 0) / 100, 4)     AS mean_treat_post,
        round(sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) * 1.0
-             / sum(CASE WHEN treat AND NOT post THEN n ELSE 0 END) / 100, 4) AS mean_treat_pre,
+             / nullif(sum(CASE WHEN treat AND NOT post THEN n ELSE 0 END), 0) / 100, 4) AS mean_treat_pre,
        round(sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) * 1.0
-             / sum(CASE WHEN NOT treat AND post THEN n ELSE 0 END) / 100, 4) AS mean_ctrl_post,
+             / nullif(sum(CASE WHEN NOT treat AND post THEN n ELSE 0 END), 0) / 100, 4) AS mean_ctrl_post,
        round(sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) * 1.0
-             / sum(CASE WHEN NOT treat AND NOT post THEN n ELSE 0 END) / 100, 4) AS mean_ctrl_pre,
+             / nullif(sum(CASE WHEN NOT treat AND NOT post THEN n ELSE 0 END), 0) / 100, 4) AS mean_ctrl_pre,
        round((sum(CASE WHEN treat AND post THEN cents ELSE 0 END) * 1.0
-              / sum(CASE WHEN treat AND post THEN n ELSE 0 END)
+              / nullif(sum(CASE WHEN treat AND post THEN n ELSE 0 END), 0)
             - sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) * 1.0
-              / sum(CASE WHEN treat AND NOT post THEN n ELSE 0 END)
+              / nullif(sum(CASE WHEN treat AND NOT post THEN n ELSE 0 END), 0)
             - sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) * 1.0
-              / sum(CASE WHEN NOT treat AND post THEN n ELSE 0 END)
+              / nullif(sum(CASE WHEN NOT treat AND post THEN n ELSE 0 END), 0)
             + sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) * 1.0
-              / sum(CASE WHEN NOT treat AND NOT post THEN n ELSE 0 END)) / 100, 4) AS did
+              / nullif(sum(CASE WHEN NOT treat AND NOT post THEN n ELSE 0 END), 0)) / 100, 4) AS did
 FROM cells GROUP BY event_type
 """,
 )
@@ -334,7 +355,10 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = (F.col("treat") == tr) & (F.col("post") == po)
         s = F.sum(F.when(cond, F.col("cents")).otherwise(0))
         n = F.sum(F.when(cond, F.col("n")).otherwise(0))
-        return s * 1.0 / n
+        # nullif guard: an empty (treat, post) cell must be NULL in BOTH
+        # engines — Spark's non-ANSI 0/0 is NULL but DuckDB's float 0/0
+        # is NaN, a latent hash-parity break without the guard.
+        return s * 1.0 / F.nullif(n, F.lit(0))
 
     tp, tpre = cell(True, True), cell(True, False)
     cp, cpre = cell(False, True), cell(False, False)
@@ -374,8 +398,7 @@ WITH mid AS (
          CAST(sum(d_u) AS BIGINT) AS t_obs
   FROM d
 ), reps AS (
-  SELECT r.r, sum(CASE WHEN ((d.user_id % {_LAT}) * {_LCG_A}
-                             + r.r * {_LCG_C}) % {_LAT} < {_LAT // 2}
+  SELECT r.r, sum(CASE WHEN {_rep_hash_sql('d.user_id', 'r.r')} < {_LAT // 2}
                        THEN d.d_u ELSE -d.d_u END) AS t_r
   FROM d CROSS JOIN (SELECT unnest(range(1, {_PERM_R + 1})) AS r) r
   GROUP BY r.r
@@ -438,8 +461,8 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_u").cast("long").alias("t_obs"),
     )
     sign_flip = F.expr(
-        f"CASE WHEN ((user_id % {_LAT}) * {_LCG_A} + r * {_LCG_C}) % {_LAT}"
-        f" < {_LAT // 2} THEN d_u ELSE -d_u END"
+        f"CASE WHEN {_rep_hash_sql('user_id', 'r')} < {_LAT // 2}"
+        f" THEN d_u ELSE -d_u END"
     )
     reps = (
         d.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(_PERM_R))))

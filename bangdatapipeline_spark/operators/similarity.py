@@ -35,12 +35,17 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.caches import session_key
 from bangdatapipeline_spark.registry import REGISTRY, register
 from bangdatapipeline_spark.tables import load_table
 
 N_QUERIES = 100  # query set = vec_id < 100 (matches BASELINE.md emb_knn_top5)
 TOP_K = 5
 PAIR_TAU = 0.3  # ~top 1% of pair sims at sf0.01 (max pair sim ≈ 0.51)
+# vec_id bound for the all-pairs exact threshold baseline (the similarity
+# twin of dedup_near.EXACT_BOUND): keeps the quadratic ground-truth form
+# constant-cost at every scale factor; production path = knn_threshold_gemm.
+PAIR_EXACT_BOUND = 400
 
 
 def dot_double(a, b) -> Column:
@@ -160,25 +165,31 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_threshold_pairs",
     oracle=f"""
-WITH sims AS (
+WITH e AS (SELECT * FROM embeddings WHERE vec_id < {PAIR_EXACT_BOUND}),
+sims AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
            {_duck_dot('a.embedding', 'b.embedding')} AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, label_a, label_b, round(sim, 6) AS sim
 FROM sims WHERE sim >= {PAIR_TAU}
 """,
 )
 def knn_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity self-join: all vector pairs with cosine >= τ — the
-    embedding-cosine near-duplicate detector (pairs output; at a real dedup
-    τ≈0.95 the survivors would be dropped).
-
-    All-pairs is quadratic; this exact form is the correctness baseline and
-    the LSH bucket join (``knn_ann_lsh``) is the 100-TB candidate
-    generator.
+    """BOUNDED exact threshold self-join: all vector pairs among
+    vec_id < {PAIR_EXACT_BOUND} with cosine >= τ — the exact ground-truth
+    baseline the approximate detectors are graded against, deliberately
+    capped the way ``dedup_near_jaccard`` caps its shingle baseline
+    (EXACT_BOUND): all-pairs is quadratic, so an UNbounded form degrades
+    super-linearly with corpus size (181 s at the sf1 smoke before the
+    cap). For production-scale threshold pairs over the FULL corpus use
+    ``knn_threshold_gemm`` — the blocked-GEMM kernel whose only shuffled
+    rows are candidates — or the LSH bucket join (``knn_ann_lsh``) as the
+    candidate generator at 100 TB.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < PAIR_EXACT_BOUND
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
@@ -1901,13 +1912,17 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Two RANK-FILTERED window passes over the cached pair table instead of
-    # two stacked full sorts (r7 verdict note): each rank<=K filter lets
-    # InferWindowGroupLimit cap per-partition sort input to K rows, the
-    # expensive pair pass (BNLJ + two dot folds) runs once via the cache,
-    # and full-top-k MEMBERSHIP (all the boolean needs) comes from a left
-    # join against the K-row full-rank set.
-    pairs = pairs.cache()
+    # Two RANK-FILTERED window passes over the materialized pair table
+    # instead of two stacked full sorts (r7 verdict note): each rank<=K
+    # filter lets InferWindowGroupLimit cap per-partition sort input to K
+    # rows, the expensive pair pass (BNLJ + two dot folds) runs once, and
+    # full-top-k MEMBERSHIP (all the boolean needs) comes from a left join
+    # against the K-row full-rank set. localCheckpoint, not .cache():
+    # CacheManager pins a cached relation until explicit unpersist — every
+    # invocation would leave the pair table resident for the session —
+    # while checkpoint blocks are released by the ContextCleaner as soon
+    # as the returned plan is garbage-collected.
+    pairs = pairs.localCheckpoint(eager=True)
     wp = Window.partitionBy("q_id").orderBy(F.col("simp").desc(), F.col("n_id").asc())
     wf = Window.partitionBy("q_id").orderBy(F.col("simf").desc(), F.col("n_id").asc())
     top_p = (
@@ -2445,8 +2460,10 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RERANK_POOL = 25  # stage-1 candidates per query, reranked exactly to TOP_K
 
-# (id(spark), sf_dir) -> Broadcast of the int8 query matrix; destroyed and
-# cleared by caches.release so long sessions don't accumulate blocks
+# (applicationId, sf_dir) -> Broadcast of the int8 query matrix; destroyed
+# and cleared by caches.release so long sessions don't accumulate blocks.
+# Keyed on applicationId (caches.session_key), NOT the session object's id(): address reuse
+# after a GC'd session could alias a stale broadcast across sessions.
 _rerank_bq_cache: dict = {}
 
 _RERANK_ORACLE = f"""
@@ -2528,7 +2545,7 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation would accumulate driver+executor blocks across repeated
     # bench/correctness rounds in one session (caches.release destroys
     # these and clears the memo)
-    memo_key = (id(spark), sf_dir)
+    memo_key = (session_key(spark), sf_dir)
     bq = _rerank_bq_cache.get(memo_key)
     if bq is None:
         q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()  # bounded

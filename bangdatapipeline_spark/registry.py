@@ -54,3 +54,34 @@ def load_all() -> dict[str, Query]:
     import bangdatapipeline_spark.operators  # noqa: F401
 
     return REGISTRY
+
+
+def query_hash(q: Query) -> str:
+    """Evidence fingerprint for a registered query: md5 of the Spark
+    function's source text plus its oracle SQL.
+
+    Green CORRECTNESS evidence is only evidence FOR THE CODE THAT RAN —
+    a key rewritten after its last green round must re-verify, which the
+    age-based rotation alone cannot see (VERDICT r8: three r8 rewrites
+    shipped on pre-rewrite evidence). The sweep harness records this
+    fingerprint with each green result (scripts/green_hashes.json);
+    ``__spark_entry__`` drops any key whose CURRENT fingerprint differs
+    from its last-green one into the re-verify tier.
+
+    Limitation (documented, accepted by the verdict's prescription): the
+    fingerprint covers the registered function's own source and the
+    oracle string as registered. A behavior change hidden entirely in a
+    shared helper the function calls at runtime would not move the
+    Spark-side hash — but any parity-relevant change must touch the
+    oracle too (both sides change together by the registry's rules), and
+    oracle strings are baked at registration time, so helper-driven
+    oracle changes DO move the hash.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):  # builtins / REPL-defined: fall back
+        src = repr(q.fn)
+    return hashlib.md5((src + (q.oracle or "")).encode()).hexdigest()

@@ -429,6 +429,11 @@ def postings_index_sink(df: DataFrame, target: str | None = None):
     """
     import pyspark.sql.functions as F
 
+    # The cap and df band are THE batch constants (llm_text.text_postings):
+    # the stream-equals-batch monoid invariant only holds if both sides cut
+    # posting lists at the identical rank, so never restate them here.
+    from bangdatapipeline_spark.operators.llm_text import _POSTINGS_CAP
+
     target = target or os.path.join(
         tempfile.gettempdir(), f"postings_state_{uuid.uuid4().hex[:8]}"
     )
@@ -445,7 +450,7 @@ def postings_index_sink(df: DataFrame, target: str | None = None):
         )
         per_term = bg.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("ids"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTINGS_CAP).alias("ids"),
         )
         n = batch_df.select(F.countDistinct("doc_id").alias("df")).select(
             F.lit("__n_docs__").alias("term"),
@@ -464,7 +469,7 @@ def postings_index_sink(df: DataFrame, target: str | None = None):
             .agg(
                 F.sum("df").alias("df"),
                 F.slice(
-                    F.array_sort(F.flatten(F.collect_list("ids"))), 1, 20
+                    F.array_sort(F.flatten(F.collect_list("ids"))), 1, _POSTINGS_CAP
                 ).alias("ids"),
             )
         )
@@ -493,6 +498,10 @@ def postings_result(spark: SparkSession, target: str) -> DataFrame:
     render posting lists — reproduces ``text_postings`` exactly."""
     import pyspark.sql.functions as F
 
+    from bangdatapipeline_spark.operators.llm_text import (
+        _POSTINGS_HI, _POSTINGS_LO,
+    )
+
     state = read_state(spark, target)
     n = state.filter(F.col("term") == "__n_docs__").select(
         F.col("df").alias("n")
@@ -502,7 +511,8 @@ def postings_result(spark: SparkSession, target: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .filter(
             F.col("df").between(
-                F.expr("greatest(5, n div 100)"), F.expr("n div 10")
+                F.expr(_POSTINGS_LO.format(n="n").replace("//", "div")),
+                F.expr(_POSTINGS_HI.format(n="n").replace("//", "div")),
             )
         )
         .select(

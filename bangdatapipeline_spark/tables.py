@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from bangdatapipeline_spark.caches import session_key
 from bangdatapipeline_spark.session import configure_session
 
 TABLES = [
@@ -40,7 +41,7 @@ TABLES = [
 # DataFrame-plan cache: a DataFrame is an immutable logical plan, so reusing
 # one per (session, dir, table) skips the repeated file-listing + footer-read
 # job that otherwise taxes every small query with ~100 ms of fixed overhead.
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cast to timestamp_ntz (under a UTC session tz) makes it comparable with
     DuckDB's naive TIMESTAMP.
     """
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     cached = _df_cache.get(key)
     if cached is not None:
         return cached

@@ -35,7 +35,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
-    from bangdatapipeline_spark.registry import load_all
+    from bangdatapipeline_spark.registry import load_all, query_hash
     from tests.oracle import compare_query
 
     t0 = time.time()
@@ -76,14 +76,63 @@ def main() -> int:
 
     n_hash = len(oracles)
     n_total = len(qs)
-    print(json.dumps({
+    summary = {
         "smoke_ok": smoke_ok,
         "queries": n_total,
         "hash_checked": n_hash,
         "rows_only": n_total - n_hash,
         "failed": failed,
-    }))
+    }
+    print(json.dumps(summary))
+    _record_evidence(sf_dir, qs, registry, query_hash, failed, summary)
     return 0 if smoke_ok and not failed else 1
+
+
+def _record_evidence(sf_dir, qs, registry, query_hash, failed, summary):
+    """Persist the sweep artifact ``SWEEP_r{N}.json`` (VERDICT r8 task 4):
+    one file per full sf0.01 sweep — HEAD sha, pass/fail counts, failed
+    keys. Closes the blind spot where only the driver's ~50-key window
+    was evidenced at each round's HEAD. Only the driver-faithful sf0.01
+    sweep writes it: a fast sf0.001 pass is a weaker gate.
+
+    Deliberately does NOT touch ``scripts/green_hashes.json``: that file
+    records each key's fingerprint AS OF THE DRIVER'S LAST GREEN
+    EVIDENCE (the previous round's closing commit), so the driver's next
+    CORRECTNESS window re-verifies in-round rewrites. Recording CURRENT
+    hashes here would erase exactly that staleness signal. Refresh it at
+    round start with ``scripts/refresh_green_hashes.py <prev-round-sha>``.
+    """
+    import glob
+    import subprocess
+
+    if not sf_dir.rstrip("/").endswith("sf0.01"):
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        sha = subprocess.run(
+            ["git", "-C", root, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        sha = "unknown"
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r"):].split(".")[0])
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    with open(os.path.join(root, f"SWEEP_r{rnd:02d}.json"), "w") as f:
+        json.dump(
+            {
+                "head_sha": sha,
+                "sf_dir": sf_dir,
+                "pass": summary["queries"] - len(failed),
+                "fail": len(failed),
+                "failed": failed,
+                "smoke_ok": summary["smoke_ok"],
+            },
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":

@@ -26,7 +26,18 @@ Synthesis contract (VERDICT r7 task 8):
     the point of a scale smoke.
 
 Usage:
-    python scripts/sf1_smoke.py [--keep] [--only key1,key2,...]
+    python scripts/sf1_smoke.py [--keep] [--only key1,key2,...] [--ledger]
+
+``--ledger`` (VERDICT r8 task 7 — the round-loop mode): instead of the
+full registry, run the 20 slowest keys (by BENCH_FULL.json steady-state
+timing — the ones most likely to degrade super-linearly) plus the 20
+newest keys (registry insertion-order tail plus any key never benched —
+the ones with no scale evidence at all), then APPEND one JSON line to
+SCALE_LEDGER.jsonl at the repo root: round inferred from CORRECTNESS
+files, HEAD sha, per-key failures. The two bug classes scale review
+ever caught (int64 lattice wrap, key-offset collision) only appear
+above sf0.1, so every round gets a bounded (~5 min) sf1 execution pass
+on the riskiest slice.
 
 Writes the synthesized tables to $SPARK_GRAFT_SF1_DIR (default
 /tmp/bdp_sf1, reused if already present), runs the sweep, prints one
@@ -97,8 +108,55 @@ def synthesize(spark) -> None:
         print(f"synthesized {name}: {n} rows", file=sys.stderr)
 
 
+def _ledger_keys(registry) -> list[str]:
+    """The round-loop slice: 20 slowest benched keys + 20 newest keys
+    (insertion-order tail, with never-benched keys counting as newest)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "BENCH_FULL.json")) as f:
+            timings = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        timings = {}
+    slowest = sorted(
+        (k for k in registry if k in timings),
+        key=lambda k: timings[k],
+        reverse=True,
+    )[:20]
+    unbenched = [k for k in registry if k not in timings]
+    tail = [k for k in list(registry)[-20:] if k not in unbenched]
+    newest = (unbenched + tail[::-1])[:20]
+    return sorted(set(slowest) | set(newest))
+
+
+def _append_ledger(summary: dict) -> None:
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import glob
+
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r"):].split(".")[0])
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    try:
+        sha = subprocess.run(
+            ["git", "-C", root, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        sha = "unknown"
+    entry = {
+        "round": (max(rounds) + 1) if rounds else 0,
+        "head_sha": sha,
+        **{k: summary[k] for k in ("keys", "failed", "slowest_sec", "total_sec")},
+    }
+    with open(os.path.join(root, "SCALE_LEDGER.jsonl"), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
 def main() -> int:
     keep = "--keep" in sys.argv
+    ledger = "--ledger" in sys.argv
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
@@ -111,6 +169,8 @@ def main() -> int:
     failures: dict[str, str] = {}
     timings: dict[str, float] = {}
     keys = [k for k in sorted(registry) if only is None or k in only]
+    if ledger and only is None:
+        keys = _ledger_keys(registry)
     for i, key in enumerate(keys):
         t0 = time.perf_counter()
         try:
@@ -138,6 +198,8 @@ def main() -> int:
         "out_dir": OUT_DIR,
     }
     print(json.dumps(summary))
+    if ledger and only is None:
+        _append_ledger(summary)
     if not keep and not failures:
         pass  # leave the synthesized dir for re-runs; it's /tmp, host-reaped
     return 1 if failures else 0

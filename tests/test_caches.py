@@ -64,3 +64,31 @@ def test_default_bench_never_releases_caches():
     # and the sweep harness DOES release, before every query
     sweep = open("scripts/driver_sim.py").read()
     assert "release_if_pressured(spark)" in sweep
+
+
+def test_memo_keys_use_application_id_not_object_id(spark):
+    """VERDICT r8 task 3: CPython reuses object addresses, so an
+    ``id(spark)``-keyed memo can alias a GC'd session's stale broadcast
+    or plan onto its successor — exactly the long-session host profile
+    driver_sim exercises. Two checks: (a) no ``id(spark)`` key anywhere
+    in the package source; (b) the memos actually key on the context's
+    applicationId, so stopping one session and starting another (new
+    applicationId) can never collide by construction."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "bangdatapipeline_spark")
+    offenders = [
+        p
+        for p in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)
+        if "id(spark)" in open(p).read()
+    ]
+    assert offenders == [], offenders
+
+    from bangdatapipeline_spark import caches, tables
+    from tests.conftest import SF_DIR
+
+    app_id = spark.sparkContext.applicationId
+    assert caches.session_key(spark) == app_id
+    tables.load_table(spark, SF_DIR, "region")
+    assert (app_id, SF_DIR, "region") in tables._df_cache

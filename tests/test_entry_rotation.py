@@ -15,12 +15,86 @@ and the CORRECTNESS_r*.json history.
 from __future__ import annotations
 
 import __spark_entry__ as entry
-from bangdatapipeline_spark.registry import load_all
+from bangdatapipeline_spark.registry import load_all, query_hash
 
 
-def _ordered_keys(monkeypatch, green, failed):
+def _ordered_keys(monkeypatch, green, failed, hashes=None):
     monkeypatch.setattr(entry, "_correctness_history", lambda: (green, failed))
+    # isolate the tier logic under test from the repo's live staleness
+    # file (mid-round it legitimately marks rewritten keys tier 0)
+    monkeypatch.setattr(entry, "_green_hashes", lambda: hashes or {})
     return list(entry._ordered_registry())
+
+
+def test_source_change_outranks_every_stale_green(monkeypatch):
+    """VERDICT r8 task 1: green evidence only vouches for the code that
+    ran. A key whose CURRENT fingerprint differs from its recorded
+    last-green fingerprint must drop to the re-verify tier (0) and
+    outrank every stale-but-unchanged green key — the age rotation alone
+    cannot see rewrites."""
+    registry = load_all()
+    keys = list(registry)
+    changed = keys[-1]  # last insertion position: worst case for tier 0
+    recorded = {k: query_hash(registry[k]) for k in keys}
+    recorded[changed] = "0" * 32  # pretend it was green under old source
+    green = {k: 9 for k in keys}
+    green[keys[0]] = 1  # the stalest ordinary green key
+    ordered = _ordered_keys(monkeypatch, green, set(), hashes=recorded)
+    assert ordered[0] == changed
+    # and with no recorded hash (fresh checkout), nothing is demoted
+    ordered = _ordered_keys(monkeypatch, green, set())
+    assert ordered[0] == keys[0]
+
+
+def test_refresh_script_formula_matches_query_hash():
+    """scripts/refresh_green_hashes.py inlines the fingerprint formula
+    (old commits predate registry.query_hash); it must stay identical to
+    the live function or recorded hashes would ALL spuriously differ and
+    the whole window would demote to tier 0."""
+    import hashlib
+    import inspect
+
+    registry = load_all()
+    for key in list(registry)[:5]:
+        q = registry[key]
+        inlined = hashlib.md5(
+            (inspect.getsource(q.fn) + (q.oracle or "")).encode()
+        ).hexdigest()
+        assert inlined == query_hash(q), key
+
+
+def test_green_hashes_recorded_at_a_real_commit():
+    """green_hashes.json must cover the registry and carry the evidence
+    commit it was computed from (the refresh-at-round-start protocol)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "scripts", "green_hashes.json")
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data["evidence_sha"]) == 40
+    registry = load_all()
+    # every recorded key is (or was) a registry key; new keys may be
+    # missing (they're tier 1/2 until green, so no hash is needed)
+    assert len(set(data["hashes"]) & set(registry)) > 300
+
+
+def test_sweep_artifact_contract():
+    """Every SWEEP_r{N}.json the sweep harness writes must show a clean
+    full sweep: required fields present, zero failures, smoke ok."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "SWEEP_r*.json")):
+        with open(path) as f:
+            s = json.load(f)
+        assert s["fail"] == 0 and s["failed"] == [], path
+        assert s["smoke_ok"] is True, path
+        assert s["pass"] > 300, path
+        assert s["head_sha"], path
 
 
 def test_tier3_rotates_by_evidence_age(monkeypatch):
@@ -55,9 +129,16 @@ def test_real_history_window_refreshes_oldest_evidence():
     window must be the keys with the OLDEST latest-green round among
     tier-3 keys (with all keys green, the whole window is tier 3)."""
     green, failed = entry._correctness_history()
+    recorded = entry._green_hashes()
     registry = load_all()
     ordered = list(entry._ordered_registry())
-    tier3 = [k for k in ordered if k in green and k not in failed]
+    tier3 = [
+        k
+        for k in ordered
+        if k in green
+        and k not in failed
+        and not (k in recorded and recorded[k] != query_hash(registry[k]))
+    ]
     if len(tier3) < 2:
         return  # rotation inert until the registry is mostly green
     ages = [green[k] for k in tier3]

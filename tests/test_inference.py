@@ -49,6 +49,49 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
         assert width < 0.2 * r.point_mean_cents, r
 
 
+def test_replicate_hash_decorrelates_resamples():
+    """Consecutive bootstrap replicates must be (near-)independent
+    resamples, not cyclic shifts of one permutation. For independent
+    Poisson(1) draws, P(w_r(i) = w_{r+1}(i)) = sum_k p_k^2 ~ 0.31, so
+    ~69% of rows change weight between consecutive replicates; the old
+    additive lattice (h = k*A + r*C) changed only ~8% and kept total
+    resample mass near-constant, autocorrelating CIs and p-values.
+    Pure-Python twin of ``_boot_weight_sql`` — a regression to any
+    affine-in-r mix fails the change-fraction bound."""
+    from bangdatapipeline_spark.operators.inference import (
+        _LAT, _LCG_A, _POIS_T,
+    )
+
+    def weight(k: int, r: int) -> int:
+        h = ((k % _LAT + 1) * ((2 * r + 1) * _LCG_A % _LAT)) % _LAT
+        for w, t in enumerate(_POIS_T):
+            if h < t:
+                return w
+        return 6
+
+    keys = list(range(1, 5001))
+    for r in range(1, 21):
+        w_r = [weight(k, r) for k in keys]
+        w_next = [weight(k, r + 1) for k in keys]
+        changed = sum(a != b for a, b in zip(w_r, w_next)) / len(w_r)
+        assert changed > 0.5, (r, changed)
+    # What the CI actually consumes is the sequence of replicate MEANS;
+    # under the additive scheme consecutive means were nearly identical
+    # (lag-1 autocorrelation ~ 1). Pin |ac1| small on a synthetic value
+    # column (a fixed multiplicative scramble of the key, so value order
+    # is unrelated to lattice order).
+    vals = [(k * 2654435761) % 1000 for k in keys]
+    means = []
+    for r in range(1, 201):
+        w_r = [weight(k, r) for k in keys]
+        means.append(sum(w * v for w, v in zip(w_r, vals)) / sum(w_r))
+    mu = sum(means) / len(means)
+    dev = [m - mu for m in means]
+    var = sum(d * d for d in dev) / len(dev)
+    ac1 = sum(a * b for a, b in zip(dev, dev[1:])) / (len(dev) - 1) / var
+    assert abs(ac1) < 0.25, (mu, var, ac1)
+
+
 def test_quantile_treatment_is_consistent(spark):
     """QTE rows: qte = q_treat - q_ctrl exactly, percentiles are the
     requested spine, and each arm's quantiles are non-decreasing in p

@@ -148,8 +148,21 @@ def test_transform_with_state_counts(spark, chunks):
     skip): the flag must report False honestly, and the documented
     fallback (``stateful_counts``) must expose the identical output
     schema so a caller can swap it in blind — the fallback's semantics
-    are fully exercised by test_stateful_counts_final_state above."""
-    if not streaming.tws_available():
+    are fully exercised by test_stateful_counts_final_state above.
+
+    The active backend is PRINTED (VERDICT r8 task 6) so a PySpark or
+    environment change that flips the probe is visible in CI output
+    (pytest -rA / captured stdout), not silently absorbed."""
+    avail = streaming.tws_available()
+    print(
+        "stateful streaming backend: "
+        + (
+            "transformWithStateInPandas (Spark 4 state v2; protobuf present)"
+            if avail
+            else "applyInPandasWithState (fallback — probe: protobuf missing)"
+        )
+    )
+    if not avail:
         with pytest.raises(ImportError):
             import google.protobuf.descriptor  # noqa: F401
         stream = replay.read_stream(spark, chunks)
