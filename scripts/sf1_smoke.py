@@ -109,8 +109,11 @@ def synthesize(spark) -> None:
 
 
 def _ledger_keys(registry) -> list[str]:
-    """The round-loop slice: 20 slowest benched keys + 20 newest keys
-    (insertion-order tail, with never-benched keys counting as newest)."""
+    """The round-loop slice: 20 slowest benched keys (most likely to go
+    super-linear) + 20 newest keys (insertion-order tail, never-benched
+    keys first — no scale evidence yet) + every key rewritten since the
+    last round's closing commit (green_hashes.json fingerprint differs —
+    their old sf1 evidence describes code that no longer exists)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         with open(os.path.join(root, "BENCH_FULL.json")) as f:
@@ -125,7 +128,18 @@ def _ledger_keys(registry) -> list[str]:
     unbenched = [k for k in registry if k not in timings]
     tail = [k for k in list(registry)[-20:] if k not in unbenched]
     newest = (unbenched + tail[::-1])[:20]
-    return sorted(set(slowest) | set(newest))
+    from bangdatapipeline_spark.registry import query_hash
+
+    try:
+        with open(os.path.join(root, "scripts", "green_hashes.json")) as f:
+            recorded = json.load(f).get("hashes", {})
+    except (OSError, ValueError):
+        recorded = {}
+    rewritten = [
+        k for k in registry
+        if k in recorded and recorded[k] != query_hash(registry[k])
+    ]
+    return sorted(set(slowest) | set(newest) | set(rewritten))
 
 
 def _append_ledger(summary: dict) -> None:

@@ -108,3 +108,23 @@ def test_sf01_boundary_sensitive_keys_match_oracle(spark):
             spark, registry[key], "/root/testdata/sf0.1"
         )
         assert ok, f"{key} @ sf0.1: {msg}"
+
+
+def test_scale_ledger_entries_are_clean():
+    """Every SCALE_LEDGER.jsonl line (appended per round by
+    `sf1_smoke.py --ledger`) must record a zero-failure sf1 execution
+    pass over its key slice, stamped with round and commit."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALE_LEDGER.jsonl")
+    if not os.path.exists(path):
+        return  # ledger starts existing from round 9
+    with open(path) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    assert lines, "empty ledger file"
+    for e in lines:
+        assert e["failed"] == [], e
+        assert e["round"] >= 9 and len(e["head_sha"]) == 40, e
+        assert e["keys"] >= 20, e
