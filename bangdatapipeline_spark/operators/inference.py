@@ -152,19 +152,28 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rep_hash_sql(key: str, rep: str) -> str:
     """Deterministic per-(row, replicate) hash on the 2^20 lattice, with
-    the replicate id entering MULTIPLICATIVELY: h = ((k%L)+1) * M_r % L
-    where M_r = (2r+1)*A % L. Each odd multiplier M_r makes h a bijection
-    of the key lattice, and distinct replicates use distinct multipliers,
-    so replicate r+1 is a genuinely different permutation of replicate r
-    — not a cyclic shift. (The earlier additive form h = k*A + r*C made
-    every replicate a shift of one permutation: consecutive resamples
-    differed in only ~8% of weights and total resample mass was
-    near-constant, autocorrelating the bootstrap/permutation null
-    distributions.) Identical text works as a Spark expression and
+    the replicate id entering MULTIPLICATIVELY:
+    h = (2*(k%L)+1) * M_r % L where M_r = (2r+1)*A % L. Distinct
+    replicates use distinct odd multipliers, so replicate r+1 is a
+    genuinely different permutation of replicate r — not a cyclic shift.
+    (The earlier additive form h = k*A + r*C made every replicate a
+    shift of one permutation: consecutive resamples differed in only
+    ~8% of weights and total resample mass was near-constant,
+    autocorrelating the bootstrap/permutation null distributions.)
+
+    Both factors are ODD, which matters twice: (a) h sweeps the odd
+    residues uniformly (each exactly twice per full key sweep), so the
+    CDF thresholds keep their probabilities; (b) no key can zero the
+    product — the earlier (k%L + 1) co-factor hit L at k%L = L-1,
+    making h = 0 for EVERY replicate (rows deterministically excluded
+    from all 200 resamples once keys exceed 2^20, e.g. the offset keys
+    of the sf1 smoke). h_r(k) = h_s(k) requires odd * 2(r-s)A ≡ 0 mod
+    2^20, i.e. r ≡ s mod 2^19 — never within 500 replicates, so no
+    fixed points at all. Identical text works as a Spark expression and
     DuckDB SQL; intermediates stay < 2^41, safe in int64 on both engines.
     """
     return (
-        f"((CAST(({key}) AS BIGINT) % {_LAT} + 1)"
+        f"((2 * (CAST(({key}) AS BIGINT) % {_LAT}) + 1)"
         f" * ((2 * CAST(({rep}) AS BIGINT) + 1) * {_LCG_A} % {_LAT})) % {_LAT}"
     )
 
@@ -213,7 +222,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for mean order value per priority class, via a
     DETERMINISTIC Poisson(1) bootstrap: for replicate r, row i gets
     weight ~ Poisson(1) read off a fixed CDF table over the integer hash
-    lattice h(i, r) = ((key % 2^20 + 1) * ((2r+1)*1103515245 % 2^20))
+    lattice h(i, r) = ((2*(key % 2^20)+1) * ((2r+1)*1103515245 % 2^20))
     % 2^20 — the replicate id enters MULTIPLICATIVELY (distinct odd
     multiplier per replicate), so the 200 resamples are independent
     lattice permutations rather than cyclic shifts of one. This is

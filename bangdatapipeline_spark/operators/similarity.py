@@ -177,7 +177,7 @@ FROM sims WHERE sim >= {PAIR_TAU}
 )
 def knn_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOUNDED exact threshold self-join: all vector pairs among
-    vec_id < {PAIR_EXACT_BOUND} with cosine >= τ — the exact ground-truth
+    vec_id < PAIR_EXACT_BOUND (400) with cosine >= τ — the exact ground-truth
     baseline the approximate detectors are graded against, deliberately
     capped the way ``dedup_near_jaccard`` caps its shingle baseline
     (EXACT_BOUND): all-pairs is quadratic, so an UNbounded form degrades
@@ -1921,8 +1921,12 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager pins a cached relation until explicit unpersist — every
     # invocation would leave the pair table resident for the session —
     # while checkpoint blocks are released by the ContextCleaner as soon
-    # as the returned plan is garbage-collected.
-    pairs = pairs.localCheckpoint(eager=True)
+    # as the returned plan is garbage-collected. eager=False: lazy, so
+    # plan-only callers (test_plans, dump_plans) and the bench's setup
+    # phase don't silently pay the pair materialization — the blocks are
+    # persisted at the first real action and shared by both window
+    # branches from then on.
+    pairs = pairs.localCheckpoint(eager=False)
     wp = Window.partitionBy("q_id").orderBy(F.col("simp").desc(), F.col("n_id").asc())
     wf = Window.partitionBy("q_id").orderBy(F.col("simf").desc(), F.col("n_id").asc())
     top_p = (

@@ -1,0 +1,49 @@
+"""Shared helpers for the round-evidence artifacts.
+
+Round numbering and commit stamping must be byte-identical across
+SWEEP_r{N}.json (driver_sim.py) and SCALE_LEDGER.jsonl (sf1_smoke.py) —
+a convention change applied to one writer and not the other would
+silently desynchronize the two records, so both import from here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def current_round(root: str = REPO_ROOT) -> int:
+    """The in-progress round: one past the newest CORRECTNESS_r{N}.json
+    (the driver writes that file when a round CLOSES, so its max is the
+    previous round)."""
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r"):].split(".")[0])
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def head_sha(root: str = REPO_ROOT) -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", root, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
+def load_green_hashes(root: str = REPO_ROOT) -> dict[str, str]:
+    """{key: fingerprint at the previous round's closing commit} from
+    scripts/green_hashes.json; {} when absent/unreadable."""
+    try:
+        with open(os.path.join(root, "scripts", "green_hashes.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    hashes = data.get("hashes", data) if isinstance(data, dict) else {}
+    return {k: v for k, v in hashes.items() if isinstance(v, str)}

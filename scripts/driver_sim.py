@@ -35,7 +35,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
-    from bangdatapipeline_spark.registry import load_all, query_hash
+    from bangdatapipeline_spark.registry import load_all
     from tests.oracle import compare_query
 
     t0 = time.time()
@@ -84,11 +84,11 @@ def main() -> int:
         "failed": failed,
     }
     print(json.dumps(summary))
-    _record_evidence(sf_dir, qs, registry, query_hash, failed, summary)
+    _record_evidence(sf_dir, failed, summary)
     return 0 if smoke_ok and not failed else 1
 
 
-def _record_evidence(sf_dir, qs, registry, query_hash, failed, summary):
+def _record_evidence(sf_dir, failed, summary):
     """Persist the sweep artifact ``SWEEP_r{N}.json`` (VERDICT r8 task 4):
     one file per full sf0.01 sweep — HEAD sha, pass/fail counts, failed
     keys. Closes the blind spot where only the driver's ~50-key window
@@ -102,25 +102,13 @@ def _record_evidence(sf_dir, qs, registry, query_hash, failed, summary):
     hashes here would erase exactly that staleness signal. Refresh it at
     round start with ``scripts/refresh_green_hashes.py <prev-round-sha>``.
     """
-    import glob
-    import subprocess
+    from _evidence import REPO_ROOT, current_round, head_sha
 
     if not sf_dir.rstrip("/").endswith("sf0.01"):
         return
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        sha = subprocess.run(
-            ["git", "-C", root, "rev-parse", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-    except Exception:  # noqa: BLE001
-        sha = "unknown"
-    rounds = [
-        int(os.path.basename(p)[len("CORRECTNESS_r"):].split(".")[0])
-        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    ]
-    rnd = (max(rounds) + 1) if rounds else 0
-    with open(os.path.join(root, f"SWEEP_r{rnd:02d}.json"), "w") as f:
+    sha = head_sha()
+    rnd = current_round()
+    with open(os.path.join(REPO_ROOT, f"SWEEP_r{rnd:02d}.json"), "w") as f:
         json.dump(
             {
                 "head_sha": sha,

@@ -117,24 +117,31 @@ def _ledger_keys(registry) -> list[str]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         with open(os.path.join(root, "BENCH_FULL.json")) as f:
-            timings = json.load(f).get("queries", {})
+            metric_timings = json.load(f).get("queries", {})
     except (OSError, ValueError):
-        timings = {}
-    slowest = sorted(
-        (k for k in registry if k in timings),
-        key=lambda k: timings[k],
-        reverse=True,
-    )[:20]
-    unbenched = [k for k in registry if k not in timings]
-    tail = [k for k in list(registry)[-20:] if k not in unbenched]
-    newest = (unbenched + tail[::-1])[:20]
+        metric_timings = {}
+    # BENCH_FULL's query map is keyed by BASELINE METRIC names; translate
+    # to registry keys through bench.BENCH_QUERIES (a metric can only bench
+    # one registry key, so the inverted map is well-defined).
+    import bench
+
+    timings = {
+        key: metric_timings[metric]
+        for metric, key in bench.BENCH_QUERIES
+        if metric in metric_timings and key in registry
+    }
+    slowest = sorted(timings, key=timings.get, reverse=True)[:20]
+    # newest = the INSERTION-ORDER TAIL (most recently registered), with
+    # never-benched-and-unexempt keys first — they have no scale evidence
+    benched_or_exempt = set(timings) | set(getattr(bench, "BENCH_EXEMPT", {}))
+    tail = list(registry)[::-1]
+    unbenched = [k for k in tail if k not in benched_or_exempt]
+    newest = (unbenched + [k for k in tail if k in benched_or_exempt])[:20]
+    from _evidence import load_green_hashes
+
     from bangdatapipeline_spark.registry import query_hash
 
-    try:
-        with open(os.path.join(root, "scripts", "green_hashes.json")) as f:
-            recorded = json.load(f).get("hashes", {})
-    except (OSError, ValueError):
-        recorded = {}
+    recorded = load_green_hashes()
     rewritten = [
         k for k in registry
         if k in recorded and recorded[k] != query_hash(registry[k])
@@ -143,28 +150,14 @@ def _ledger_keys(registry) -> list[str]:
 
 
 def _append_ledger(summary: dict) -> None:
-    import subprocess
+    from _evidence import REPO_ROOT, current_round, head_sha
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    import glob
-
-    rounds = [
-        int(os.path.basename(p)[len("CORRECTNESS_r"):].split(".")[0])
-        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    ]
-    try:
-        sha = subprocess.run(
-            ["git", "-C", root, "rev-parse", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-    except Exception:  # noqa: BLE001
-        sha = "unknown"
     entry = {
-        "round": (max(rounds) + 1) if rounds else 0,
-        "head_sha": sha,
+        "round": current_round(),
+        "head_sha": head_sha(),
         **{k: summary[k] for k in ("keys", "failed", "slowest_sec", "total_sec")},
     }
-    with open(os.path.join(root, "SCALE_LEDGER.jsonl"), "a") as f:
+    with open(os.path.join(REPO_ROOT, "SCALE_LEDGER.jsonl"), "a") as f:
         f.write(json.dumps(entry) + "\n")
 
 

@@ -63,11 +63,19 @@ def test_replicate_hash_decorrelates_resamples():
     )
 
     def weight(k: int, r: int) -> int:
-        h = ((k % _LAT + 1) * ((2 * r + 1) * _LCG_A % _LAT)) % _LAT
+        h = ((2 * (k % _LAT) + 1) * ((2 * r + 1) * _LCG_A % _LAT)) % _LAT
         for w, t in enumerate(_POIS_T):
             if h < t:
                 return w
         return 6
+
+    # No universal fixed point: the boundary residues (k % L near L-1,
+    # reachable once keys exceed 2^20 — the sf1 smoke's offset keys) must
+    # still vary across replicates. An earlier (k%L + 1) co-factor hit L
+    # at k%L = L-1, freezing h = 0 (weight 0) for EVERY replicate.
+    for k in (_LAT - 1, 2 * _LAT - 1, _LAT, 0):
+        ws = {weight(k, r) for r in range(1, 51)}
+        assert len(ws) > 1, (k, ws)
 
     keys = list(range(1, 5001))
     for r in range(1, 21):

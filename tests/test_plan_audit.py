@@ -35,8 +35,12 @@ pytestmark = pytest.mark.sweep
 CARTESIAN_OK = {
     "join_cross",  # the cartesian operator itself (small x small)
     "knn_cosine_topk",  # exact brute-force baseline (broadcast query side)
-    "knn_threshold_pairs",  # exact all-pairs baseline
-    "knn_matryoshka_topk",  # same pair pass, prefix + full sims together
+    "knn_threshold_pairs",  # exact all-pairs baseline (vec_id-bounded)
+    # knn_matryoshka_topk runs the same declared pair pass, but its plan
+    # truncates at a localCheckpoint LogicalRDD (round 9: pin the pair
+    # table without CacheManager leakage), so the BNLJ is not visible to
+    # this audit — the pair-pass shape is asserted by
+    # test_similarity.py instead.
     "knn_hamming_topk",  # broadcast packed query side (knn pattern)
     "sample_hard_negatives",  # broadcast bounded anchor set (knn pattern)
     "eval_ivf_nprobe_curve",  # 3-row nprobe config spine, range-joined (min_cr <= n)
