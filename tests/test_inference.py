@@ -49,6 +49,36 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
         assert width < 0.2 * r.point_mean_cents, r
 
 
+def test_bootstrap_ci_width_matches_sampling_theory(spark):
+    """The 95% bootstrap interval must be as wide as sampling theory
+    says: for the Poisson(1) bootstrap, Var(mean*) ~ sigma^2/n, so
+    (hi - lo) / (sigma/sqrt(n)) ~ 2 * 1.96 = 3.92. Measured 3.83-4.34
+    across the five priority classes at sf0.01; pinned to [3.0, 5.0].
+    This is the dispersion guard the autocorrelated additive lattice
+    lacked: resamples that are near-copies of each other produce a null
+    with too few effective replicates, and the order-statistic interval
+    drifts off the theoretical width."""
+    import pyspark.sql.functions as F
+
+    from bangdatapipeline_spark.tables import load_table
+
+    rows = REGISTRY["stats_bootstrap_ci"].fn(spark, SF_DIR).collect()
+    stats = {
+        r["priority"]: (r["n"], r["sd"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.stddev(F.expr("o_totalprice * 100")).alias("sd"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, sd = stats[r.priority]
+        ratio = (r.ci_hi_cents - r.ci_lo_cents) / (sd / n**0.5)
+        assert 3.0 < ratio < 5.0, (r.priority, ratio)
+
+
 def test_replicate_hash_decorrelates_resamples():
     """Consecutive bootstrap replicates must be (near-)independent
     resamples, not cyclic shifts of one permutation. For independent
