@@ -92,3 +92,31 @@ def test_memo_keys_use_application_id_not_object_id(spark):
     assert caches.session_key(spark) == app_id
     tables.load_table(spark, SF_DIR, "region")
     assert (app_id, SF_DIR, "region") in tables._df_cache
+
+
+def test_checkpoint_blocks_are_gc_reclaimed(spark):
+    """ADVICE r8: knn_matryoshka_topk used to .cache() its pair table,
+    pinning one CacheManager entry per session until an explicit
+    release. The localCheckpoint replacement must instead be reclaimed
+    by the ContextCleaner once the returned plan is garbage-collected —
+    i.e. repeated invocations must NOT accumulate persisted RDDs without
+    bound. Generous margins: after 4 invocations with refs dropped and
+    both GCs forced, strictly fewer than 4 checkpoint RDDs may remain."""
+    import gc
+    import time
+
+    from bangdatapipeline_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    fn = load_all()["knn_matryoshka_topk"].fn
+
+    def n_rdds():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_rdds()
+    for _ in range(4):
+        fn(spark, SF_DIR).count()
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(3)
+    assert n_rdds() - base < 4, (base, n_rdds())
