@@ -120,23 +120,19 @@ def _correctness_history() -> tuple[dict[str, int], set[str]]:
 
 
 def _green_hashes() -> dict[str, str]:
-    """{key: evidence fingerprint at its last locally-swept green}.
+    """{key: evidence fingerprint at its last graded commit}.
 
-    Written by scripts/driver_sim.py after a full passing sweep. Makes
-    the rotation SOURCE-AWARE (VERDICT r8 task 1): a green CORRECTNESS
-    row only vouches for the code that ran, so a key whose current
-    ``query_hash`` differs from the recorded one re-verifies FIRST, no
-    matter how fresh its green round is. Missing file / missing key =>
-    no opinion (age-based rotation still applies).
+    Written at round start by scripts/refresh_green_hashes.py (against
+    the previous round's closing sha). Makes the rotation SOURCE-AWARE
+    (VERDICT r8 task 1): a green CORRECTNESS row only vouches for the
+    code that ran, so a key whose current ``query_hash`` differs from
+    the recorded one re-verifies FIRST, no matter how fresh its green
+    round is. Missing file / missing key => no opinion (age-based
+    rotation still applies).
     """
-    path = os.path.join(_ROOT, "scripts", "green_hashes.json")
-    try:
-        with open(path) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    hashes = data.get("hashes", data) if isinstance(data, dict) else {}
-    return {k: v for k, v in hashes.items() if isinstance(v, str)}
+    from bangdatapipeline_spark.caches import load_green_hashes
+
+    return load_green_hashes(_ROOT)
 
 
 def _registry_snapshot() -> set[str]:

@@ -50,6 +50,29 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def load_green_hashes(root: str) -> dict[str, str]:
+    """{key: evidence fingerprint at its last graded commit} from
+    ``<root>/scripts/green_hashes.json``; {} when absent or unreadable.
+
+    The ONE parser for this file — shared by ``__spark_entry__`` (the
+    rotation's staleness signal) and ``scripts/_evidence.py`` (the sf1
+    ledger's rewritten-key slice), so a format change cannot
+    desynchronize the two consumers. Lives here rather than in scripts/
+    because the driver imports ``__spark_entry__`` with only the repo
+    root on sys.path.
+    """
+    import json
+    import os
+
+    try:
+        with open(os.path.join(root, "scripts", "green_hashes.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    hashes = data.get("hashes", data) if isinstance(data, dict) else {}
+    return {k: v for k, v in hashes.items() if isinstance(v, str)}
+
+
 def release(spark: SparkSession) -> None:
     """Unpersist everything the engine cached in ``spark`` and reset the
     memo registries that hand out cached plans.

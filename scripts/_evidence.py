@@ -9,7 +9,6 @@ silently desynchronize the two records, so both import from here.
 from __future__ import annotations
 
 import glob
-import json
 import os
 import subprocess
 
@@ -38,12 +37,9 @@ def head_sha(root: str = REPO_ROOT) -> str:
 
 
 def load_green_hashes(root: str = REPO_ROOT) -> dict[str, str]:
-    """{key: fingerprint at the previous round's closing commit} from
-    scripts/green_hashes.json; {} when absent/unreadable."""
-    try:
-        with open(os.path.join(root, "scripts", "green_hashes.json")) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    hashes = data.get("hashes", data) if isinstance(data, dict) else {}
-    return {k: v for k, v in hashes.items() if isinstance(v, str)}
+    """{key: fingerprint at the previous round's closing commit} —
+    delegates to the one shared parser in the package (also used by
+    __spark_entry__), so the two consumers cannot desynchronize."""
+    from bangdatapipeline_spark.caches import load_green_hashes as _load
+
+    return _load(root)

@@ -65,6 +65,19 @@ OUT_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/bdp_sf1")
 COPIES = 10
 KEY_OFFSET = 10**8
 
+# Keys whose 0-row result at sf1 is documented scale-dependent SEMANTICS,
+# not a vacuous execution (BASELINE.md "sf1 scale smoke", docs/SCALE.md):
+# without this exemption a --ledger slice containing one of them (e.g.
+# after a rewrite puts it in the `rewritten` set) would append a
+# failed-forever entry no re-run could clean.
+SF1_ZERO_OK = {
+    "sql_api_q11": "TPC-H Q11 HAVING cut is a fixed FRACTION of total "
+                   "revenue; at 10x no part keeps a >0.06% share",
+    "dedup_near_jaccard": "bounded exact ground truth (doc_id < "
+                          "EXACT_BOUND); its synthetic near-dup pairs "
+                          "exist at the sf0.01 correctness scale only",
+}
+
 # per-table: columns that carry entity keys and must shift per copy
 _KEY_COLS = {
     "customer": ["c_custkey"],
@@ -185,7 +198,7 @@ def main() -> int:
             dt = time.perf_counter() - t0
             timings[key] = round(dt, 2)
             print(f"[{i + 1}/{len(keys)}] {key}: {n} rows ({dt:.1f}s)", file=sys.stderr)
-            if n == 0:
+            if n == 0 and key not in SF1_ZERO_OK:
                 failures[key] = "0 rows at sf1 (vacuous execution)"
         except Exception as exc:  # noqa: BLE001 — smoke: record and continue
             failures[key] = f"{type(exc).__name__}: {exc}"[:400]

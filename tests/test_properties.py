@@ -429,8 +429,9 @@ def test_ewma_partition_invariant_and_bounded(spark, sf_dir):
     a = sorted(map(tuple, base.collect()))
     shuffled = load_table(spark, sf_dir, "events").repartition(13, "event_type")
     import bangdatapipeline_spark.tables as T
+    from bangdatapipeline_spark.caches import session_key
 
-    key = (id(spark), sf_dir, "events")
+    key = (session_key(spark), sf_dir, "events")
     orig = T._df_cache.get(key)
     T._df_cache[key] = shuffled
     try:
@@ -880,10 +881,11 @@ def test_dsir_selection_stable_across_partitionings(spark, sf_dir):
     }
     # re-run the op over a repartitioned source by monkey-loading the table
     from bangdatapipeline_spark import tables
+    from bangdatapipeline_spark.caches import session_key
 
     d = load_table(spark, sf_dir, "documents").repartition(7, "lang")
 
-    key = (id(spark), sf_dir, "documents")
+    key = (session_key(spark), sf_dir, "documents")
     orig = tables._df_cache.get(key)
     tables._df_cache[key] = d
     try:
