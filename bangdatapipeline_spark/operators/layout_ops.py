@@ -632,6 +632,70 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_BINFILE_BOUND = 100  # files materialized for the connector round-trip
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle=f"""
+SELECT doc_id,
+       CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents WHERE doc_id < {_BINFILE_BOUND}
+""",
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` connector ingest — the entry point every multimodal
+    corpus passes through at 100 TB: raw files (images, audio, shards)
+    land on object storage and the first Spark job reads them as
+    (path, modificationTime, length, content) rows to shard into
+    parquet with typed metadata (operators/multimodal.py takes over
+    from there). This proves the connector end to end: a bounded set of
+    documents is materialized as one FILE per document (text sink,
+    one-row partitions), read back through ``binaryFile``, and each
+    file's byte length and content digest are hash-checked against the
+    ORIGINAL rows — byte-preserving ingestion is the connector's entire
+    contract. The text sink appends one trailing newline per row, so
+    the expected digest is md5(text || chr(10)) over exactly strlen+1
+    bytes; the check holds even for texts containing newlines because
+    each document is ALONE in its file.
+
+    Scale shape: binaryFile scans parallelize per file (and split never
+    — a file is one row), so ingest throughput is file-count x task
+    parallelism; spark.sql.files.maxPartitionBytes packs small files
+    per task. The demo bounds materialization to {_BINFILE_BOUND}
+    driver-side files; the read-back plan is the same at any corpus
+    size. Result pinned via localCheckpoint so the temp files are
+    removed before returning (source_orc_roundtrip contract).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = d.filter(F.col("doc_id") < _BINFILE_BOUND).select("doc_id", "text")
+    root = os.path.join(tempfile.gettempdir(), f"binf_{uuid.uuid4().hex[:8]}")
+    try:
+        sel.write.partitionBy("doc_id").text(root)
+        back = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "part-*")
+            .load(root)
+        )
+        out = back.select(
+            F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "layout_merge_on_read",
     oracle="""

@@ -375,6 +375,8 @@ BENCH_QUERIES: list[tuple[str, str]] = [
     ("customers_higher_moments", "agg_higher_moments"),
     ("doc_curriculum_order", "layout_curriculum_order"),
     ("doc_jsonl_roundtrip", "source_jsonl_roundtrip"),
+    # r9: binaryFile connector ingest (multimodal entry point)
+    ("doc_binaryfile_ingest", "source_binaryfile_ingest"),
     ("events_time_to_convert", "events_time_to_convert_hist"),
     ("orders_ship_delay_cdf", "ts_ship_delay_cdf"),
     ("doc_vocab_coverage", "text_vocab_coverage"),
