@@ -277,6 +277,16 @@ _DAMPING = 0.85
 _graph_cache: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
+def _node_label() -> "F.Column":
+    """Integer node id -> display label under _trade_contrib's encoding
+    (custkey*2 -> cN even, suppkey*2+1 -> sN odd). ONE definition — the
+    encoding and its decoding must change together (r9 review: two
+    verbatim copies had to be hand-synchronized)."""
+    return F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+
+
 def _trade_contrib(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -430,9 +440,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    label = F.when(
-        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
-    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    label = _node_label()
     return ranks.select(
         label.alias("node"), F.round(F.col("r") * 1e6, 4).alias("rank_ppm")
     )
@@ -480,7 +488,8 @@ def events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-decimal GRID POINT, never a boundary.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the lag window is spelled inside the SQL expr (timestampdiff needs
+    # expr form); no separate Window object so there is ONE spelling
     gaps = ev.select(
         "user_id",
         (
@@ -631,6 +640,57 @@ def _out_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _und_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node sorted UNDIRECTED neighbor-set arrays (u -> [v...]),
+    memoized per (session, sf_dir). graph_neighbor_minhash reads this
+    table from FOUR subtrees (two band-join sides, two verify
+    broadcasts); uncached, each evaluation re-ran the doubled-edge
+    groupBy/collect_set shuffle — the dominant cost of that operator,
+    paid ~4x per call before this memo (r9 review finding)."""
+    key = (session_key(spark), sf_dir, "und")
+    cached = _adj_cache.get(key)
+    if cached is None:
+        _oriented, _deg, edges = _oriented_copurchase(spark, sf_dir)
+        und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+            edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        )
+        cached = (
+            und.groupBy("u")
+            .agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
+            .cache()
+        )
+        _adj_cache[key] = cached
+    return cached
+
+
+def _triangle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per DAG triangle (u, v, w): each oriented edge (u, v)
+    closed by every w in N+(u) ∩ N+(v), memoized per (session, sf_dir).
+    Shared by ``graph_neighbor_jaccard`` and ``graph_adamic_adar`` —
+    before this memo each op built and cached its own copy of the
+    identical |triangles|-row relation (r9 review finding). The
+    adjacency joins are size-gated (broadcast under the gate, shuffled
+    sort-merge above it — the 100 TB path)."""
+    key = (session_key(spark), sf_dir, "tris")
+    cached = _adj_cache.get(key)
+    if cached is None:
+        oriented, _deg, _edges = _oriented_copurchase(spark, sf_dir)
+        adj = _out_adjacency(spark, sf_dir)
+        au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+        av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+        cached = (
+            oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(_size_gated_broadcast(au), "u")
+            .join(_size_gated_broadcast(av), "v")
+            .select(
+                "u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w")
+            )
+            .cache()
+        )
+        _adj_cache[key] = cached
+    return cached
+
+
 def _oriented_copurchase(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -644,17 +704,24 @@ def _oriented_copurchase(
         op = _order_part(spark, sf_dir)
         a = op.select("o", F.col("p").alias("pa"))
         b = op.select("o", F.col("p").alias("pb"))
+        # edges and deg are cached too (r9 review): they are returned to
+        # consumers that broadcast them (graph_neighbor_jaccard's da/db,
+        # graph_triangles' scalar counts) or re-derive adjacency from them
+        # (_und_adjacency) — uncached, each such subtree re-ran the o x o
+        # self-join + distinct shuffle per evaluation.
         edges = (
             a.join(b, "o")
             .filter(F.col("pa") < F.col("pb"))
             .select("pa", "pb")
             .distinct()
+            .cache()
         )
         deg = (
             edges.select(F.col("pa").alias("node"))
             .union(edges.select(F.col("pb").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("d"))
+            .cache()
         )
         da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
         db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
@@ -724,7 +791,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_size_gated_broadcast(au), "u")
         .join(_size_gated_broadcast(av), "v")
         .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("k"))
-        .agg(F.sum("k").alias("n_triangles"))
+        # coalesce: on a triangle-free graph every oriented edge's dst is
+        # a DAG sink, the av inner join drops ALL rows, and sum over zero
+        # rows is NULL — the oracle's join-based count(*) says 0.
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
     nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
@@ -995,9 +1065,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         dcur = degrees(cur)
-    label = F.when(
-        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
-    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    label = _node_label()
     dfinal = dcur.withColumnRenamed("deg", "deg_f")
     out = d1.join(dfinal.withColumnRenamed("node", "node_f"),
                   d1["node"] == F.col("node_f"), "left")
@@ -1078,19 +1146,11 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational -> IEEE floor-round to a 6-dp lattice BEFORE ranking
     (docs/dialect_notes.md).
     """
-    oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
-    adj = _out_adjacency(spark, sf_dir)
-    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    _oriented, deg, _edges = _oriented_copurchase(spark, sf_dir)
     # |triangles| rows of three longs, consumed by THREE unionAll legs —
-    # pinned so the adjacency joins + intersect explode run once, not 3x
-    tris = (
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(_size_gated_broadcast(au), "u")
-        .join(_size_gated_broadcast(av), "v")
-        .select("u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"))
-        .cache()
-    )
+    # the session memo pins it so the adjacency joins + intersect explode
+    # run once per session (shared with graph_adamic_adar), not 3x per call
+    tris = _triangle_rows(spark, sf_dir)
     e3 = (
         tris.select(F.least("u", "v").alias("pa"), F.greatest("u", "v").alias("pb"))
         .unionAll(
@@ -1249,7 +1309,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BFS_ROUNDS = 3
-_BFS_SEED_BELOW = 20  # seed set: customer nodes with custkey*2 < 20
+# Seed set: ALL nodes with id < 20 — customers c0..c9 (even ids) AND
+# suppliers s0..s9 (odd ids); no parity filter is applied (unlike
+# graph_walks_det's even-only anchors), and the oracle uses the same
+# bare id bound, so both engines seed the identical ~20-node set.
+_BFS_SEED_BELOW = 20
 
 
 def _bfs_oracle() -> str:
@@ -1793,11 +1857,10 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly comparable against the exact detector's top-{_NBR_TOP} —
     the recall-vs-cost dial of the banded scheme.
     """
-    _oriented, _deg, edges = _oriented_copurchase(spark, sf_dir)
-    und = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
-        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    )
-    nb = und.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
+    # session-memoized neighbor-set table: FOUR subtrees below read it
+    # (two band-join sides, two verify broadcasts) — uncached it was
+    # recomputed per subtree (r9 review, ~4x the dominant shuffle)
+    nb = _und_adjacency(spark, sf_dir)
     bands = nb.select(
         "u", F.posexplode(_nbr_band_buckets(F.col("nbrs"))).alias("b", "bkt")
     )
@@ -1844,11 +1907,15 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_b",
         (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
     )
+    # Distributed top-k (TakeOrderedAndProject), not a global partition-less
+    # row_number window over every scored candidate — same fix as the exact
+    # sibling graph_neighbor_jaccard: orderBy+limit reduces per-partition
+    # top-k's; the rank window then runs over just k rows.
+    top = scored.orderBy(
+        F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(_NBR_TOP)
     w = Window.orderBy(F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _NBR_TOP)
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -2208,19 +2275,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triangle count, not the wedge count — the hub discount comes
     free from the degree table the orientation already built.
     """
-    oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
-    adj = _out_adjacency(spark, sf_dir)
-    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    tris = (
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(_size_gated_broadcast(au), "u")
-        .join(_size_gated_broadcast(av), "v")
-        .select(
-            "u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w")
-        )
-        .cache()
-    )
+    _oriented, deg, _edges = _oriented_copurchase(spark, sf_dir)
+    # session-memoized (u, v, w) triangle rows — the same relation
+    # graph_neighbor_jaccard enumerates, built and cached ONCE per session
+    tris = _triangle_rows(spark, sf_dir)
     # credit each triangle to its three edges, weighted by the third node
     contrib = (
         tris.select(
