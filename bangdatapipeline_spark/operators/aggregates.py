@@ -486,8 +486,6 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = grid.join(hourly, ["user_id", "hr"], "left")
 
-    from pyspark.sql import Window
-
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("hr")
@@ -744,7 +742,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregate keeps planning ~5x cheaper and the shuffle key space
         per column unchanged.
     At 100 TB the exact LONG branch is the one to drop: the sketch
-    column (rsd={_PROFILE_RSD}) is the production cardinality answer per
+    column (rsd=_PROFILE_RSD, 0.05) is the production cardinality answer per
     the repo policy (exact distinct only on bounded domains), and the
     verdict column — estimate within 3 sigma of exact — is hash-checked
     here so the sketch stays honest. Min/max are rendered with C-style
@@ -1150,6 +1148,24 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITMAP_WORD = 64
 
 
+def _bitmap_words(ev) -> DataFrame:
+    """Per-(event_type, id-bucket) 64-bit bitmap words over user_id —
+    ONE builder for the three bitmap operators (r9 review: three
+    verbatim copies risked drifting). Bucket via integer ``div``, not
+    double division: ``(user_id / 64).cast('bigint')`` went through a
+    double whose 53-bit mantissa silently corrupts buckets for ids
+    above 2^53. Ids are assumed NON-NEGATIVE (a bit position must be a
+    valid shift; the oracles state the same ``user_id % 64``)."""
+    return ev.groupBy(
+        "event_type",
+        F.expr(f"user_id div {_BITMAP_WORD}").alias("bucket"),
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, cast(user_id % {_BITMAP_WORD} as int))")
+        ).alias("w")
+    )
+
+
 @register(
     "agg_bitmap_distinct",
     oracle=f"""
@@ -1185,17 +1201,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     roaring compression (RLE chunks) is the production refinement.
     """
     ev = load_table(spark, sf_dir, "events")
-    words = (
-        ev.groupBy(
-            "event_type",
-            (F.col("user_id") / _BITMAP_WORD).cast("bigint").alias("bucket"),
-        )
-        .agg(
-            F.bit_or(
-                F.expr(f"shiftleft(1L, cast(user_id % {_BITMAP_WORD} as int))")
-            ).alias("w")
-        )
-    )
+    words = _bitmap_words(ev)
     return words.groupBy("event_type").agg(
         F.count("*").alias("n_words"),
         F.sum(F.bit_count("w")).alias("n_users"),
@@ -1496,17 +1502,7 @@ def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_bitmap_distinct`).
     """
     ev = load_table(spark, sf_dir, "events")
-    words = (
-        ev.groupBy(
-            "event_type",
-            (F.col("user_id") / _BITMAP_WORD).cast("bigint").alias("bucket"),
-        )
-        .agg(
-            F.bit_or(
-                F.expr(f"shiftleft(1L, cast(user_id % {_BITMAP_WORD} as int))")
-            ).alias("w")
-        )
-    )
+    words = _bitmap_words(ev)
     counts = words.groupBy("event_type").agg(F.sum(F.bit_count("w")).alias("n"))
     a = words.select(
         F.col("event_type").alias("type_a"), "bucket", F.col("w").alias("wa")
@@ -1577,9 +1573,10 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked the same way as ``agg_approx_distinct``: the emitted
     numbers are the EXACT intersection/union (bitmap-word arithmetic,
     same kernel as ``audience_overlap_bitmap``), plus booleans asserting
-    the HLL estimates land within 10% (union) / 15% (I-E intersection,
-    which compounds three sketch errors) of exact — the oracle states
-    the exact values and TRUE. Estimator error is deterministic for a
+    the HLL estimates land within 10% (union) / max(15% relative,
+    5%-of-|A|+|B| absolute) for the I-E intersection, which compounds
+    three sketch errors and needs the absolute floor when the true
+    overlap is tiny — the oracle states the exact values and TRUE. Estimator error is deterministic for a
     given input set (sketch content is order-independent), so the
     booleans are stable across partitionings.
 
@@ -1591,20 +1588,17 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     production refinement when intersections are small.
     """
     ev = load_table(spark, sf_dir, "events")
+    words = _bitmap_words(ev)
+    # exact per-segment counts from the words table (a few hundred rows)
+    # instead of a second count_distinct Expand over raw events — the
+    # exact shuffle the bitmap path exists to avoid (r9 review)
     seg = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("n_exact"),
-    )
-    words = (
-        ev.groupBy(
-            "event_type",
-            (F.col("user_id") / _BITMAP_WORD).cast("bigint").alias("bucket"),
-        )
-        .agg(
-            F.bit_or(
-                F.expr(f"shiftleft(1L, cast(user_id % {_BITMAP_WORD} as int))")
-            ).alias("w")
-        )
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).join(
+        words.groupBy("event_type").agg(
+            F.sum(F.bit_count("w")).alias("n_exact")
+        ),
+        "event_type",
     )
     inter = (
         words.alias("a")
@@ -1638,9 +1632,17 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inter",
         n_union.alias("n_union"),
         (F.abs(est_union - n_union) <= 0.10 * n_union).alias("union_est_ok"),
-        (F.abs(est_inter - F.col("n_inter")) <= 0.15 * F.col("n_inter")).alias(
-            "inter_est_ok"
-        ),
+        # relative-OR-absolute band: a purely relative bound degenerates
+        # when the true intersection is tiny (at n_inter=0 it demands
+        # exact equality of three compounded sketch estimates); the
+        # absolute floor scales with the segment sizes whose sketch
+        # errors inclusion-exclusion actually compounds (r9 review)
+        (
+            F.abs(est_inter - F.col("n_inter"))
+            <= F.greatest(
+                0.15 * F.col("n_inter"), 0.05 * (F.col("na") + F.col("nb"))
+            )
+        ).alias("inter_est_ok"),
     )
 
 
@@ -1989,7 +1991,7 @@ def _cov_oracle() -> str:
     )
     return f"""
 WITH c AS (
-  SELECT CAST(l_quantity AS BIGINT)                      AS qty,
+  SELECT CAST(round(l_quantity) AS BIGINT)               AS qty,
          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
          CAST(round(l_discount * 100, 0) AS BIGINT)      AS disc_c,
          CAST(round(l_tax * 100, 0) AS BIGINT)           AS tax_c
@@ -2021,7 +2023,10 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     dec = "decimal(38,0)"
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("bigint").alias("qty"),
+        # round-then-cast (the file's lattice convention): a bare Spark
+        # cast TRUNCATES doubles while DuckDB's CAST rounds — divergent
+        # the moment quantity is not an exact integral double
+        F.round("l_quantity").cast("bigint").alias("qty"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_c"),
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_c"),
         F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax_c"),
@@ -2480,16 +2485,24 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(t³ − t) are all exact int64 on both engines; only the final
     z-score touches doubles (identical IEEE expression, rounded 6 dp).
     """
-    ev = load_table(spark, sf_dir, "events")
+    c = _click_view_cents_counts(load_table(spark, sf_dir, "events"))
+    return mann_whitney_from_counts(c)
+
+
+def _click_view_cents_counts(ev: DataFrame) -> DataFrame:
+    """The (cents, n_a, n_b) per-distinct-value count table shared by
+    agg_mann_whitney and agg_ks_test (one definition — r9 review: two
+    verbatim copies risked the lattice and the group split drifting
+    between the two tests and their streaming twins). group A = click,
+    group B = view; cents on the shared floor(x*100+0.5) lattice."""
     x = ev.where(F.col("event_type").isin("click", "view")).select(
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
     )
-    c = x.groupBy("cents").agg(
+    return x.groupBy("cents").agg(
         F.sum("is_a").cast("bigint").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
     )
-    return mann_whitney_from_counts(c)
 
 
 def mann_whitney_from_counts(c: DataFrame) -> DataFrame:
@@ -2580,15 +2593,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in the final two rounded projections. One hash aggregate, one
     bounded window, one reduction — any corpus size.
     """
-    ev = load_table(spark, sf_dir, "events")
-    x = ev.where(F.col("event_type").isin("click", "view")).select(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
-    )
-    c = x.groupBy("cents").agg(
-        F.sum("is_a").cast("bigint").alias("n_a"),
-        (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
-    )
+    c = _click_view_cents_counts(load_table(spark, sf_dir, "events"))
     return ks_from_counts(c)
 
 
