@@ -202,7 +202,8 @@ WITH toks AS (
 )
 SELECT doc_id, lang AS pred_lang, round(score, 6) AS score
 FROM scored
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY round(score, 6) DESC, lang ASC) = 1
 """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,11 +237,16 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+    # PRE-ROUNDED ranking key (the text_bm25 discipline, r9 review): the
+    # raw score is a shuffle-order-dependent float sum of logs, so the
+    # argmax must compare on the same 6-dp lattice both engines emit —
+    # a raw-float ORDER BY can flip pred_lang on near-tied languages.
+    scored = scored.withColumn("score", F.round("score", 6))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), F.round("score", 6).alias("score"))
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
     )
 
 
@@ -305,7 +311,8 @@ WITH toks AS (
     FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
 )
 SELECT doc_id, tok, tf, round(tfidf, 6) AS tfidf,
-       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rk
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY round(tfidf, 6) DESC, tok ASC) AS INT) AS rk
 FROM scored
 WHERE doc_id < 50
 QUALIFY rk <= 5
@@ -334,12 +341,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf_raw"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("tok").asc())
+    # PRE-ROUNDED ranking key (r9 review): equal-in-exact-math scores
+    # from different (tf, df) pairs — e.g. 2*ln(10) vs ln(100) — land a
+    # ulp apart in engine-specific directions; ranking on the emitted
+    # 6-dp lattice keeps the top-5 cut identical on both engines.
+    scored = scored.withColumn("tfidf", F.round("tfidf_raw", 6))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (
         scored.filter(F.col("doc_id") < 50)
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 5)
-        .select("doc_id", "tok", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+        .select("doc_id", "tok", "tf", "tfidf", "rk")
     )
 
 
@@ -958,23 +970,12 @@ LIMIT {_BM25_TOP}
 """
 
 
-@register("text_bm25", oracle=_BM25_ORACLE)
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval for a fixed term set ({_BM25_TERMS}): the
-    lexical relevance kernel (Robertson/Lucene form, k1={_BM25_K1},
-    b={_BM25_B}) — the sparse-retrieval half of a retrieval pipeline
-    whose dense half is the kNN family.
-
-    Plan: term postings (tf) come from one explode+filter+groupBy keyed
-    on (doc, term) — the IN-list prunes the token stream before the
-    shuffle; document lengths are a narrow projection joined back; the
-    3-row idf table and the 1-row corpus stats broadcast. Scores are
-    rounded to 6 dp BEFORE the top-k ordering (pre-rounded ranking keys
-    — ln/division ulp skew across engines must not flip ranks) with
-    doc_id as the unique tie-break; TakeOrderedAndProject handles the
-    global top-{_BM25_TOP}. At 100 TB the posting shuffle is bounded by
-    matches (query terms prune at the scan), the classic term-at-a-time
-    sharded-postings shape.
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
+    """Per-document BM25 score over the fixed _BM25_TERMS query, rounded
+    onto the 6-dp ranking lattice — ONE definition of the lexical kernel
+    (r9 review: text_bm25 and retrieval_rrf_hybrid restated the whole
+    dl/st/tf/dft/idf pipeline verbatim). Posting shuffle is bounded by
+    query-term matches; corpus stats and the 3-row idf table broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -996,13 +997,34 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    sc = (
+    return (
         tf.join(F.broadcast(dft), "t")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .agg(F.round(F.sum(term_score), 6).alias(alias))
     )
+
+
+@register("text_bm25", oracle=_BM25_ORACLE)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set ({_BM25_TERMS}): the
+    lexical relevance kernel (Robertson/Lucene form, k1={_BM25_K1},
+    b={_BM25_B}) — the sparse-retrieval half of a retrieval pipeline
+    whose dense half is the kNN family.
+
+    Plan: term postings (tf) come from one explode+filter+groupBy keyed
+    on (doc, term) — the IN-list prunes the token stream before the
+    shuffle; document lengths are a narrow projection joined back; the
+    3-row idf table and the 1-row corpus stats broadcast. Scores are
+    rounded to 6 dp BEFORE the top-k ordering (pre-rounded ranking keys
+    — ln/division ulp skew across engines must not flip ranks) with
+    doc_id as the unique tie-break; TakeOrderedAndProject handles the
+    global top-{_BM25_TOP}. At 100 TB the posting shuffle is bounded by
+    matches (query terms prune at the scan), the classic term-at-a-time
+    sharded-postings shape.
+    """
+    sc = _bm25_doc_scores(spark, sf_dir, "bm25")
     return sc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(_BM25_TOP)
 
 
@@ -1168,29 +1190,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bangdatapipeline_spark.operators.similarity import dot_double_vec
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
-    st = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
-    tf = (
-        d.select("doc_id", F.explode(toks).alias("t"))
-        .filter(F.col("t").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dft = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    term_score = idf * F.col("tf") * (_BM25_K1 + 1) / (
-        F.col("tf")
-        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    sparse = (
-        tf.join(F.broadcast(dft), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("s"))
-    )
+    sparse = _bm25_doc_scores(spark, sf_dir, "s")
     w_sp = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
     sparse_rank = sparse.select("doc_id", F.row_number().over(w_sp).alias("sparse_rank"))
 
@@ -1449,32 +1449,41 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.sum(F.col("c") - 1).alias("n_dup_docs"))
     )
-    n = base.agg(F.count(F.lit(1)).alias("n"))
-
-    def row(name, df, expr):
-        return df.agg(expr.alias("value")).select(
-            F.lit(name).alias("metric"), F.col("value").cast("double")
-        )
-
     share_en = (
         F.count(F.when(F.col("lang") == "en", 1)) * 1.0 / F.count(F.lit(1))
     )
-    return (
-        row("n_docs", base, F.count(F.lit(1)))
-        .unionAll(row("n_tokens", base, F.sum("n_toks")))
-        .unionAll(row("avg_doc_tokens", base, F.round(F.avg("n_toks"), 4)))
-        .unionAll(row("n_langs", base, F.countDistinct("lang")))
-        .unionAll(row("n_sources", base, F.countDistinct("source")))
-        .unionAll(row("share_en", base, F.floor(share_en * 10000 + 0.5) / 10000))
-        .unionAll(
-            dup_docs.crossJoin(F.broadcast(n)).select(
-                F.lit("exact_dup_rate").alias("metric"),
-                (
-                    F.floor(F.col("n_dup_docs") * 1.0 / F.col("n") * 10000 + 0.5)
-                    / 10000
-                ).cast("double").alias("value"),
-            )
-        )
+    # ONE aggregate produces all six scalar metrics (the earlier
+    # per-metric unionAll form ran ~7 independent aggregates — Spark
+    # does not share scans across union branches, so n_tokens and
+    # avg_doc_tokens each re-tokenized the corpus; r9 review); the
+    # digest-grouped dup count is the only second pass, then stack()
+    # unpivots the 1-row card into (metric, value) rows.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_toks").cast("double").alias("n_tokens"),
+        F.round(F.avg("n_toks"), 4).cast("double").alias("avg_doc_tokens"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        (F.floor(share_en * 10000 + 0.5) / 10000)
+        .cast("double")
+        .alias("share_en"),
+    )
+    card = stats.crossJoin(F.broadcast(dup_docs)).withColumn(
+        "exact_dup_rate",
+        (
+            F.floor(F.col("n_dup_docs") * 1.0 / F.col("n_docs") * 10000 + 0.5)
+            / 10000
+        ).cast("double"),
+    )
+    return card.selectExpr(
+        "stack(7,"
+        " 'n_docs', n_docs,"
+        " 'n_tokens', n_tokens,"
+        " 'avg_doc_tokens', avg_doc_tokens,"
+        " 'n_langs', n_langs,"
+        " 'n_sources', n_sources,"
+        " 'share_en', share_en,"
+        " 'exact_dup_rate', exact_dup_rate) AS (metric, value)"
     )
 
 
@@ -1978,6 +1987,16 @@ _POSTINGS_CAP = 20     # ids materialized per posting list
 # df band, relative to corpus size: terms in fewer than max(5, 1%) of
 # documents are noise, terms in more than 10% are head terms whose posting
 # lists are unselective (you'd store them as bitmaps, not id lists).
+# ONE spelling of the in-row bigram generator (r9 review: text_postings,
+# retrieval_boolean_index, and the streaming postings sink each restated
+# it verbatim; the stream-equals-batch invariant requires byte-identical
+# tokenization). Input column must be `toks` (split once, see callers).
+_BIGRAM_GEN_EXPR = (
+    "explode(array_distinct(CASE WHEN size(toks) >= 2 THEN"
+    " transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    " ELSE array() END)) AS term"
+)
 _POSTINGS_LO = "greatest(5, {n} // 100)"
 _POSTINGS_HI = "{n} // 10"
 
@@ -2043,13 +2062,7 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize ONCE below the generator (a bare split inside the transform
     # would be re-evaluated 4x per row: size, sequence bound, 2x element_at)
     toks = d.selectExpr("doc_id", "split(text, ' ') AS toks")
-    bg = toks.selectExpr(
-        "doc_id",
-        "explode(array_distinct(CASE WHEN size(toks) >= 2 THEN"
-        " transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-        " ELSE array() END)) AS term",
-    )
+    bg = toks.selectExpr("doc_id", _BIGRAM_GEN_EXPR)
     w = Window.partitionBy("term").orderBy("doc_id")
     p = bg.withColumn("rn", F.row_number().over(w))
     g = p.groupBy("term").agg(
@@ -2150,9 +2163,10 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nab"))
         .filter(F.col("nab") >= _PMI_MIN_N)
     )
-    bt_tot = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("nab")
-    ).agg(F.sum("nab").alias("bb"))
+    # total bigram mass = row count of bg — a partial-aggregated count
+    # with no wide key (the earlier groupBy-then-sum form re-ran the
+    # long-tailed (w1, w2) shuffle a second time for one scalar)
+    bt_tot = bg.agg(F.count(F.lit(1)).alias("bb"))
     a = uni.select(F.col("tok").alias("w1"), F.col("n").alias("na"))
     b = uni.select(F.col("tok").alias("w2"), F.col("n").alias("nb"))
     pmi = F.round(
@@ -2194,7 +2208,7 @@ td AS (
   SELECT term, count(*) AS df FROM td GROUP BY term
 ), banded AS (
   SELECT g.term, g.df FROM g CROSS JOIN nd
-  WHERE g.df BETWEEN greatest(5, nd.n // 100) AND nd.n // 10
+  WHERE g.df BETWEEN {_POSTINGS_LO.format(n='nd.n')} AND {_POSTINGS_HI.format(n='nd.n')}
 ), pick AS (
   SELECT term, df, row_number() OVER (ORDER BY term) AS rn
   FROM banded QUALIFY rn <= 2
@@ -2238,22 +2252,16 @@ def retrieval_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     nd = d.agg(F.count(F.lit(1)).alias("n"))
-    td = (
-        d.selectExpr("doc_id", "split(text, ' ') AS toks")
-        .selectExpr(
-            "doc_id",
-            "explode(array_distinct(CASE WHEN size(toks) >= 2 THEN"
-            " transform(sequence(1, size(toks) - 1),"
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-            " ELSE array() END)) AS term",
-        )
+    td = d.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
+        "doc_id", _BIGRAM_GEN_EXPR
     )
     g = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     banded = (
         g.crossJoin(F.broadcast(nd))
         .filter(
             F.col("df").between(
-                F.expr("greatest(5, n div 100)"), F.expr("n div 10")
+                F.expr(_POSTINGS_LO.format(n="n").replace("//", "div")),
+                F.expr(_POSTINGS_HI.format(n="n").replace("//", "div")),
             )
         )
         .select("term", "df")

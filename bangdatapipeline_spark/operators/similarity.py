@@ -691,8 +691,19 @@ def gemm_pairs_tiled(
     at tau = {tau} its pair recall is ~0.5 with the 8x6-bit tables, so
     the exact tile kernel is the form that hash-matches the n^2 oracle.
 
+    Boundary discipline (r9 review): the BLAS matmul reassociates the
+    sum, so a pair whose TRUE fold-order dot sits within accumulation
+    error of tau could cross the threshold differently than the
+    oracle's sequential fold. The tile therefore collects candidates at
+    ``tau - 1e-9`` (three orders of magnitude wider than the ~1e-12
+    reassociation error of 64-dim unit dots), re-scores each candidate
+    with an exact LEFT-TO-RIGHT fold (``np.add.accumulate`` — the same
+    association order as ``dot_double_vec`` and the DuckDB oracle), and
+    filters/emits on the fold value — so the returned sims and the
+    tau cut are bit-identical to the fold semantics at any boundary.
+
     Returns pairs ``(id_a, id_b[, attr_a, attr_b], sim)`` with
-    ``id_a < id_b`` and raw (unrounded) double sims.
+    ``id_a < id_b`` and raw (unrounded) fold-order double sims.
     """
     import numpy as np
     import pandas as pd
@@ -736,17 +747,22 @@ def gemm_pairs_tiled(
         amat = np.vstack(a["emb"].to_numpy()).astype(np.float64)
         bmat = np.vstack(b["emb"].to_numpy()).astype(np.float64)
         sims = amat @ bmat.T  # the GEMM — one BLAS call per tile
-        mask = sims >= tau
+        mask = sims >= tau - 1e-9  # candidates: see boundary discipline
         if ti == tj:
             # both sides are the same block: strict < dedupes + drops self
             mask &= ids_a[:, None] < ids_b[None, :]
         rows, cols_ = np.nonzero(mask)
+        # exact fold-order re-score of the (few) candidates: cumsum is
+        # sequential left-to-right, the oracle's association order
+        fold = np.add.accumulate(amat[rows] * bmat[cols_], axis=1)[:, -1] if len(rows) else np.empty(0)
+        keep = fold >= tau
+        rows, cols_, fold = rows[keep], cols_[keep], fold[keep]
         ia, ib = ids_a[rows], ids_b[cols_]
         swap = ia > ib  # cross tiles carry both orders; canonicalize
         out = {
             "id_a": np.where(swap, ib, ia),
             "id_b": np.where(swap, ia, ib),
-            "sim": sims[rows, cols_],
+            "sim": fold,
         }
         if has_attr:
             at_a = a["attr"].to_numpy()[rows]
@@ -812,10 +828,18 @@ def gemm_cross_tiled(
         amat = np.vstack(av["emb"].to_numpy()).astype(np.float64)
         bmat = np.vstack(bv["emb"].to_numpy()).astype(np.float64)
         sims = amat @ bmat.T
-        r, c = np.nonzero(sims >= tau)
-        return pd.DataFrame(
-            {"a_id": ids_a[r], "b_id": ids_b[c], "sim": sims[r, c]}
+        # same boundary discipline as gemm_pairs_tiled: collect at
+        # tau - 1e-9, re-score candidates with the exact left-to-right
+        # fold, cut and emit on the fold value
+        r, c = np.nonzero(sims >= tau - 1e-9)
+        fold = (
+            np.add.accumulate(amat[r] * bmat[c], axis=1)[:, -1]
+            if len(r)
+            else np.empty(0)
         )
+        keep = fold >= tau
+        r, c, fold = r[keep], c[keep], fold[keep]
+        return pd.DataFrame({"a_id": ids_a[r], "b_id": ids_b[c], "sim": fold})
 
     return tiles.groupBy("ia", "ib").applyInPandas(
         tile, "a_id long, b_id long, sim double"

@@ -432,7 +432,9 @@ def postings_index_sink(df: DataFrame, target: str | None = None):
     # The cap and df band are THE batch constants (llm_text.text_postings):
     # the stream-equals-batch monoid invariant only holds if both sides cut
     # posting lists at the identical rank, so never restate them here.
-    from bangdatapipeline_spark.operators.llm_text import _POSTINGS_CAP
+    from bangdatapipeline_spark.operators.llm_text import (
+        _BIGRAM_GEN_EXPR, _POSTINGS_CAP,
+    )
 
     target = target or os.path.join(
         tempfile.gettempdir(), f"postings_state_{uuid.uuid4().hex[:8]}"
@@ -441,13 +443,9 @@ def postings_index_sink(df: DataFrame, target: str | None = None):
 
     def delta_index(batch_df: DataFrame) -> DataFrame:
         toks = batch_df.selectExpr("doc_id", "split(text, ' ') AS toks")
-        bg = toks.selectExpr(
-            "doc_id",
-            "explode(array_distinct(CASE WHEN size(toks) >= 2 THEN"
-            " transform(sequence(1, size(toks) - 1),"
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-            " ELSE array() END)) AS term",
-        )
+        # the batch operator's generator expression, imported — the
+        # stream-equals-batch invariant requires byte-identical bigrams
+        bg = toks.selectExpr("doc_id", _BIGRAM_GEN_EXPR)
         per_term = bg.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"),
             F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTINGS_CAP).alias("ids"),
