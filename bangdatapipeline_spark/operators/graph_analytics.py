@@ -281,10 +281,13 @@ def _node_label() -> "F.Column":
     """Integer node id -> display label under _trade_contrib's encoding
     (custkey*2 -> cN even, suppkey*2+1 -> sN odd). ONE definition — the
     encoding and its decoding must change together (r9 review: two
-    verbatim copies had to be hand-synchronized)."""
+    verbatim copies had to be hand-synchronized). Decode with INTEGER
+    division (``div``), not ``/``: float division round-trips through a
+    53-bit double mantissa, so node ids above 2**53 would decode to the
+    wrong label (same hazard class as the _bitmap_words fix)."""
     return F.when(
-        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
-    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
 
 
 def _trade_contrib(

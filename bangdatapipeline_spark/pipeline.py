@@ -30,6 +30,32 @@ from bangdatapipeline_spark import sources
 from bangdatapipeline_spark.tables import load_table
 
 
+def _hash_steering(spark: SparkSession, n: int) -> dict[int, int]:
+    """For each partition id ``f`` in ``0..n-1``, find an int ``m`` with
+    ``pmod(hash(m), n) == f`` — i.e. a value that HashPartitioning routes
+    to exactly partition ``f``. Probing is done with Spark's own ``F.hash``
+    (Murmur3, seed 42 — the identical function HashPartitioning applies),
+    over int-typed candidates because Murmur3 of int and long differ.
+    The probe collect is ``O(n)`` rows (metadata, never data); each chunk
+    misses a given residue with probability ~e**-64, so one chunk all but
+    always suffices."""
+    found: dict[int, int] = {}
+    lo = 0
+    while len(found) < n:
+        rows = (
+            spark.range(lo, lo + 64 * n)
+            .select(
+                F.col("id").cast("int").alias("m"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+            )
+            .collect()
+        )
+        for r in rows:
+            found.setdefault(r["p"], r["m"])
+        lo += 64 * n
+    return found
+
+
 class Pipeline:
     """Session facade: ingestion + table access (the reference's
     ``BangDataPipeline`` object, minus the HTTP client — ingestion starts
@@ -313,17 +339,68 @@ class Frame:
         (e.g. ``(col % 256)``, day-index mod 256) — the caller owns the
         bucketization because only it knows each dimension's domain. The
         z column is dropped before writing; it exists only to order the
-        data. ``repartitionByRange`` does one skew-aware range shuffle
-        (sampled bounds), exactly the sort a clustered write needs anyway.
+        data.
+
+        The file cut points are DETERMINISTIC, not sampled:
+        ``repartitionByRange`` draws its range bounds from a reservoir
+        sample whose seed comes from RDD lineage ids, so the same write
+        in a different session history produces different (sometimes
+        looser) per-file z-spans. Instead this writer (1) computes the
+        EXACT equal-frequency z cut points from a full z histogram — one
+        map-side-combined groupBy over a lattice of at most 2**16 cells
+        (z is coarsened by a shift when ``2*bits > 16``), so the driver
+        collect is bounded by the lattice, never by the data — and
+        (2) routes each z-run to its own shuffle partition by hash
+        steering: for each file id ``f`` a small probe job finds an int
+        ``m`` with ``pmod(hash(m), n) == f`` (Spark's HashPartitioning
+        is ``pmod(murmur3(expr, seed=42), n)`` — the same function as
+        ``F.hash``), so ``repartition(n, steer)`` places bucket ``f`` in
+        partition ``f`` by construction. One deterministic hash shuffle
+        + per-partition sort — the same I/O as the sampled range shuffle,
+        with reproducible, exactly-balanced files. Cells holding more
+        than one quantile collapse (fewer, still-tight files).
         """
         from bangdatapipeline_spark.operators.curation import morton2
 
+        spark = self.df.sparkSession
         z = morton2(x.cast("long"), y.cast("long"), bits)
+        coded = self.df.withColumn("__z", z)
+
+        # Exact equal-frequency cut points on the (coarsened) z lattice.
+        shift = max(0, 2 * bits - 16)
+        cell = F.shiftright(F.col("__z"), shift)
+        hist = sorted(
+            (r["cell"], r["n"])
+            for r in coded.groupBy(cell.alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by the z lattice (<= 65536 rows), not data
+        )
+        total = sum(n for _, n in hist)
+        bounds: list[int] = []  # bounds[i] = last z-cell of file i
+        cum, nxt = 0, 1
+        for c, n in hist:
+            cum += n
+            while nxt < n_files and cum * n_files >= nxt * total:
+                bounds.append(c)
+                nxt += 1
+        bounds = sorted(set(bounds))
+        if bounds and bounds[-1] == hist[-1][0]:
+            bounds.pop()  # max cell closes the last file anyway
+        n_buckets = len(bounds) + 1
+
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.when(cell > F.lit(b), 1).otherwise(0)
+        steer_of = _hash_steering(spark, n_buckets)
+        steer = F.element_at(
+            F.array(*[F.lit(steer_of[i]) for i in range(n_buckets)]),
+            bucket.cast("int") + F.lit(1),
+        )
         (
-            self.df.withColumn("__z", z)
-            .repartitionByRange(n_files, F.col("__z"))
+            coded.withColumn("__file", steer)
+            .repartition(n_buckets, F.col("__file"))
             .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop("__z", "__file")
             .write.mode(mode)
             .parquet(path)
         )

@@ -95,6 +95,13 @@ def _record_evidence(sf_dir, failed, summary):
     was evidenced at each round's HEAD. Only the driver-faithful sf0.01
     sweep writes it: a fast sf0.001 pass is a weaker gate.
 
+    The artifact is written EVEN WHEN THE SWEEP FAILS — an honest red
+    record beats no record — and is overwritten by the next clean run.
+    tests/test_entry_rotation.py::test_sweep_artifact_contract therefore
+    requires only the LATEST round's artifact to be clean (the
+    SCALE_LEDGER latest-entry rule): a red sweep turns the suite red
+    until a clean re-run at round close, intentionally.
+
     Deliberately does NOT touch ``scripts/green_hashes.json``: that file
     records each key's fingerprint AS OF THE DRIVER'S LAST GREEN
     EVIDENCE (the previous round's closing commit), so the driver's next

@@ -24,9 +24,14 @@ but deliberately leaves this file alone.
 Implementation: checks the target commit out into a temporary git
 worktree and computes the hashes in a SUBPROCESS rooted there, so the
 fingerprints reflect that commit's source even when the current tree
-has diverged. The hash formula is inlined in the subprocess snippet
-(old commits may predate ``registry.query_hash``); keep it in sync —
-the contract test compares it against the live function.
+has diverged. The subprocess loads the CURRENT tree's
+``registry.query_hash`` (via importlib, under a private module name)
+and applies it to the worktree's registry — so the fingerprints are
+"the evidence commit's source under today's formula". That keeps a
+formula change (like r10's helper-transitive widening) from spuriously
+demoting every key: only keys whose SOURCE actually changed since the
+evidence commit differ. tests/test_entry_rotation.py pins the
+snippet-vs-live parity by running this snippet against HEAD.
 """
 
 from __future__ import annotations
@@ -39,18 +44,17 @@ import tempfile
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Must equal registry.query_hash (tests/test_entry_rotation.py pins this).
+# Applies the LIVE registry.query_hash to the worktree's registered
+# queries (tests/test_entry_rotation.py pins this parity).
 _SNIPPET = """
-import hashlib, inspect, json, sys
+import importlib.util, json, sys
 sys.path.insert(0, {root!r})
+spec = importlib.util.spec_from_file_location("_cur_registry", {cur_registry!r})
+cur = importlib.util.module_from_spec(spec)
+sys.modules[spec.name] = cur  # dataclass resolves cls.__module__ here
+spec.loader.exec_module(cur)
 from bangdatapipeline_spark.registry import load_all
-out = {{}}
-for key, q in load_all().items():
-    try:
-        src = inspect.getsource(q.fn)
-    except (OSError, TypeError):
-        src = repr(q.fn)
-    out[key] = hashlib.md5((src + (q.oracle or "")).encode()).hexdigest()
+out = {{k: cur.query_hash(q) for k, q in load_all().items()}}
 print(json.dumps(out))
 """
 
@@ -68,8 +72,15 @@ def main() -> int:
             check=True, capture_output=True,
         )
         try:
+            cur_registry = os.path.join(
+                _ROOT, "bangdatapipeline_spark", "registry.py"
+            )
             proc = subprocess.run(
-                [sys.executable, "-c", _SNIPPET.format(root=wt)],
+                [
+                    sys.executable,
+                    "-c",
+                    _SNIPPET.format(root=wt, cur_registry=cur_registry),
+                ],
                 capture_output=True, text=True, timeout=300,
             )
             if proc.returncode != 0:

@@ -120,7 +120,15 @@ def test_checkpoint_blocks_are_gc_reclaimed(spark):
     base = n_rdds()
     for _ in range(4):
         fn(spark, SF_DIR).count()
-    gc.collect()
-    spark._jvm.System.gc()
-    time.sleep(3)
+    # ContextCleaner reclamation is asynchronous: poll with a bounded
+    # retry (ADVICE r9) instead of one fixed sleep — a loaded host may
+    # need more than 3 s, and re-forcing GC each probe re-queues any
+    # references the first pass missed.
+    deadline = time.monotonic() + 30
+    while True:
+        gc.collect()
+        spark._jvm.System.gc()
+        if n_rdds() - base < 4 or time.monotonic() > deadline:
+            break
+        time.sleep(1)
     assert n_rdds() - base < 4, (base, n_rdds())

@@ -46,21 +46,64 @@ def test_source_change_outranks_every_stale_green(monkeypatch):
     assert ordered[0] == keys[0]
 
 
-def test_refresh_script_formula_matches_query_hash():
-    """scripts/refresh_green_hashes.py inlines the fingerprint formula
-    (old commits predate registry.query_hash); it must stay identical to
-    the live function or recorded hashes would ALL spuriously differ and
-    the whole window would demote to tier 0."""
-    import hashlib
+def test_refresh_script_applies_live_formula():
+    """scripts/refresh_green_hashes.py must produce the LIVE
+    registry.query_hash for the commit it stamps — otherwise recorded
+    hashes would ALL spuriously differ and the whole window would demote
+    to tier 0. Pinned by running its actual subprocess snippet against
+    the current tree and comparing a sample of keys."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script_path = os.path.join(root, "scripts", "refresh_green_hashes.py")
+    snippet_ns = {"__name__": "refresh_green_hashes", "__file__": script_path}
+    with open(script_path) as f:
+        exec(compile(f.read(), "refresh_green_hashes.py", "exec"), snippet_ns)
+    cur_registry = os.path.join(root, "bangdatapipeline_spark", "registry.py")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            snippet_ns["_SNIPPET"].format(root=root, cur_registry=cur_registry),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    snippet_hashes = json.loads(proc.stdout.strip().splitlines()[-1])
+    registry = load_all()
+    assert set(snippet_hashes) == set(registry)
+    for key in list(registry)[:5]:
+        assert snippet_hashes[key] == query_hash(registry[key]), key
+
+
+def test_query_hash_covers_transitive_helpers_and_constants():
+    """The r10 fingerprint widening: a registered query's evidence hash
+    must move when a shared in-package helper it calls (or a module
+    constant it reads) changes — the r9 blind spot where kernels moved
+    into helpers froze their consumers' fingerprints."""
     import inspect
 
+    from bangdatapipeline_spark.operators.curation import morton2
+    from bangdatapipeline_spark.registry import fingerprint_material
+
     registry = load_all()
-    for key in list(registry)[:5]:
-        q = registry[key]
-        inlined = hashlib.md5(
-            (inspect.getsource(q.fn) + (q.oracle or "")).encode()
-        ).hexdigest()
-        assert inlined == query_hash(q), key
+    mat = fingerprint_material(registry["layout_zorder"])
+    # transitively-called helper source is inside the digest material
+    assert inspect.getsource(morton2) in mat
+    # def-time-bound default values (bits=_Z_BITS stores 8) ride in by value
+    assert "default=8" in mat
+    # graph family: shared helpers + module constants finger their consumers
+    from bangdatapipeline_spark.operators import graph_analytics as ga
+
+    pr = fingerprint_material(registry["graph_pagerank"])
+    assert inspect.getsource(ga._trade_contrib) in pr
+    assert inspect.getsource(ga._node_label) in pr
+    assert "_PAGERANK_ITERS=3" in pr
 
 
 def test_green_hashes_recorded_at_a_real_commit():
@@ -81,20 +124,34 @@ def test_green_hashes_recorded_at_a_real_commit():
 
 
 def test_sweep_artifact_contract():
-    """Every SWEEP_r{N}.json the sweep harness writes must show a clean
-    full sweep: required fields present, zero failures, smoke ok."""
+    """SWEEP_r{N}.json artifacts must carry the required fields, and the
+    LATEST one (highest round) must show a clean full sweep — zero
+    failures, smoke ok. Older artifacts keep their honest counts: the
+    writer records failures too (ADVICE r9), and a red sweep is fixed by
+    re-running clean before round close, not by rewriting history — the
+    same latest-entry rule SCALE_LEDGER uses."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in glob.glob(os.path.join(root, "SWEEP_r*.json")):
+    paths = sorted(
+        glob.glob(os.path.join(root, "SWEEP_r*.json")),
+        key=lambda p: int(re.search(r"SWEEP_r(\d+)", p).group(1)),
+    )
+    assert paths, "no sweep artifacts"
+    for path in paths:
         with open(path) as f:
             s = json.load(f)
-        assert s["fail"] == 0 and s["failed"] == [], path
-        assert s["smoke_ok"] is True, path
-        assert s["pass"] > 300, path
         assert s["head_sha"], path
+        assert {"pass", "fail", "failed", "smoke_ok"} <= set(s), path
+    latest = paths[-1]
+    with open(latest) as f:
+        s = json.load(f)
+    assert s["fail"] == 0 and s["failed"] == [], latest
+    assert s["smoke_ok"] is True, latest
+    assert s["pass"] > 300, latest
 
 
 def test_tier3_rotates_by_evidence_age(monkeypatch):

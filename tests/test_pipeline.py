@@ -233,7 +233,18 @@ def test_value_counts_melt_describe_verbs(spark, sf_dir):
 def test_zorder_write_tightens_per_file_stats(spark, sf_dir, tmp_path):
     """Files written by to_parquet_zorder must carry tight per-file
     bounding boxes on BOTH clustered dimensions (that is the entire point
-    of the layout: either-column predicates prune most files)."""
+    of the layout: either-column predicates prune most files).
+
+    Threshold rationale: the writer's cut points are EXACT equal-frequency
+    z boundaries (full z histogram, not repartitionByRange's
+    session-seeded reservoir sample — the r9 flake), so 8 files each hold
+    a contiguous 1/8 z-run. A contiguous 1/8 slice of a 2^16 z curve
+    spans at most 2 aligned z-quads of 8192 codes; each 8192-code quad is
+    a 128x64 x/y rectangle, so the worst-case per-file bbox is
+    ~2*(128*64) = 16384 = 65536/4, with typical files far tighter. The
+    assert is the worst-case bound of the deterministic layout, not a
+    statistical hope — which is also why the layout must be deterministic
+    for this bound to be testable at all."""
     out = str(tmp_path / "zorders")
     p = Pipeline(spark, sf_dir)
     f = p.table("orders")
@@ -260,10 +271,25 @@ def test_zorder_write_tightens_per_file_stats(spark, sf_dir, tmp_path):
         )
         .collect()
     )
-    assert len(per_file) >= 4  # range partitioner actually split the data
+    assert len(per_file) >= 4  # the exact cut points actually split the data
     mean_bbox = sum(r.bbox for r in per_file) / len(per_file)
-    # whole domain is 256*256 = 65536; z-clustered files must be much tighter
+    # whole domain is 256*256 = 65536; see docstring for the 1/4 bound
     assert mean_bbox < 65536 / 4, [r.bbox for r in per_file]
+
+    # Determinism: a second write of the same data must produce the exact
+    # same per-file z-runs (the r9 flake was sampled, session-dependent
+    # cut points — this pins the fix).
+    out2 = str(tmp_path / "zorders2")
+    f.to_parquet_zorder(out2, x, y, n_files=8)
+    def _sizes(path):
+        return sorted(
+            r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    assert _sizes(out) == _sizes(out2)
 
 
 def test_bloom_semi_verb_no_false_negatives(spark, sf_dir):
