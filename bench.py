@@ -519,8 +519,10 @@ BENCH_EXEMPT: dict[str, str] = {
 RUNS = 3
 SENTINEL_RUNS = 3
 # Main-sweep noise_ratio above this triggers one headline re-time pass
-# (r6 driver capture: 2.56; quiet-host runs sit at 1.0-1.3).
-RETRY_NOISE_THRESHOLD = 1.8
+# (r6 driver capture: 2.56; quiet-host runs sit at 1.0-1.3; r9 published
+# a 1.581-noise pass untried under the old 1.8 bar — VERDICT r9 task 5
+# lowered it to 1.5 so any ratio above the quiet band retries).
+RETRY_NOISE_THRESHOLD = 1.5
 # cold_sec > this multiple of max(steady median, floor) triggers one
 # re-materialization at sweep end (cold_recheck) to separate transient
 # host spikes from intrinsically expensive cold paths.

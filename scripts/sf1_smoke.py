@@ -162,13 +162,55 @@ def _ledger_keys(registry) -> list[str]:
     return sorted(set(slowest) | set(newest) | set(rewritten))
 
 
+_BUDGETS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "sf1_budgets.json"
+)
+_DEFAULT_BUDGET_SEC = 30.0
+_DRIFT_RATIO = 1.5
+
+
+def _budget_check(timings: dict[str, float]) -> dict[str, list[float]]:
+    """Per-key sf1 runtime budgets (VERDICT r9 task 4): each ledger key
+    has a budget in scripts/sf1_budgets.json; a key exceeding
+    _DRIFT_RATIO x its budget is an ALERT (recorded in the ledger entry
+    as ``over_budget``, which the contract test requires empty in the
+    latest entry) — one more triangle-heavy addition can no longer
+    double the round-loop cost silently. Keys not yet budgeted get
+    self-seeded at 1.2x their first observed time (floor 5 s) so new
+    heavy keys alert from their second run; existing budgets only change
+    by hand, with the rationale in the commit that changes them."""
+    try:
+        with open(_BUDGETS_PATH) as f:
+            budgets = json.load(f)
+    except (OSError, ValueError):
+        budgets = {}
+    over = {
+        k: [t, budgets.get(k, _DEFAULT_BUDGET_SEC)]
+        for k, t in timings.items()
+        if t > _DRIFT_RATIO * budgets.get(k, _DEFAULT_BUDGET_SEC)
+    }
+    for k, t in over.items():
+        print(f"OVER BUDGET {k}: {t[0]}s > {_DRIFT_RATIO}x{t[1]}s", file=sys.stderr)
+    new = {k: max(5.0, round(1.2 * t, 1)) for k, t in timings.items() if k not in budgets}
+    if new:
+        with open(_BUDGETS_PATH, "w") as f:
+            json.dump(dict(sorted({**budgets, **new}.items())), f, indent=1)
+    return over
+
+
 def _append_ledger(summary: dict) -> None:
     from _evidence import REPO_ROOT, current_round, head_sha
 
     entry = {
         "round": current_round(),
         "head_sha": head_sha(),
-        **{k: summary[k] for k in ("keys", "failed", "slowest_sec", "total_sec")},
+        **{
+            k: summary[k]
+            for k in (
+                "keys", "failed", "slowest_sec", "total_sec",
+                "timings", "over_budget",
+            )
+        },
     }
     with open(os.path.join(REPO_ROOT, "SCALE_LEDGER.jsonl"), "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -191,7 +233,20 @@ def main() -> int:
     keys = [k for k in sorted(registry) if only is None or k in only]
     if ledger and only is None:
         keys = _ledger_keys(registry)
+    # Cache hygiene (VERDICT r9 task 4): pressure-triggered release with
+    # a fixed-stride backstop — the same discipline driver_sim uses —
+    # instead of a bare clearCache() after EVERY key. clearCache alone
+    # left the engine's memo dicts pointing at now-uncached plans, so
+    # each graph-family key re-enumerated the shared triangle relation
+    # from scratch (graph_adamic_adar evaluates it 3x via unionAll:
+    # 62-77 s/key dominated the ledger budget). Sorted key order keeps
+    # the graph_* family consecutive, so the memos amortize across it;
+    # release_if_pressured still bounds heap between families.
+    from bangdatapipeline_spark import caches
+
     for i, key in enumerate(keys):
+        if not caches.release_if_pressured(spark) and i and i % caches.RELEASE_EVERY == 0:
+            caches.release(spark)
         t0 = time.perf_counter()
         try:
             n = registry[key].fn(spark, OUT_DIR).count()
@@ -203,8 +258,6 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — smoke: record and continue
             failures[key] = f"{type(exc).__name__}: {exc}"[:400]
             print(json.dumps({"key": key, "error": failures[key]}))
-        finally:
-            spark.catalog.clearCache()
     summary = {
         "metric": "sf1_smoke",
         "keys": len(keys),
@@ -215,6 +268,8 @@ def main() -> int:
             for k in sorted(timings, key=timings.get, reverse=True)[:10]
         },
         "total_sec": round(sum(timings.values()), 1),
+        "timings": dict(sorted(timings.items())),
+        "over_budget": _budget_check(timings),
         "out_dir": OUT_DIR,
     }
     print(json.dumps(summary))

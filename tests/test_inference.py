@@ -118,6 +118,25 @@ def test_replicate_hash_decorrelates_resamples():
     # (lag-1 autocorrelation ~ 1). Pin |ac1| small on a synthetic value
     # column (a fixed multiplicative scramble of the key, so value order
     # is unrelated to lattice order).
+    # VERDICT r9 task 6 — the DIRECT property: the weight VECTORS of
+    # consecutive replicates must be (near-)uncorrelated, not merely
+    # different. Under any affine-in-r mix w_{r+1} is a near-shift of
+    # w_r (vector corr ~ 1); independent Poisson(1) draws give corr
+    # O(1/sqrt(n)) ~ 0.014 at n=5000. A width-band test could mask a
+    # regression behind noise; a 0.1 corr bound cannot.
+    def corr(a: list[int], b: list[int]) -> float:
+        n = len(a)
+        ma, mb = sum(a) / n, sum(b) / n
+        va = sum((x - ma) ** 2 for x in a)
+        vb = sum((x - mb) ** 2 for x in b)
+        cov = sum((x - ma) * (y - mb) for x, y in zip(a, b))
+        return cov / (va * vb) ** 0.5
+
+    for r in range(1, 21):
+        w_r = [weight(k, r) for k in keys]
+        w_next = [weight(k, r + 1) for k in keys]
+        assert abs(corr(w_r, w_next)) < 0.1, r
+
     vals = [(k * 2654435761) % 1000 for k in keys]
     means = []
     for r in range(1, 201):

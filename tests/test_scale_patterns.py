@@ -130,4 +130,13 @@ def test_scale_ledger_entries_are_clean():
     for e in lines:
         assert e["round"] >= 9 and len(e["head_sha"]) == 40, e
         assert e["keys"] >= 20, e
-    assert lines[-1]["failed"] == [], lines[-1]
+    last = lines[-1]
+    assert last["failed"] == [], last
+    if last["round"] >= 10:
+        # VERDICT r9 task 4: per-key budgets recorded, no >1.5x drift,
+        # and the in-round ledger loop stays bounded (~200 s, slack for
+        # slice growth) — a triangle-heavy addition can't silently
+        # double the round cost anymore.
+        assert last["over_budget"] == {}, last["over_budget"]
+        assert last["timings"], last
+        assert last["total_sec"] <= 250, last["total_sec"]
