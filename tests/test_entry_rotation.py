@@ -208,3 +208,74 @@ def test_real_history_window_refreshes_oldest_evidence():
         oldest = min(green[k] for k in tier3)
         assert any(green[k] == oldest for k in head)
     assert set(ordered) == set(registry)
+
+
+def test_evidence_age_bounded():
+    """VERDICT r9 task 3: every registry key must have green
+    rows+schema+hash evidence — driver CORRECTNESS window or a recorded
+    EVIDENCE_LEDGER local run (scripts/evidence_ledger.py, the same
+    compare_query gate at sf0.01) — within 4 rounds of the NEWEST
+    evidence round on record. The driver's ~50-key window cannot cover
+    344 keys (pigeonhole age ~7 rounds), so the per-round burn-down run
+    is what keeps this bound; if it slips a round, this test goes red at
+    the next round's close. The latest recorded run must also be clean
+    (same latest-entry rule as SWEEP / SCALE_LEDGER)."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = os.path.join(root, "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    import evidence_ledger as ev
+
+    latest = ev.evidence_rounds()
+    assert latest, "no evidence artifacts found"
+    newest = max(latest.values())
+    registry = load_all()
+    stale = sorted(
+        (k for k in registry if latest.get(k, -999) < newest - 4),
+        key=lambda k: latest.get(k, -999),
+    )
+    assert stale == [], f"evidence older than {newest - 4}: {stale[:20]}..."
+    entries = ev.load_ledger()
+    if entries:
+        assert entries[-1]["failed"] == [], entries[-1]["failed"]
+
+
+def test_sweep_is_fresh_at_current_tree():
+    """VERDICT r9 task 2 — atomic round close. The latest SWEEP_r{N}.json
+    must certify the operator source that is actually checked out: if
+    any path under bangdatapipeline_spark/ or __spark_entry__.py differs
+    (committed OR uncommitted) from the sweep's head_sha, the sweep is
+    stale and must be re-run before the round closes. This is exactly
+    the r9 hole: SWEEP_r09 certified c2c9073 while two later commits
+    changed four operator files. scripts/check.sh runs the sweep BEFORE
+    pytest so a round-close check.sh pass implies this gate."""
+    import glob
+    import json
+    import os
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(
+        glob.glob(os.path.join(root, "SWEEP_r*.json")),
+        key=lambda p: int(re.search(r"SWEEP_r(\d+)", p).group(1)),
+    )
+    assert paths, "no sweep artifacts"
+    with open(paths[-1]) as f:
+        sha = json.load(f)["head_sha"]
+    if sha == "unknown":
+        return  # no git at sweep time; nothing to compare against
+    proc = subprocess.run(
+        ["git", "-C", root, "diff", "--quiet", sha, "--",
+         "bangdatapipeline_spark", "__spark_entry__.py"],
+        capture_output=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0, (
+        f"operator source diverged from {sha[:12]} (latest sweep stamp): "
+        "re-run `python scripts/driver_sim.py` at the current tree "
+        "before closing the round"
+    )
