@@ -36,9 +36,11 @@ def _hash_steering(spark: SparkSession, n: int) -> dict[int, int]:
     to exactly partition ``f``. Probing is done with Spark's own ``F.hash``
     (Murmur3, seed 42 — the identical function HashPartitioning applies),
     over int-typed candidates because Murmur3 of int and long differ.
-    The probe collect is ``O(n)`` rows (metadata, never data); each chunk
-    misses a given residue with probability ~e**-64, so one chunk all but
-    always suffices."""
+    The per-residue min is taken JVM-side (groupBy.min), so the collect
+    is at most ``n`` rows per chunk (metadata, never data — holds even
+    at the ~100k files of a 100 TB write); each chunk misses a given
+    residue with probability ~e**-64, so one chunk all but always
+    suffices."""
     found: dict[int, int] = {}
     lo = 0
     while len(found) < n:
@@ -48,6 +50,8 @@ def _hash_steering(spark: SparkSession, n: int) -> dict[int, int]:
                 F.col("id").cast("int").alias("m"),
                 F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
             )
+            .groupBy("p")
+            .agg(F.min("m").alias("m"))
             .collect()
         )
         for r in rows:
@@ -359,6 +363,14 @@ class Frame:
         + per-partition sort — the same I/O as the sampled range shuffle,
         with reproducible, exactly-balanced files. Cells holding more
         than one quantile collapse (fewer, still-tight files).
+
+        Scale: every driver-side structure is bounded by the z LATTICE
+        (<= 2**16 cells) or by ``n_files`` — never by the data. Rows
+        meet the cut points through one broadcast hash join against the
+        (cell -> steer) mapping table, O(1) per row regardless of
+        ``n_files`` (a per-row WHEN-chain over the bounds would be
+        O(n_files) per row — wrong at the ~100k files a 100 TB write
+        produces).
         """
         from bangdatapipeline_spark.operators.curation import morton2
 
@@ -388,19 +400,20 @@ class Frame:
             bounds.pop()  # max cell closes the last file anyway
         n_buckets = len(bounds) + 1
 
-        bucket = F.lit(0)
-        for b in bounds:
-            bucket = bucket + F.when(cell > F.lit(b), 1).otherwise(0)
+        # (cell -> hash-steer value) mapping, broadcast-joined onto rows.
         steer_of = _hash_steering(spark, n_buckets)
-        steer = F.element_at(
-            F.array(*[F.lit(steer_of[i]) for i in range(n_buckets)]),
-            bucket.cast("int") + F.lit(1),
-        )
+        mapping, b_idx = [], 0
+        for c, _n in hist:
+            while b_idx < len(bounds) and c > bounds[b_idx]:
+                b_idx += 1
+            mapping.append((c, steer_of[b_idx]))
+        map_df = spark.createDataFrame(mapping, "__cell long, __steer int")
         (
-            coded.withColumn("__file", steer)
-            .repartition(n_buckets, F.col("__file"))
+            coded.withColumn("__cell", cell.cast("long"))
+            .join(F.broadcast(map_df), "__cell")
+            .repartition(n_buckets, F.col("__steer"))
             .sortWithinPartitions("__z")
-            .drop("__z", "__file")
+            .drop("__z", "__cell", "__steer")
             .write.mode(mode)
             .parquet(path)
         )
