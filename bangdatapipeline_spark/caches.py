@@ -137,3 +137,12 @@ def release_if_pressured(
     release(spark)
     spark._jvm.System.gc()  # type: ignore[union-attr]
     return True
+
+
+def maybe_release(spark: SparkSession, i: int) -> None:
+    """The per-query hygiene policy for registry sweep loops, in ONE
+    place (r10 review: the identical two-line stanza had been copy-pasted
+    into three runners): pressure-triggered release first, with the
+    fixed ``RELEASE_EVERY`` stride as a deterministic backstop."""
+    if not release_if_pressured(spark) and i and i % RELEASE_EVERY == 0:
+        release(spark)

@@ -379,8 +379,11 @@ class Frame:
         coded = self.df.withColumn("__z", z)
 
         # Exact equal-frequency cut points on the (coarsened) z lattice.
+        # NULL x/y make __z NULL: coalesce those rows onto sentinel cell
+        # -1 so they (a) survive the mapping join, (b) cluster together
+        # in the first file (parquet min/max stats ignore nulls anyway).
         shift = max(0, 2 * bits - 16)
-        cell = F.shiftright(F.col("__z"), shift)
+        cell = F.coalesce(F.shiftright(F.col("__z"), shift), F.lit(-1))
         hist = sorted(
             (r["cell"], r["n"])
             for r in coded.groupBy(cell.alias("cell"))
@@ -408,9 +411,17 @@ class Frame:
                 b_idx += 1
             mapping.append((c, steer_of[b_idx]))
         map_df = spark.createDataFrame(mapping, "__cell long, __steer int")
+        # LEFT join + fallback steer: `coded` is evaluated twice (the
+        # histogram job, then the write job) without a checkpoint; if the
+        # source is nondeterministic or changes between the jobs, a cell
+        # unseen by the histogram must still be WRITTEN (into file 0,
+        # slightly widening its bbox) — an inner join would silently drop
+        # those rows from a writer.
+        fallback = steer_of[0]
         (
             coded.withColumn("__cell", cell.cast("long"))
-            .join(F.broadcast(map_df), "__cell")
+            .join(F.broadcast(map_df), "__cell", "left")
+            .withColumn("__steer", F.coalesce("__steer", F.lit(fallback)))
             .repartition(n_buckets, F.col("__steer"))
             .sortWithinPartitions("__z")
             .drop("__z", "__cell", "__steer")

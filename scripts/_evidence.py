@@ -36,6 +36,30 @@ def head_sha(root: str = REPO_ROOT) -> str:
         return "unknown"
 
 
+def source_tree_hash(root: str = REPO_ROOT) -> str:
+    """md5 over the operator-source CONTENT a sweep certifies —
+    ``bangdatapipeline_spark/**/*.py`` + ``__spark_entry__.py`` (sorted
+    relpaths + bytes). Content-addressed, unlike ``head_sha``: a sweep
+    run on a dirty-but-final tree stays valid after the commit that
+    lands the identical content, so the freshness gate doesn't force an
+    artifact-only follow-up commit after every operator change."""
+    import hashlib
+
+    h = hashlib.md5()
+    paths = sorted(
+        glob.glob(
+            os.path.join(root, "bangdatapipeline_spark", "**", "*.py"),
+            recursive=True,
+        )
+    )
+    paths.append(os.path.join(root, "__spark_entry__.py"))
+    for p in paths:
+        h.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def load_green_hashes(root: str = REPO_ROOT) -> dict[str, str]:
     """{key: fingerprint at the previous round's closing commit} —
     delegates to the one shared parser in the package (also used by

@@ -60,8 +60,7 @@ def main() -> int:
         # Pressure-triggered (footprint is query-dependent: the graph
         # family can exhaust the heap within one fixed stride at sf0.1),
         # with the fixed stride kept as a deterministic backstop.
-        if not caches.release_if_pressured(spark) and i and i % caches.RELEASE_EVERY == 0:
-            caches.release(spark)
+        caches.maybe_release(spark, i)
         t0 = time.time()
         try:
             ok, msg = compare_query(spark, registry[key], sf_dir)
@@ -109,7 +108,7 @@ def _record_evidence(sf_dir, failed, summary):
     hashes here would erase exactly that staleness signal. Refresh it at
     round start with ``scripts/refresh_green_hashes.py <prev-round-sha>``.
     """
-    from _evidence import REPO_ROOT, current_round, head_sha
+    from _evidence import REPO_ROOT, current_round, head_sha, source_tree_hash
 
     if not sf_dir.rstrip("/").endswith("sf0.01"):
         return
@@ -119,6 +118,7 @@ def _record_evidence(sf_dir, failed, summary):
         json.dump(
             {
                 "head_sha": sha,
+                "source_hash": source_tree_hash(),
                 "sf_dir": sf_dir,
                 "pass": summary["queries"] - len(failed),
                 "fail": len(failed),

@@ -76,15 +76,19 @@ def load_ledger(root: str = REPO_ROOT) -> list[dict]:
         return [json.loads(x) for x in f if x.strip()]
 
 
-def over_age_keys(max_age: int, root: str = REPO_ROOT) -> list[str]:
+def over_age_keys(
+    max_age: int, root: str = REPO_ROOT, latest: dict[str, int] | None = None
+) -> list[str]:
     """Registry keys whose latest evidence is more than ``max_age``
     rounds old (or absent), oldest first. Age is measured against the
     IN-PROGRESS round (one past the newest CORRECTNESS file), matching
-    what this round's run will stamp."""
+    what this round's run will stamp. Pass a precomputed
+    ``evidence_rounds()`` mapping to avoid re-parsing every artifact."""
     from bangdatapipeline_spark.registry import load_all
 
     rnd = current_round(root)
-    latest = evidence_rounds(root)
+    if latest is None:
+        latest = evidence_rounds(root)
     stale = [
         k for k in load_all()
         if rnd - latest.get(k, rnd - 999) > max_age
@@ -100,8 +104,8 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    stale = over_age_keys(args.max_age)
     latest = evidence_rounds()
+    stale = over_age_keys(args.max_age, latest=latest)
     if args.status:
         from bangdatapipeline_spark.registry import load_all
 
@@ -140,8 +144,7 @@ def main() -> int:
     registry = load_all()
     failed = []
     for i, key in enumerate(keys):
-        if not caches.release_if_pressured(spark) and i and i % caches.RELEASE_EVERY == 0:
-            caches.release(spark)
+        caches.maybe_release(spark, i)
         t0 = time.time()
         try:
             ok, msg = compare_query(spark, registry[key], args.sf)
@@ -161,7 +164,7 @@ def main() -> int:
     }
     with open(LEDGER_PATH, "a") as f:
         f.write(json.dumps(entry) + "\n")
-    left = over_age_keys(args.max_age)
+    left = over_age_keys(args.max_age)  # re-reads: the ledger just grew
     print(json.dumps({"checked": len(keys), "failed": failed,
                       "over_age_left": left}))
     return 0 if not failed and not left else 1

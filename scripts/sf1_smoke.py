@@ -179,10 +179,13 @@ def _budget_check(timings: dict[str, float]) -> dict[str, list[float]]:
     self-seeded at 1.2x their first observed time (floor 5 s) so new
     heavy keys alert from their second run; existing budgets only change
     by hand, with the rationale in the commit that changes them."""
-    try:
+    if os.path.exists(_BUDGETS_PATH):
+        # a corrupt budgets file must CRASH, not silently count as empty:
+        # empty would re-seed every key at 1.2x its CURRENT time, erasing
+        # hand-maintained budgets and re-baselining any regression
         with open(_BUDGETS_PATH) as f:
             budgets = json.load(f)
-    except (OSError, ValueError):
+    else:
         budgets = {}
     over = {
         k: [t, budgets.get(k, _DEFAULT_BUDGET_SEC)]
@@ -245,8 +248,7 @@ def main() -> int:
     from bangdatapipeline_spark import caches
 
     for i, key in enumerate(keys):
-        if not caches.release_if_pressured(spark) and i and i % caches.RELEASE_EVERY == 0:
-            caches.release(spark)
+        caches.maybe_release(spark, i)
         t0 = time.perf_counter()
         try:
             n = registry[key].fn(spark, OUT_DIR).count()

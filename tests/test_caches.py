@@ -50,9 +50,10 @@ def test_default_bench_never_releases_caches():
     measured cost of all-cold at sf0.1 is ~2.4x the steady total
     (BENCH_FULL.json cold_sec 173 s vs queries 72 s; rule documented in
     BASELINE.md). Pressure-triggered release belongs to the long-session
-    sweep harness (scripts/driver_sim.py calls release_if_pressured
-    before every query); bench.py must not touch the caches module at
-    all, so a default bench run structurally cannot fire a release."""
+    sweep harnesses (they call caches.maybe_release — the ONE shared
+    policy helper since r10 — before every query); bench.py must not
+    touch the caches module at all, so a default bench run structurally
+    cannot fire a release."""
     import inspect
     import re
 
@@ -61,9 +62,13 @@ def test_default_bench_never_releases_caches():
     src = inspect.getsource(bench)
     assert not re.search(r"\brelease(_if_pressured)?\s*\(", src)
     assert "bangdatapipeline_spark.caches" not in src
-    # and the sweep harness DOES release, before every query
-    sweep = open("scripts/driver_sim.py").read()
-    assert "release_if_pressured(spark)" in sweep
+    # and every sweep harness DOES release, through the shared policy
+    for runner in (
+        "scripts/driver_sim.py",
+        "scripts/sf1_smoke.py",
+        "scripts/evidence_ledger.py",
+    ):
+        assert "caches.maybe_release(spark, i)" in open(runner).read(), runner
 
 
 def test_memo_keys_use_application_id_not_object_id(spark):

@@ -104,6 +104,20 @@ def test_query_hash_covers_transitive_helpers_and_constants():
     assert inspect.getsource(ga._trade_contrib) in pr
     assert inspect.getsource(ga._node_label) in pr
     assert "_PAGERANK_ITERS=3" in pr
+    # list/dict-valued constants must move the hash too (r10 review: a
+    # Spark-side-only edit to _FK_RELATIONS or MIX_WEIGHTS went unseen).
+    # Mutable containers enter by ASSIGNMENT SOURCE, not value: runtime
+    # mutation (memo caches) must not drift the fingerprint, and values
+    # holding functions (REGISTRY) must not leak memory addresses.
+    mat_fk = fingerprint_material(registry["dq_referential_integrity"])
+    assert "_FK_RELATIONS:=_FK_RELATIONS = [" in mat_fk
+    # no memory addresses anywhere in any key's material (determinism
+    # across processes — refresh subprocess vs live session)
+    import re
+
+    for key in ("udtf_expand", "eval_ivf_nprobe_curve", "graph_pagerank"):
+        m = fingerprint_material(registry[key])
+        assert not re.search(r" at 0x[0-9a-f]+", m), key
 
 
 def test_green_hashes_recorded_at_a_real_commit():
@@ -251,12 +265,19 @@ def test_sweep_is_fresh_at_current_tree():
     stale and must be re-run before the round closes. This is exactly
     the r9 hole: SWEEP_r09 certified c2c9073 while two later commits
     changed four operator files. scripts/check.sh runs the sweep BEFORE
-    pytest so a round-close check.sh pass implies this gate."""
+    pytest so a round-close check.sh pass implies this gate.
+
+    The comparison is CONTENT-addressed (``source_hash`` over the
+    operator tree, stamped by driver_sim since r10): a sweep run on a
+    dirty-but-final tree stays valid once that content is committed, so
+    the gate doesn't force artifact-only follow-up commits. Artifacts
+    predating the field fall back to a git diff against head_sha."""
     import glob
     import json
     import os
     import re
     import subprocess
+    import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     paths = sorted(
@@ -265,7 +286,21 @@ def test_sweep_is_fresh_at_current_tree():
     )
     assert paths, "no sweep artifacts"
     with open(paths[-1]) as f:
-        sha = json.load(f)["head_sha"]
+        latest = json.load(f)
+    stale_msg = (
+        f"operator source diverged from the latest sweep stamp "
+        f"({paths[-1]}): re-run `python scripts/driver_sim.py` at the "
+        "current tree before closing the round"
+    )
+    if "source_hash" in latest:
+        scripts = os.path.join(root, "scripts")
+        if scripts not in sys.path:
+            sys.path.insert(0, scripts)
+        import _evidence
+
+        assert _evidence.source_tree_hash(root) == latest["source_hash"], stale_msg
+        return
+    sha = latest["head_sha"]
     if sha == "unknown":
         return  # no git at sweep time; nothing to compare against
     proc = subprocess.run(
@@ -274,8 +309,4 @@ def test_sweep_is_fresh_at_current_tree():
         capture_output=True,
         timeout=60,
     )
-    assert proc.returncode == 0, (
-        f"operator source diverged from {sha[:12]} (latest sweep stamp): "
-        "re-run `python scripts/driver_sim.py` at the current tree "
-        "before closing the round"
-    )
+    assert proc.returncode == 0, stale_msg

@@ -360,3 +360,21 @@ def test_median_verb_matches_sorted_truth(spark, sf_dir):
         n = len(vals)
         want = (vals[(n - 1) // 2] + vals[n // 2]) / 200.0
         assert got[g] == (n, want), (g, got[g], (n, want))
+
+
+def test_zorder_write_keeps_null_dimension_rows(spark, tmp_path):
+    """r10 review: NULL x/y rows must survive the z-order write (they
+    coalesce onto sentinel cell -1 and land in file 0) — the histogram
+    sort must not crash on a None cell, and the mapping join must not
+    drop them."""
+    from bangdatapipeline_spark.pipeline import Frame
+
+    df = spark.createDataFrame(
+        [(i, i % 7 if i % 5 else None, (i * 3) % 11) for i in range(1000)],
+        "id long, xv int, yv int",
+    )
+    out = str(tmp_path / "zorder_nulls")
+    Frame(df).to_parquet_zorder(out, F.col("xv"), F.col("yv"), n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.filter(F.col("xv").isNull()).count() == 200
