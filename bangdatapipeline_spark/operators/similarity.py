@@ -78,7 +78,12 @@ def dot_double_vec(a, b) -> Column:
     sequence as ``dot_double`` / DuckDB's ``list_reduce`` — IEEE-identical
     doubles, hence unchanged round-6 oracle hashes (np.dot / BLAS
     reassociation is deliberately avoided). NULL in → NULL out, matching
-    ``F.aggregate`` on a null array.
+    ``F.aggregate`` on a null array — and a computed NaN (an embedding
+    row CONTAINING NaN) stays NaN, again matching the fold: the result
+    mask is built explicitly (r10 review: ``pd.array(..., "Float64")``
+    coerced every NaN to NA, so the two "bit-identical twins" ranked a
+    corrupt row at opposite ends of a desc window — NaN sorts first,
+    NULL last).
 
     Construction is deferred (module imports precede any SparkSession) and
     cached — one UDF object per process, like the udfs.py pattern.
@@ -98,9 +103,8 @@ def dot_double_vec(a, b) -> Column:
                 for d in range(x.shape[1]):  # sequential over dims == fold order
                     acc += x[:, d] * y[:, d]
                 out[mask] = acc
-            res = pd.array(out, dtype="Float64")
-            res[~mask] = pd.NA
-            return pd.Series(res)
+            # explicit mask: ONLY null inputs are NA; computed NaN survives
+            return pd.Series(pd.arrays.FloatingArray(out, ~mask))
 
         _DOT_VEC_UDF = _dot
     return _DOT_VEC_UDF(a, b)
@@ -340,8 +344,15 @@ def _hyperplane(table: int, bit: int) -> list[float]:
     return out
 
 
+_LSH_BUCKETS_UDF = None
+
+
 def _lsh_buckets_udf():
     """Arrow-batched kernel: all LSH_TABLES bucket ids for one embedding.
+    Deferred-and-cached like ``_DOT_VEC_UDF`` — one UDF object (and one
+    64x48 weight matrix) per process, not per invocation (r10 review:
+    every knn_ann_lsh call, including the nested one in
+    eval_rank_metrics, rebuilt and re-registered the closure).
 
     The naive spelling (LSH_TABLES*LSH_BITS separate ``dot_double`` calls,
     one Catalyst higher-order fold per plane) is interpreted per element —
@@ -355,6 +366,9 @@ def _lsh_buckets_udf():
     identical sign bits and identical buckets (no BLAS reassociation:
     np.dot is deliberately avoided).
     """
+    global _LSH_BUCKETS_UDF
+    if _LSH_BUCKETS_UDF is not None:
+        return _LSH_BUCKETS_UDF
     # W[d, p] = weight d of plane p, planes ordered (table, bit).
     w = np.array(
         [
@@ -378,7 +392,8 @@ def _lsh_buckets_udf():
         bkts = (bits * pows).sum(axis=2).astype(np.int32)  # n x LSH_TABLES
         return pd.Series(list(bkts))
 
-    return buckets
+    _LSH_BUCKETS_UDF = buckets
+    return _LSH_BUCKETS_UDF
 
 
 def _lsh_plane_dot_duck(plane: list[float]) -> str:
@@ -451,13 +466,27 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "t", "bkt"
+        F.col("vec_id").alias("q_id"), "t", "bkt"
     )
+    # a pair may collide in several tables: dedup on the KEY PAIR ALONE
+    # (select + distinct), then rejoin the embeddings — the registry rule
+    # forbids dropDuplicates in hash-checked paths (nondeterministic
+    # keeper if a non-key column ever rides along; r10 review)
+    emb = e.select("vec_id", "embedding")
     cand = (
-        q.join(sigs.withColumnRenamed("vec_id", "n_id"), ["t", "bkt"])
+        q.join(
+            sigs.select(F.col("vec_id").alias("n_id"), "t", "bkt"), ["t", "bkt"]
+        )
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_emb", "embedding")
-        .dropDuplicates(["q_id", "n_id"])  # same pair may collide in several tables
+        .select("q_id", "n_id")
+        .distinct()
+        .join(
+            emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
+                "embedding", "q_emb"
+            ),
+            "q_id",
+        )
+        .join(emb.withColumnRenamed("vec_id", "n_id"), "n_id")
     )
     sims = cand.select(
         "q_id", "n_id", dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim")
@@ -490,6 +519,30 @@ def _cell_scores(x: DataFrame, cent: DataFrame, cn: DataFrame) -> DataFrame:
             "vec_id", "cell", F.round(F.col("dot") / F.col("cnorm"), 6).alias("score")
         )
     )
+
+
+def _ivf_ranked(e: DataFrame) -> DataFrame:
+    """Per-vector cell ranking ``(vec_id, cell, score, cr)`` on the 6-dp
+    lattice — the ONE cell-assignment definition ``knn_ivf_topk`` and
+    ``eval_ivf_nprobe_curve`` share (r10 review: the tuning curve is only
+    meaningful if it grades the exact index the ranker deploys; two
+    copies of the assignment stage could drift independently)."""
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+    )
+    cn = cent.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    scores = _cell_scores(x, cent, cn)
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cell").asc()
+    )
+    return scores.withColumn("cr", F.row_number().over(w_cell))
 
 
 def _ivf_oracle() -> str:
@@ -556,19 +609,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).withColumn(
-        "val", F.col("val").cast("double")
-    )
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("dim", "val"))
-        .groupBy(F.col("label").alias("cell"), "dim")
-        .agg(F.avg(F.col("val").cast("double")).alias("c"))
-    )
-    cn = cent.groupBy("cell").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"))
-    scores = _cell_scores(x, cent, cn)
-
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cell").asc())
-    ranked = scores.withColumn("cr", F.row_number().over(w_cell))
+    ranked = _ivf_ranked(e)
     corpus_cells = ranked.filter(F.col("cr") == 1).select(
         F.col("vec_id").alias("n_id"), "cell"
     )
@@ -606,8 +647,17 @@ def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense f64 GEMM (BLAS, ~10-100x the throughput of the expression-tree
     fold in ``knn_cosine_topk``), memory is one corpus block at a time,
     and nothing but candidates ever moves. Same oracle as
-    ``knn_cosine_topk`` — d=128 dot products agree far beyond round-6
-    regardless of accumulation order.
+    ``knn_cosine_topk``.
+
+    Boundary discipline (r10 review, same rule as ``gemm_pairs_tiled``):
+    BLAS reassociates the d=64 sum, so an emitted sim could round or
+    tie-rank differently than the oracle's sequential fold. Each block
+    therefore takes its local candidates at the k-th GEMM score minus
+    1e-9 (margin >> the ~1e-12 reassociation error of unit dots),
+    re-scores ONLY those candidates with an exact left-to-right fold
+    (``np.add.accumulate`` — the association order of ``dot_double_vec``
+    and the DuckDB oracle), and ranks/emits the fold values; the global
+    window then orders bit-identical numbers on both engines.
 
     Block-local pruning is tie-safe: blocks rank by (-sim, n_id) via
     lexsort, the same total order as the global window.
@@ -636,11 +686,21 @@ def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(ids_q):
                 col = np.where(ids == qid, -np.inf, sims[:, j])
-                order = np.lexsort((ids, -col))[:TOP_K]
-                keep = order[np.isfinite(col[order])]
-                out_q.append(np.full(len(keep), qid))
-                out_n.append(ids[keep])
-                out_s.append(col[keep])
+                idx = np.nonzero(np.isfinite(col))[0]
+                if len(idx) > TOP_K:
+                    kth = np.partition(col[idx], len(idx) - TOP_K)[
+                        len(idx) - TOP_K
+                    ]
+                    idx = idx[col[idx] >= kth - 1e-9]
+                # exact fold-order re-score of the candidates (boundary
+                # discipline in the docstring)
+                fold = np.add.accumulate(
+                    block[idx] * qmat[:, j][None, :], axis=1
+                )[:, -1] if len(idx) else np.empty(0)
+                order = np.lexsort((ids[idx], -fold))[:TOP_K]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(ids[idx[order]])
+                out_s.append(fold[order])
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),
@@ -1014,25 +1074,117 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Int8-quantized top-k similarity (memory-bound serving path)
 # --------------------------------------------------------------------------
 
-_QUANT_ORACLE = f"""
-WITH scaled AS (
-  SELECT vec_id, embedding,
-         127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                             (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
+_DUCK_INT8_MAXABS = (
+    "list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), "
+    "(a, b) -> CASE WHEN a >= b THEN a ELSE b END)"
+)
+
+
+def _duck_int8_cte() -> str:
+    """The ``scaled``/``q8`` CTE pair every int8 oracle shares — the SQL
+    twin of :func:`_int8_quantized`, including the zero-magnitude guard
+    (r10 review: an all-zero embedding made scale infinite — NaN codes on
+    Spark, a BIGINT cast error on DuckDB; both engines now exclude it)."""
+    return f"""scaled AS (
+  SELECT vec_id, embedding, 127.0 / {_DUCK_INT8_MAXABS} AS scale
   FROM embeddings
+  WHERE {_DUCK_INT8_MAXABS} > 0
 ),
-q AS (
+q8 AS (
   SELECT vec_id, scale,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
   FROM scaled
-),
+)"""
+
+
+def _int8_quantized(e: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization ``(vec_id, scale, qv)`` with the
+    zero-magnitude guard — ONE definition for the serving family
+    (knn_quantized_topk, knn_rerank_two_stage, eval_rerank_recall); the
+    oracle twin is :func:`_duck_int8_cte`. An all-zero embedding has no
+    valid scale (127/0 = inf -> 0*inf = NaN codes) and cannot match
+    anything, so it is excluded on BOTH engines — the same convention as
+    ``emb_quantize_error``'s ``scale > 0`` filter."""
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = e.select(
+        "vec_id", "embedding", (F.lit(127.0) / mx).alias("scale")
+    ).filter(mx > 0)
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _int8_query_broadcast(spark: SparkSession, q: DataFrame):
+    """Broadcast the bounded query side (N_QUERIES rows — the one
+    legitimate collect) as ``(ids, scales, d x nq int64 matrix)``."""
+    import numpy as np
+
+    q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    q_scales = q_pdf["scale"].to_numpy(dtype=np.float64)
+    qt = np.vstack(q_pdf["qv"].to_numpy()).astype(np.int64).T  # d x nq
+    return spark.sparkContext.broadcast((q_ids, q_scales, qt))
+
+
+def _int8_block_topk_gen(bq, k: int, out_col: str):
+    """Block-local top-``k`` generator over the exact int64 GEMM — the
+    ONE copy of the kernel knn_quantized_topk (k=TOP_K, ``sim``) and
+    knn_rerank_two_stage's coarse pass (k=RERANK_POOL, ``csim``) share
+    (r10 review: three hand-synchronized copies of the self-exclusion /
+    lexsort-tie / descale math). Integer dots are exact in int64 and the
+    descale division uses the same IEEE double operands as the oracle,
+    so no fold re-score is needed (unlike the float GEMM of
+    knn_gemm_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        ids_q, sc_q, qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            sc_b = pdf["scale"].to_numpy(dtype=np.float64)
+            block = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            idots = block @ qmat  # exact int64 GEMM
+            sims = idots.astype(np.float64) / (sc_b[:, None] * sc_q[None, :])
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                col = np.where(ids == qid, -np.inf, sims[:, j])
+                order = np.lexsort((ids, -col))[:k]
+                keep = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(keep), qid))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    out_col: np.concatenate(out_s),
+                }
+            )
+
+    return gen
+
+
+_QUANT_ORACLE = f"""
+WITH {_duck_int8_cte()},
 sims AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id,
          list_reduce(list_transform(generate_series(1, len(a.qv)),
                                     i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)
            / (a.scale * b.scale) AS sim
-  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  FROM q8 a JOIN q8 b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
 )
 SELECT q_id, n_id, round(sim, 6) AS sim,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rn
@@ -1062,59 +1214,12 @@ def knn_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands as the expression-fold form, so the kernel is bit-identical
     to it (and to the SQL oracle).
     """
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "embeddings")
-    scale = F.lit(127.0) / F.array_max(
-        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    )
-    scaled = e.select("vec_id", "embedding", scale.alias("scale"))
-    q = scaled.select(
-        "vec_id",
-        "scale",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        ).alias("qv"),
-    )
-    # bounded query side (N_QUERIES rows) — the one legitimate collect
-    q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()
-    q_ids = q_pdf["vec_id"].to_numpy()
-    q_scales = q_pdf["scale"].to_numpy(dtype=np.float64)
-    qt = np.vstack(q_pdf["qv"].to_numpy()).astype(np.int64).T  # d x nq
-    bq = spark.sparkContext.broadcast((q_ids, q_scales, qt))
-
-    def block_topk(batches):
-        ids_q, sc_q, qmat = bq.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            sc_b = pdf["scale"].to_numpy(dtype=np.float64)
-            block = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
-            idots = block @ qmat  # exact int64 GEMM
-            sims = idots.astype(np.float64) / (sc_b[:, None] * sc_q[None, :])
-            out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(ids_q):
-                col = np.where(ids == qid, -np.inf, sims[:, j])
-                order = np.lexsort((ids, -col))[:TOP_K]
-                keep = order[np.isfinite(col[order])]
-                out_q.append(np.full(len(keep), qid))
-                out_n.append(ids[keep])
-                out_s.append(col[keep])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "n_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
-                }
-            )
-
-    cand = q.select("vec_id", "scale", "qv").mapInPandas(
-        block_topk, schema="q_id long, n_id long, sim double"
+    q = _int8_quantized(e)
+    bq = _int8_query_broadcast(spark, q)
+    cand = q.mapInPandas(
+        _int8_block_topk_gen(bq, TOP_K, "sim"),
+        schema="q_id long, n_id long, sim double",
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -2316,26 +2421,13 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed once on the widest set and each config re-windows the
     same table (3-row config spine joined in, not 3 pipeline reruns).
     Recall joins against the exact top-{TOP_K}; all ratios integer ppm.
-    Same 6-dp-lattice cell assignment as knn_ivf_topk, so the curve is
-    engine-exact despite the data-derived codebook.
+    SAME cell assignment as knn_ivf_topk — literally ``_ivf_ranked``,
+    one definition (r10 review: the curve must grade the index the
+    ranker deploys; a duplicated assignment stage could drift) — so the
+    curve is engine-exact despite the data-derived codebook.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).withColumn(
-        "val", F.col("val").cast("double")
-    )
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("dim", "val"))
-        .groupBy(F.col("label").alias("cell"), "dim")
-        .agg(F.avg(F.col("val").cast("double")).alias("c"))
-    )
-    cn = cent.groupBy("cell").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
-    )
-    scores = _cell_scores(x, cent, cn)
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        F.col("score").desc(), F.col("cell").asc()
-    )
-    ranked = scores.withColumn("cr", F.row_number().over(w_cell))
+    ranked = _ivf_ranked(e)
     corpus_cells = ranked.filter(F.col("cr") == 1).select(
         F.col("vec_id").alias("n_id"), "cell"
     )
@@ -2504,24 +2596,13 @@ RERANK_POOL = 25  # stage-1 candidates per query, reranked exactly to TOP_K
 _rerank_bq_cache: dict = {}
 
 _RERANK_ORACLE = f"""
-WITH scaled AS (
-  SELECT vec_id, embedding,
-         127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                             (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
-  FROM embeddings
-),
-q AS (
-  SELECT vec_id, scale,
-         list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
-  FROM scaled
-),
+WITH {_duck_int8_cte()},
 coarse AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id,
          list_reduce(list_transform(generate_series(1, len(a.qv)),
                                     i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)
            / (a.scale * b.scale) AS csim
-  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  FROM q8 a JOIN q8 b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
 ),
 pool AS (
   SELECT q_id, n_id,
@@ -2563,21 +2644,8 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched only by the pool join — a broadcast-hash probe on vec_id —
     which is exactly why serving stacks pay for two stages.
     """
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "embeddings")
-    scale = F.lit(127.0) / F.array_max(
-        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    )
-    q = e.select(
-        "vec_id",
-        scale.alias("scale"),
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint"),
-        ).alias("qv"),
-    )
+    q = _int8_quantized(e)
     # memoized per (session, sf_dir): a fresh sparkContext.broadcast per
     # invocation would accumulate driver+executor blocks across repeated
     # bench/correctness rounds in one session (caches.release destroys
@@ -2585,41 +2653,14 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (session_key(spark), sf_dir)
     bq = _rerank_bq_cache.get(memo_key)
     if bq is None:
-        q_pdf = q.filter(F.col("vec_id") < N_QUERIES).toPandas()  # bounded
-        q_ids = q_pdf["vec_id"].to_numpy()
-        q_scales = q_pdf["scale"].to_numpy(dtype=np.float64)
-        qt = np.vstack(q_pdf["qv"].to_numpy()).astype(np.int64).T
-        bq = spark.sparkContext.broadcast((q_ids, q_scales, qt))
+        bq = _int8_query_broadcast(spark, q)
         _rerank_bq_cache[memo_key] = bq
     pool_k = RERANK_POOL
 
-    def block_pool(batches):
-        ids_q, sc_q, qmat = bq.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            sc_b = pdf["scale"].to_numpy(dtype=np.float64)
-            block = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
-            idots = block @ qmat  # exact int64 GEMM
-            sims = idots.astype(np.float64) / (sc_b[:, None] * sc_q[None, :])
-            out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(ids_q):
-                col = np.where(ids == qid, -np.inf, sims[:, j])
-                order = np.lexsort((ids, -col))[:pool_k]
-                keep = order[np.isfinite(col[order])]
-                out_q.append(np.full(len(keep), qid))
-                out_n.append(ids[keep])
-                out_s.append(col[keep])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "n_id": np.concatenate(out_n),
-                    "csim": np.concatenate(out_s),
-                }
-            )
-
-    cand = q.mapInPandas(block_pool, schema="q_id long, n_id long, csim double")
+    cand = q.mapInPandas(
+        _int8_block_topk_gen(bq, pool_k, "csim"),
+        schema="q_id long, n_id long, csim double",
+    )
     wc = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("n_id").asc())
     pool = (
         cand.withColumn("crn", F.row_number().over(wc))
@@ -2657,18 +2698,7 @@ truth AS (
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn
   FROM sims QUALIFY rn <= {TOP_K}
 ),
-scaled AS (
-  SELECT vec_id, embedding,
-         127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                             (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
-  FROM embeddings
-),
-q8 AS (
-  SELECT vec_id, scale,
-         list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
-  FROM scaled
-),
+{_duck_int8_cte()},
 coarse AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id,
          list_reduce(list_transform(generate_series(1, len(a.qv)),

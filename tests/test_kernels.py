@@ -183,3 +183,25 @@ def test_sign_pack_kernel_equals_expression(spark, sf_dir):
     assert out
     for r in out:
         assert r.bw[0] == r.e0 and r.bw[1] == r.e1
+
+
+def test_dot_double_vec_nan_stays_nan_null_stays_null(spark):
+    """r10 review: pd.array(..., 'Float64') coerced a COMPUTED NaN (an
+    embedding containing NaN) to NA/NULL, so the 'bit-identical twins'
+    ranked a corrupt row at opposite ends of a desc window (NaN sorts
+    first in Spark, NULL last). The explicit result mask must keep NaN
+    as NaN and only null INPUTS as NULL — matching the Catalyst fold."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]),
+         (2, [float("nan"), 1.0], [1.0, 1.0]),
+         (3, None, [1.0, 1.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        dot_double(F.col("a"), F.col("b")).alias("fold"),
+        dot_double_vec(F.col("a"), F.col("b")).alias("vec"),
+    ).collect()}
+    assert rows[1].fold == rows[1].vec == 11.0
+    assert math.isnan(rows[2].fold) and math.isnan(rows[2].vec)
+    assert rows[3].fold is None and rows[3].vec is None
