@@ -609,7 +609,8 @@ WITH hashes AS (
 ),
 counters AS (
   SELECT h.i,
-         ((([{a}])[h.i + 1] * e.user_id + ([{b}])[h.i + 1]) % {_CMS_P}) % {_CMS_W} AS bucket,
+         ((([{a}])[h.i + 1] * (e.user_id % {_CMS_P}) + ([{b}])[h.i + 1])
+            % {_CMS_P}) % {_CMS_W} AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
   FROM events e CROSS JOIN hashes h
   GROUP BY 1, 2
@@ -622,7 +623,8 @@ est AS (
   FROM exact x CROSS JOIN hashes h
   JOIN counters c
     ON c.i = h.i
-   AND c.bucket = ((([{a}])[h.i + 1] * x.user_id + ([{b}])[h.i + 1]) % {_CMS_P}) % {_CMS_W}
+   AND c.bucket = ((([{a}])[h.i + 1] * (x.user_id % {_CMS_P}) + ([{b}])[h.i + 1])
+                     % {_CMS_P}) % {_CMS_W}
   GROUP BY 1
 )
 SELECT x.user_id, x.exact_n, s.cms_n, s.cms_n - x.exact_n AS overcount
@@ -641,7 +643,12 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN of its 4 counters — an upper bound on the true count
     (overcount >= 0 always, checked by the oracle's subtraction). Hashes
     are explicit LCG universal hashes, so both engines compute the
-    identical sketch and the whole query hash-checks.
+    identical sketch and the whole query hash-checks. The id is reduced
+    mod P BEFORE the multiply (r10 review): A < 2^31 and id % P < 2^31
+    keep the product under 2^62 for ANY int64 id — without the
+    reduction, ids >= ~4.3e9 (routine at the 100 TB posture) overflowed
+    int64 silently on Spark (wrapped buckets) and loudly on DuckDB.
+    Non-negative ids assumed, same precondition as _bitmap_words.
 
     Scale posture (100 TB): the counter grid is d*w cells REGARDLESS of
     key cardinality — the groupBy on (i, bucket) has a bounded key space
@@ -656,8 +663,13 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = F.array(*[
         F.struct(
             F.lit(i).alias("i"),
-            (((F.lit(_CMS_A[i]) * F.col("user_id") + F.lit(_CMS_B[i])) % _CMS_P) % _CMS_W)
-            .alias("bucket"),
+            (
+                (
+                    (F.lit(_CMS_A[i]) * (F.col("user_id") % _CMS_P) + F.lit(_CMS_B[i]))
+                    % _CMS_P
+                )
+                % _CMS_W
+            ).alias("bucket"),
         )
         for i in range(_CMS_D)
     ])
@@ -1166,6 +1178,29 @@ def _bitmap_words(ev) -> DataFrame:
     )
 
 
+def _bitmap_pair_intersections(words: DataFrame, out_col: str) -> DataFrame:
+    """Pairwise exact intersection sizes from a ``_bitmap_words`` table:
+    word-aligned self-join on bucket, AND + popcount per word pair, one
+    row per unordered (type_a < type_b) pair — ONE definition for
+    ``audience_overlap_bitmap`` and ``audience_overlap_hll`` (r10
+    review: two verbatim copies in two join styles risked drifting,
+    the same hazard the r9 ``_bitmap_words`` factoring closed)."""
+    a = words.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("w").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("w").alias("wb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias(out_col)
+        )
+    )
+
+
 @register(
     "agg_bitmap_distinct",
     oracle=f"""
@@ -1504,18 +1539,7 @@ def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     words = _bitmap_words(ev)
     counts = words.groupBy("event_type").agg(F.sum(F.bit_count("w")).alias("n"))
-    a = words.select(
-        F.col("event_type").alias("type_a"), "bucket", F.col("w").alias("wa")
-    )
-    b = words.select(
-        F.col("event_type").alias("type_b"), "bucket", F.col("w").alias("wb")
-    )
-    inter = (
-        a.join(b, "bucket")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias("n_both"))
-    )
+    inter = _bitmap_pair_intersections(words, "n_both")
     ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
     out = inter.join(F.broadcast(ca), "type_a").join(F.broadcast(cb), "type_b")
@@ -1574,11 +1598,15 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are the EXACT intersection/union (bitmap-word arithmetic,
     same kernel as ``audience_overlap_bitmap``), plus booleans asserting
     the HLL estimates land within 10% (union) / max(15% relative,
-    5%-of-|A|+|B| absolute) for the I-E intersection, which compounds
-    three sketch errors and needs the absolute floor when the true
-    overlap is tiny — the oracle states the exact values and TRUE. Estimator error is deterministic for a
-    given input set (sketch content is order-independent), so the
-    booleans are stable across partitionings.
+    5%-of-|A|+|B| absolute) for the I-E intersection. na/nb are EXACT
+    bitmap counts, so est_inter carries exactly ONE sketch error
+    (est_union's, ~1.6% rsd at default lgK) scaled by (na+nb)/n_inter —
+    the absolute floor exists because that relative blow-up is unbounded
+    when the true overlap is tiny (r10 review: an earlier comment
+    claimed three compounded estimates). The oracle states the exact
+    values and TRUE. Estimator error is deterministic for a given input
+    set (sketch content is order-independent), so the booleans are
+    stable across partitionings.
 
     100 TB: per-segment sketches are the stored rollup (mergeable across
     days/shards like ``ts_hll_daily_merge``); any pairwise overlap matrix
@@ -1600,18 +1628,7 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
-    inter = (
-        words.alias("a")
-        .join(words.alias("b"), "bucket")
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(
-            F.sum(F.bit_count(F.col("a.w").bitwiseAND(F.col("b.w")))).alias("n_inter")
-        )
-    )
+    inter = _bitmap_pair_intersections(words, "n_inter")
     sa = seg.select(
         F.col("event_type").alias("type_a"),
         F.col("sk").alias("sk_a"),
@@ -1634,9 +1651,9 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est_union - n_union) <= 0.10 * n_union).alias("union_est_ok"),
         # relative-OR-absolute band: a purely relative bound degenerates
         # when the true intersection is tiny (at n_inter=0 it demands
-        # exact equality of three compounded sketch estimates); the
-        # absolute floor scales with the segment sizes whose sketch
-        # errors inclusion-exclusion actually compounds (r9 review)
+        # exact equality from a sketch estimate); the absolute floor
+        # scales with na+nb because est_inter's ONE sketch error
+        # (est_union's) is proportional to the union, not the overlap
         (
             F.abs(est_inter - F.col("n_inter"))
             <= F.greatest(
@@ -1773,22 +1790,31 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
-    ).withColumnRenamed("cents", "v")
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+    )
     m = exact_median2(o, width=100000)
     return m.select(
         "grp", "n", (F.col("m2") / F.lit(2.0)).alias("median_cents")
     )
 
 
-def exact_median2(df: DataFrame, width: int) -> DataFrame:
-    """Two-phase exact median selection over ``(grp, v)`` integer rows:
-    returns ``(grp, n, m2)`` with ``m2 = v_(k1) + v_(k2)`` (twice the
-    interpolated median, always an exact integer). ``width`` is the
-    phase-1 histogram bucket size — pick it so per-(grp,bucket) row
-    counts stay task-sized; the machinery is the one documented on
-    ``agg_median_exact`` and is reused by the MAD operator (which
-    medians twice: values, then absolute deviations)."""
+def exact_select(df: DataFrame, targets: DataFrame, width: int) -> DataFrame:
+    """Two-phase exact RANK SELECTION over ``(grp, v)`` integer rows —
+    the ONE selection kernel (r10 review: ``agg_quantiles_exact``
+    duplicated all ~65 lines of it). For every target row
+    ``(grp, k, carry...)`` return that group's k-th smallest ``v``
+    (1-based) with the carry columns passed through; duplicate target
+    rows return duplicate picks (the median wrapper relies on k1 == k2
+    at odd n summing to 2x the middle value).
+
+    Phase 1: a bounded histogram (``v div width`` buckets) plus a
+    cumulative window locates each target rank's bucket. Phase 2
+    re-scans ONLY the hit buckets (broadcast gate) and row_numbers
+    within them — no global sort; shuffle keys are the histogram space
+    and the target buckets, both independent of total row count. Pick
+    ``width`` so per-(grp, bucket) row counts stay task-sized; recurse
+    the bisection one level if a bucket outgrows a partition."""
+    carry = [c for c in targets.columns if c not in ("grp", "k")]
     hist = df.groupBy("grp", (F.col("v") - F.col("v") % width).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1803,6 +1829,38 @@ def exact_median2(df: DataFrame, width: int) -> DataFrame:
         F.sum("cnt").over(wcum).alias("cum"),
         (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
     )
+    spec = (
+        targets.join(cum, "grp")
+        .filter((F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select("grp", "bucket", (F.col("k") - F.col("cum_prev")).alias("off"), *carry)
+    )
+    in_bucket = df.withColumn(
+        "bucket", F.col("v") - F.col("v") % width
+    ).join(F.broadcast(spec.select("grp", "bucket").distinct()), ["grp", "bucket"])
+    wrk = Window.partitionBy("grp", "bucket").orderBy("v")
+    ranked = in_bucket.withColumn("rn", F.row_number().over(wrk))
+    spec_r = spec.select(
+        F.col("grp").alias("s_grp"),
+        F.col("bucket").alias("s_bucket"),
+        F.col("off").alias("s_off"),
+        *carry,
+    )
+    return ranked.join(
+        F.broadcast(spec_r),
+        (F.col("grp") == F.col("s_grp"))
+        & (F.col("bucket") == F.col("s_bucket"))
+        & (F.col("rn") == F.col("s_off")),
+    ).select(F.col("s_grp").alias("grp"), *carry, F.col("v").alias("v"))
+
+
+def exact_median2(df: DataFrame, width: int) -> DataFrame:
+    """Two-phase exact median selection over ``(grp, v)`` integer rows:
+    returns ``(grp, n, m2)`` with ``m2 = v_(k1) + v_(k2)`` (twice the
+    interpolated median, always an exact integer) — a thin wrapper over
+    :func:`exact_select` with the two middle ranks as targets. The
+    machinery is the one documented on ``agg_median_exact`` and is
+    reused by the MAD operator (which medians twice: values, then
+    absolute deviations)."""
     n = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     targets = n.select(
         "grp",
@@ -1813,33 +1871,8 @@ def exact_median2(df: DataFrame, width: int) -> DataFrame:
             )
         ).alias("k"),
     )
-    spec = (
-        targets.join(cum, "grp")
-        .filter((F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
-        .select("grp", "n", "bucket", "k", (F.col("k") - F.col("cum_prev")).alias("off"))
-    )
-    in_bucket = df.withColumn(
-        "bucket", F.col("v") - F.col("v") % width
-    ).join(F.broadcast(spec.select("grp", "bucket").distinct()), ["grp", "bucket"])
-    wrk = Window.partitionBy("grp", "bucket").orderBy("v")
-    ranked = in_bucket.withColumn("rn", F.row_number().over(wrk))
-    spec_r = spec.select(
-        F.col("grp").alias("s_grp"),
-        F.col("n").alias("s_n"),
-        F.col("bucket").alias("s_bucket"),
-        F.col("off").alias("s_off"),
-    )
-    picked = ranked.join(
-        F.broadcast(spec_r),
-        (F.col("grp") == F.col("s_grp"))
-        & (F.col("bucket") == F.col("s_bucket"))
-        & (F.col("rn") == F.col("s_off")),
-    ).select(F.col("s_grp").alias("g"), F.col("s_n").alias("gn"), F.col("v").alias("v"))
-    return (
-        picked.groupBy("g")
-        .agg(F.max("gn").alias("n"), F.sum("v").alias("m2"))
-        .select(F.col("g").alias("grp"), "n", "m2")
-    )
+    picked = exact_select(df, targets, width)
+    return picked.groupBy("grp").agg(F.max("n").alias("n"), F.sum("v").alias("m2"))
 
 
 @register(
@@ -1874,27 +1907,14 @@ def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Contrast ``percentile_approx`` (one pass, rank error) and a global
     sort (exact, but a full-data exchange): this is exact with shuffles
-    bounded by the histogram key space + the target buckets. Same
-    100 TB posture as the median operator — recurse the bisection one
-    level if a bucket outgrows a partition.
+    bounded by the histogram key space + the target buckets. The
+    selection itself is :func:`exact_select` — the identical kernel the
+    median/MAD family runs (r10 review: this operator used to carry a
+    verbatim copy of it).
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
-    )
-    hist = o.groupBy(
-        "grp", (F.col("cents") - F.col("cents") % 100000).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = (
-        Window.partitionBy("grp")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.select(
-        "grp",
-        "bucket",
-        F.sum("cnt").over(wcum).alias("cum"),
-        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
     )
     n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     qs = [0.25, 0.5, 0.75]
@@ -1923,32 +1943,7 @@ def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = n.select("grp", F.explode(F.array(*pairs)).alias("t")).select(
         "grp", "t.q", "t.role", "t.k", "t.frac"
     )
-    spec = (
-        targets.join(cum, "grp")
-        .filter((F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")))
-        .select(
-            F.col("grp").alias("s_grp"),
-            F.col("bucket").alias("s_bucket"),
-            (F.col("k") - F.col("cum_prev")).alias("s_off"),
-            "q",
-            "role",
-            "frac",
-        )
-    )
-    in_bucket = o.withColumn(
-        "bucket", F.col("cents") - F.col("cents") % 100000
-    ).join(
-        F.broadcast(spec.select(F.col("s_grp").alias("grp"), F.col("s_bucket").alias("bucket")).distinct()),
-        ["grp", "bucket"],
-    )
-    wrk = Window.partitionBy("grp", "bucket").orderBy("cents")
-    ranked = in_bucket.withColumn("rn", F.row_number().over(wrk))
-    picked = ranked.join(
-        F.broadcast(spec),
-        (F.col("grp") == F.col("s_grp"))
-        & (F.col("bucket") == F.col("s_bucket"))
-        & (F.col("rn") == F.col("s_off")),
-    ).select("grp", "q", "role", "frac", F.col("cents").alias("v"))
+    picked = exact_select(o, targets, width=100000)
     per_q = picked.groupBy("grp", "q").agg(
         F.max(F.when(F.col("role") == "lo", F.col("v"))).alias("v_lo"),
         F.max(F.when(F.col("role") == "hi", F.col("v"))).alias("v_hi"),
