@@ -694,6 +694,36 @@ def _triangle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _triangle_edge_legs(tris, with_third: bool = False) -> DataFrame:
+    """Attribute each memoized (u, v, w) triangle row to its three edges
+    (pa < pb), optionally carrying the THIRD node of each leg — the ONE
+    attribution scheme ``graph_neighbor_jaccard`` (counts legs) and
+    ``graph_adamic_adar`` (weights legs by the third node's degree)
+    share (r10 review: two hand-synchronized three-way unions)."""
+    legs = [("u", "v", "w"), ("u", "w", "v"), ("v", "w", "u")]
+    parts = []
+    for a, b, t in legs:
+        cols = [F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")]
+        if with_third:
+            cols.append(F.col(t).alias("third"))
+        parts.append(tris.select(*cols))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+def _ranked_topk(scored: DataFrame, *order_cols) -> DataFrame:
+    """Distributed top-_NBR_TOP with a rank column: orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k's reduced at
+    the driver — no single-task global sort of every scored edge); the
+    row_number window then runs over just k rows. ONE copy of the tail
+    the three neighbor-similarity operators previously repeated."""
+    top = scored.orderBy(*order_cols).limit(_NBR_TOP)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 def _oriented_copurchase(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -773,31 +803,27 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect over per-node sorted out-neighbor arrays — wedge
     rows never materialize at all (the wedge self-join form measured
     6.2 s cold vs 5.3 s for this; more importantly the wedge shuffle
-    disappears). The oriented edge list is cached (reused by the
-    adjacency build and the probe side); the adjacency table is |V| rows
+    disappears). The (u, v, w) triangle relation itself is the
+    session-memoized ``_triangle_rows`` — one cached build shared with
+    graph_neighbor_jaccard / graph_adamic_adar. The oriented edge list
+    is cached (reused by the adjacency build and the probe side); the
+    adjacency table is |V| rows
     with ≤ sqrt(2|E|)-length arrays. Its two joins are SIZE-GATED
     (``_size_gated_broadcast``): hinted broadcast while the plan-stats
     estimate fits, else the hint is withheld and Catalyst plans shuffled
     sort-merge joins on u / v — the 100 TB path, asserted both ways in
     tests/test_plans.py.
     """
-    oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
-    # per-node sorted out-neighbor arrays (cached — two broadcast subtrees
-    # read it); each oriented edge (u,v) closes |N+(u) ∩ N+(v)| triangles,
-    # each counted exactly once (the DAG triangle x→y, x→z, y→z is counted
-    # at edge x→y with w=z).
-    adj = _out_adjacency(spark, sf_dir)
-    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    tri = (
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(_size_gated_broadcast(au), "u")
-        .join(_size_gated_broadcast(av), "v")
-        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("k"))
-        # coalesce: on a triangle-free graph every oriented edge's dst is
-        # a DAG sink, the av inner join drops ALL rows, and sum over zero
-        # rows is NULL — the oracle's join-based count(*) says 0.
-        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_triangles"))
+    _oriented, deg, edges = _oriented_copurchase(spark, sf_dir)
+    # count over the SESSION-MEMOIZED (u, v, w) triangle relation — the
+    # same cached rows graph_neighbor_jaccard/graph_adamic_adar read, so
+    # a session running the triangle family pays the adjacency joins and
+    # the N+(u) ∩ N+(v) intersection exactly once (r10 review: this
+    # operator rebuilt the identical subtree uncached). The exploded row
+    # count equals the sum of intersection sizes, and count over zero
+    # rows is already 0 — no triangle-free NULL special case needed.
+    tri = _triangle_rows(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
     nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
@@ -1029,7 +1055,7 @@ FROM d1 LEFT JOIN dfinal ON dfinal.node = d1.node
 
 @register("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} fixed peel
+    """k-core decomposition (k=_KCORE_K, _KCORE_ROUNDS fixed peel
     rounds) on the undirected customer<->supplier trade graph: each round
     drops nodes with degree < k and recomputes degrees on the induced
     subgraph. Output per original node: initial degree, degree after the
@@ -1123,7 +1149,7 @@ QUALIFY rk <= {_NBR_TOP}
 @register("graph_neighbor_jaccard", oracle=_NBR_JACCARD_ORACLE)
 def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-overlap similarity of adjacent part pairs: Jaccard of the
-    two endpoints' neighbor sets, top-{_NBR_TOP} — the classic
+    two endpoints' neighbor sets, top-_NBR_TOP — the classic
     link-strength / link-prediction primitive (an edge whose endpoints
     share most neighbors is "embedded" in a community).
 
@@ -1154,15 +1180,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session memo pins it so the adjacency joins + intersect explode
     # run once per session (shared with graph_adamic_adar), not 3x per call
     tris = _triangle_rows(spark, sf_dir)
-    e3 = (
-        tris.select(F.least("u", "v").alias("pa"), F.greatest("u", "v").alias("pb"))
-        .unionAll(
-            tris.select(F.least("u", "w").alias("pa"), F.greatest("u", "w").alias("pb"))
-        )
-        .unionAll(
-            tris.select(F.least("v", "w").alias("pa"), F.greatest("v", "w").alias("pb"))
-        )
-    )
+    e3 = _triangle_edge_legs(tris)
     common = e3.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_common"))
     da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
     db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
@@ -1185,15 +1203,9 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
         )
     )
-    # Distributed top-k (TakeOrderedAndProject) instead of a global
-    # row_number window: the window form exchanges EVERY scored edge to one
-    # task for a full sort; orderBy+limit reduces per-partition top-k's at
-    # the driver. The rank column is then a window over just k rows.
-    top = scored.orderBy(
-        F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
-    ).limit(_NBR_TOP)
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc())
-    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+    return _ranked_topk(
+        scored, F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1356,7 +1368,7 @@ GROUP BY 1
 @register("graph_bfs_levels", oracle=_bfs_oracle())
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the trade graph: distance-from-seed-set in
-    hops, {_BFS_ROUNDS} synchronous frontier expansions (Pregel
+    hops, _BFS_ROUNDS synchronous frontier expansions (Pregel
     min-distance propagation, the reachability/impact-radius primitive).
     Each round unions the current distances with neighbor distances + 1
     and keeps the min per node — monotone, so rounds are idempotent once
@@ -1463,12 +1475,6 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).localCheckpoint(eager=True)
-    all_nodes = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
 
     def both_dir(e: DataFrame) -> DataFrame:
         return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -1516,19 +1522,16 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sig = sig
 
-    # fixpoint edges are (root, child) stars; isolated-from-edges nodes
-    # cannot occur (every node came from an edge). label = min neighbor
+    # fixpoint edges are (root, child) stars. Every input node is still
+    # an endpoint here: both star ops re-emit every node each round
+    # (large-star keeps u via its smaller-neighbor edges or as its own
+    # minimum; small-star keeps larger endpoints via the self links) —
+    # r10 review removed a provably-dead isolated-node union branch and
+    # the eager all_nodes checkpoint that fed it. label = min neighbor
     labels = (
         both_dir(edges)
         .groupBy(F.col("u").alias("node"))
         .agg(F.least(F.min("v"), F.col("node")).alias("component_id"))
-        .unionByName(
-            all_nodes.join(
-                both_dir(edges).select(F.col("u").alias("node")).distinct(),
-                "node",
-                "left_anti",
-            ).select("node", F.col("node").alias("component_id"))
-        )
     )
     return labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1674,7 +1677,7 @@ def graph_walks_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic "random" walks over the trade graph — the corpus
     generator for graph-embedding training (DeepWalk/node2vec feed
     sequences of neighbors into a skip-gram model): from each seed
-    customer, {_WALK_STEPS} steps where the next hop is the neighbor
+    customer, _WALK_STEPS steps where the next hop is the neighbor
     minimizing md5(cur || '|' || step || '|' || neighbor). The hash
     argmin IS the walk's randomness — uniform-ish over neighbors yet
     bit-reproducible across engines, partitionings, and reruns, the
@@ -1765,7 +1768,12 @@ def _nbr_band_buckets(col):
         def _bands(nbrs: pd.Series) -> pd.Series:
             out = []
             for lst in nbrs.tolist():
-                x = np.asarray(lst, dtype=np.int64)[None, :]
+                x = np.asarray(lst, dtype=np.int64)[None, :] % P
+                # reduce mod P BEFORE the multiply (r10 review): a < P
+                # and x%P < P keep a*x under 2^62 for ANY int64 id —
+                # unreduced, ids >= ~4.3e9 wrap silently in np.int64
+                # while the oracle's BIGINT errors (same class as the
+                # CMS fix in aggregates.py)
                 sig = ((a * x + b) % P).min(axis=1)  # K signatures
                 bkts = []
                 for band in range(BANDS):
@@ -1786,7 +1794,7 @@ def _nbr_minhash_oracle() -> str:
     BANDS, ROWS_PER_BAND = _NBR_MH_BANDS, _NBR_MH_ROWS
 
     sigs = ", ".join(
-        f"list_min(list_transform(nbrs, x -> ({MH_A[j]} * x + {MH_B[j]}) % {P}))"
+        f"list_min(list_transform(nbrs, x -> ({MH_A[j]} * (x % {P}) + {MH_B[j]}) % {P}))"
         for j in range(len(MH_A))
     )
     band_rows = []
@@ -1855,9 +1863,9 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is the dedup_near integer lattice over node ids (no
     string hashing), so the DuckDB oracle reproduces the IDENTICAL
-    candidate set; output is the verified top-{_NBR_TOP} captured pairs
+    candidate set; output is the verified top-_NBR_TOP captured pairs
     (jaccard floor-rounded to the shared 6-dp lattice before ranking),
-    directly comparable against the exact detector's top-{_NBR_TOP} —
+    directly comparable against the exact detector's top-_NBR_TOP —
     the recall-vs-cost dial of the banded scheme.
     """
     # session-memoized neighbor-set table: FOUR subtrees below read it
@@ -1910,15 +1918,9 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_b",
         (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
     )
-    # Distributed top-k (TakeOrderedAndProject), not a global partition-less
-    # row_number window over every scored candidate — same fix as the exact
-    # sibling graph_neighbor_jaccard: orderBy+limit reduces per-partition
-    # top-k's; the rank window then runs over just k rows.
-    top = scored.orderBy(
-        F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
-    ).limit(_NBR_TOP)
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc())
-    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+    return _ranked_topk(
+        scored, F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1987,17 +1989,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is the only big relation and it streams through one
     map-side-combined aggregate.
     """
-    # everything derives from the CACHED oriented edge list (same edge
-    # set as the raw one, endpoints reordered — irrelevant here since
-    # both stub directions enter the sums); touching the memo's uncached
-    # `edges`/`deg` relations would re-derive the o x o self-join
-    oriented, _deg, _edges = _oriented_copurchase(spark, sf_dir)
-    deg = (
-        oriented.select(F.col("src").alias("node"))
-        .unionAll(oriented.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    # everything derives from the CACHED memo relations: `deg` has been
+    # cached in _oriented_copurchase since the r9 fix (r10 review: this
+    # operator still rebuilt its own degree table from oriented stubs —
+    # the identical multiset, since orientation only reorders endpoints —
+    # and evaluated that uncached union+groupBy once per broadcast
+    # subtree plus once for n_nodes)
+    oriented, deg, _edges = _oriented_copurchase(spark, sf_dir)
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("d_a"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_b"))
     ed = oriented.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
@@ -2181,7 +2179,7 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     through — then reduce each seed's distance vector to its closeness
     ingredients: |reached|, total hops, and HARMONIC closeness on an
     exact integer lattice (x6: per-hop contributions 6/1, 6/2, 6/3 are
-    all integers at depth <= {_BFS_ROUNDS}, so the score sums exactly
+    all integers at depth <= _BFS_ROUNDS, so the score sums exactly
     and the oracle's unrolled CTEs reproduce it bit-for-bit; harmonic
     handles disconnected pairs by simply omitting them, which is why
     production closeness sampling prefers it).
@@ -2283,27 +2281,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph_neighbor_jaccard enumerates, built and cached ONCE per session
     tris = _triangle_rows(spark, sf_dir)
     # credit each triangle to its three edges, weighted by the third node
-    contrib = (
-        tris.select(
-            F.least("u", "v").alias("pa"),
-            F.greatest("u", "v").alias("pb"),
-            F.col("w").alias("third"),
-        )
-        .unionAll(
-            tris.select(
-                F.least("u", "w").alias("pa"),
-                F.greatest("u", "w").alias("pb"),
-                F.col("v").alias("third"),
-            )
-        )
-        .unionAll(
-            tris.select(
-                F.least("v", "w").alias("pa"),
-                F.greatest("v", "w").alias("pb"),
-                F.col("u").alias("third"),
-            )
-        )
-    )
+    contrib = _triangle_edge_legs(tris, with_third=True)
     wt = deg.select(
         F.col("node").alias("third"),
         F.floor(1000000.0 / F.log(F.col("d"))).cast("bigint").alias("w_ppm"),
@@ -2316,11 +2294,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_ppm").cast("bigint").alias("aa_ppm"),
         )
     )
-    top = scored.orderBy(
-        F.col("aa_ppm").desc(), F.col("pa").asc(), F.col("pb").asc()
-    ).limit(_NBR_TOP)
-    w = Window.orderBy(F.col("aa_ppm").desc(), F.col("pa").asc(), F.col("pb").asc())
-    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+    return _ranked_topk(
+        scored, F.col("aa_ppm").desc(), F.col("pa").asc(), F.col("pb").asc()
+    )
 
 
 # --------------------------------------------------------------------------
