@@ -39,9 +39,10 @@ def _tokens(df: DataFrame) -> DataFrame:
 SELECT lang,
        CAST(count(*) AS BIGINT)                                  AS n_docs,
        CAST(sum(n_chars) AS BIGINT)                              AS total_chars,
-       round(avg(n_chars), 4)                                    AS avg_chars,
+       floor(avg(n_chars) * 10000 + 0.5) / 10000                 AS avg_chars,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT)         AS total_words,
-       round(avg(len(string_split(text, ' '))), 4)               AS avg_words
+       floor(avg(len(string_split(text, ' '))) * 10000 + 0.5)
+         / 10000                                                 AS avg_words
 FROM documents
 GROUP BY lang
 """,
@@ -55,9 +56,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # floor-lattice, not round(): avg(int)/n terminating
+            # rationals can sit on a half where the engines' round()
+            # disagree (docs/dialect_notes.md)
+            (F.floor(F.avg("n_chars") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_chars"
+            ),
             F.sum("n_words").cast("bigint").alias("total_words"),
-            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            (F.floor(F.avg("n_words") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_words"
+            ),
         )
     )
 
@@ -211,9 +219,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier (Laplace-smoothed token likelihood per language + log prior),
     argmax per document with a deterministic language tie-break.
 
-    Scale: the profile table is |langs| x |vocab| — tiny — and broadcasts
-    into the scoring join; the only big shuffle is the per-(doc, lang)
-    aggregation, keyed on doc_id (dense, unskewed).
+    Scale: the profile table is |langs| x |vocab| — VOCABULARY-sized,
+    not constant-sized — so the scoring join is left UNHINTED and AQE
+    broadcasts it only while its runtime stats fit (r10 review: a forced
+    broadcast hint would collect a multi-million-token-vocab profile to
+    the driver at 100 TB instead of degrading to a shuffle join — the
+    same posture text_surprisal documents). The only big shuffle is the
+    per-(doc, lang) aggregation, keyed on doc_id (dense, unskewed).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
@@ -228,7 +240,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = profile.join(totals, "lang")
     scored = (
         toks.drop("lang")
-        .join(F.broadcast(profile), "tok")
+        .join(profile, "tok")
         .groupBy("doc_id", "lang")
         .agg(
             (
@@ -374,8 +386,9 @@ WITH feats AS (
 SELECT lang,
        CAST(count(*) AS BIGINT)                         AS n_docs,
        CAST(sum(n_words) AS BIGINT)                     AS total_tokens,
-       round(avg(n_chars), 2)                           AS avg_chars,
-       round(avg(CAST(n_uniq AS DOUBLE) / n_words), 6)  AS avg_uniq_ratio
+       floor(avg(n_chars) * 100 + 0.5) / 100            AS avg_chars,
+       floor(avg(CAST(n_uniq AS DOUBLE) / n_words) * 1000000 + 0.5)
+         / 1000000                                      AS avg_uniq_ratio
 FROM uniq GROUP BY lang
 """,
 )
@@ -393,19 +406,36 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tokens(load_table(spark, sf_dir, "documents"))
     n_words = F.size("toks")
     n_uniq = F.size(F.array_distinct("toks"))
-    kept = d.withColumn("n_words", n_words).withColumn("n_uniq", n_uniq).filter(
-        F.col("n_words").between(20, 90)
-        & (F.col("n_uniq").cast("double") / F.col("n_words") >= 0.3)
+    kept = (
+        d.withColumn("n_words", n_words)
+        .withColumn("n_uniq", n_uniq)
+        .filter(
+            F.col("n_words").between(20, 90)
+            & (F.col("n_uniq").cast("double") / F.col("n_words") >= 0.3)
+        )
+        # slim before the content-keyed window: the token array is spent
+        # (n_words/n_uniq are materialized ints) and would otherwise ride
+        # the md5 dedup exchange, ~doubling its payload (r10 review)
+        .drop("toks")
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     uniq = kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     return uniq.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_tokens"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        F.round(F.avg(F.col("n_uniq").cast("double") / F.col("n_words")), 6).alias(
-            "avg_uniq_ratio"
-        ),
+        # floor-lattice, not round(): avg(int)/n is a terminating
+        # rational that can sit exactly on a .xx5 half — where Spark
+        # (decimal HALF_UP) and DuckDB (binary value) disagree
+        # (docs/dialect_notes.md); floor(x*10^k + 0.5) is the same IEEE
+        # op chain on both engines
+        (F.floor(F.avg("n_chars") * 100 + F.lit(0.5)) / 100).alias("avg_chars"),
+        (
+            F.floor(
+                F.avg(F.col("n_uniq").cast("double") / F.col("n_words")) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("avg_uniq_ratio"),
     )
 
 
@@ -623,8 +653,8 @@ vocab AS (
 SELECT b.lang,
        CAST(count(*) AS BIGINT) AS total_pairs,
        CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_pairs,
-       round(CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS oov_rate,
+       floor(CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate,
        CAST(count(DISTINCT b.pair) AS BIGINT) AS distinct_pairs,
        CAST(count(DISTINCT v.token_id) AS BIGINT) AS distinct_in_vocab
 FROM bg b LEFT JOIN vocab v ON b.pair = v.pair
@@ -652,13 +682,18 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast never grows with the data.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # project the tokenizer ONCE below the pair generator: inlining the
+    # bare split() into the zip_with/slice/size expressions re-tokenizes
+    # every document ~4x (higher-order lambdas are interpreted) — the
+    # measured anti-pattern text_ngram_topk documents (r10 review)
+    t = d.select("lang", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     pairs = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = d.select("lang", F.explode(pairs).alias("pair"))
+    bg = t.select("lang", F.explode(pairs).alias("pair"))
     counted = bg.groupBy("pair").agg(F.count("*").alias("cnt"))
     topv = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(VOCAB_V)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
@@ -673,7 +708,12 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_pairs"),
             F.sum(oov).cast("bigint").alias("oov_pairs"),
-            F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+            (
+                F.floor(
+                    F.sum(oov).cast("double") / F.count("*") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("oov_rate"),
             F.countDistinct("pair").alias("distinct_pairs"),
             F.countDistinct("token_id").alias("distinct_in_vocab"),
         )
@@ -1008,9 +1048,9 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
 
 @register("text_bm25", oracle=_BM25_ORACLE)
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval for a fixed term set ({_BM25_TERMS}): the
-    lexical relevance kernel (Robertson/Lucene form, k1={_BM25_K1},
-    b={_BM25_B}) — the sparse-retrieval half of a retrieval pipeline
+    """BM25 ranked retrieval for a fixed term set (_BM25_TERMS): the
+    lexical relevance kernel (Robertson/Lucene form, k1=_BM25_K1,
+    b=_BM25_B) — the sparse-retrieval half of a retrieval pipeline
     whose dense half is the kNN family.
 
     Plan: term postings (tf) come from one explode+filter+groupBy keyed
@@ -1020,7 +1060,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp BEFORE the top-k ordering (pre-rounded ranking keys
     — ln/division ulp skew across engines must not flip ranks) with
     doc_id as the unique tie-break; TakeOrderedAndProject handles the
-    global top-{_BM25_TOP}. At 100 TB the posting shuffle is bounded by
+    global top-_BM25_TOP. At 100 TB the posting shuffle is bounded by
     matches (query terms prune at the scan), the classic term-at-a-time
     sharded-postings shape.
     """
@@ -1064,7 +1104,7 @@ GROUP BY doc_id
 @register("dedup_paragraph_hash", oracle=_PARA_ORACLE)
 def dedup_paragraph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granular dedup statistic (CCNet-style): documents split
-    into non-overlapping {_PARA_TOKENS}-token chunks; a chunk is a
+    into non-overlapping _PARA_TOKENS-token chunks; a chunk is a
     duplicate if the same md5 appeared at a lexicographically earlier
     (doc_id, pos) — keep-first, fully deterministic. Per document:
     chunk count, duplicated-chunk count, duplicated fraction (the score
@@ -1168,9 +1208,9 @@ LIMIT {_RRF_TOP}
 
 @register("retrieval_rrf_hybrid", oracle=_rrf_oracle())
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: Reciprocal Rank Fusion (k={_RRF_K}) of the BM25
-    lexical ranking (terms {_BM25_TERMS}) and the dense cosine ranking
-    (query = embedding {_RRF_QVEC}) — rrf = Σ 1/(k + rank) over the two
+    """Hybrid retrieval: Reciprocal Rank Fusion (k=_RRF_K) of the BM25
+    lexical ranking (terms _BM25_TERMS) and the dense cosine ranking
+    (query = embedding _RRF_QVEC) — rrf = Σ 1/(k + rank) over the two
     lists, the standard zero-tuning fusion for sparse+dense retrieval
     stacks. Completes the IR family: postings (text_bm25) + vector kNN +
     fusion.
@@ -1185,7 +1225,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streamed embeddings (no corpus shuffle); each ranking is one
     window over its score table (docs-with-matches / corpus-sized), the
     fusion is a full outer join on doc_id, and the output is a
-    TakeOrderedAndProject top-{_RRF_TOP}. At scale the dense ranking
+    TakeOrderedAndProject top-_RRF_TOP. At scale the dense ranking
     swaps in any ANN family member as its candidate generator.
     """
     from bangdatapipeline_spark.operators.similarity import dot_double_vec
@@ -1408,7 +1448,7 @@ SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM base
 UNION ALL
 SELECT 'n_tokens', CAST(sum(n_toks) AS DOUBLE) FROM base
 UNION ALL
-SELECT 'avg_doc_tokens', round(avg(n_toks), 4) FROM base
+SELECT 'avg_doc_tokens', floor(avg(n_toks) * 10000 + 0.5) / 10000 FROM base
 UNION ALL
 SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM base
 UNION ALL
@@ -1461,7 +1501,9 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("n_toks").cast("double").alias("n_tokens"),
-        F.round(F.avg("n_toks"), 4).cast("double").alias("avg_doc_tokens"),
+        (F.floor(F.avg("n_toks") * 10000 + F.lit(0.5)) / 10000)
+        .cast("double")
+        .alias("avg_doc_tokens"),
         F.countDistinct("lang").cast("double").alias("n_langs"),
         F.countDistinct("source").cast("double").alias("n_sources"),
         (F.floor(share_en * 10000 + 0.5) / 10000)
@@ -1722,7 +1764,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, step 0: corpus-wide adjacent-symbol pair
     counts within word boundaries (Sennrich et al. 2016) — the statistic
     every merge round of byte-pair encoding argmaxes over. Emits the top
-    {_BPE_TOP} character bigrams with a total-order tie-break (count
+    _BPE_TOP character bigrams with a total-order tie-break (count
     desc, pair asc), i.e. the first merge candidate list.
 
     The pair stream is generated IN-ROW (filter words >= 2 chars, then a
@@ -1731,7 +1773,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the symbol-bigram alphabet (|Σ|² — a few thousand keys at most):
     map-side combine collapses the billions of pair occurrences a 100 TB
     corpus generates to |Σ|² rows per task before anything moves. The
-    top-{_BPE_TOP} window runs over that bounded table (single tiny
+    top-_BPE_TOP window runs over that bounded table (single tiny
     partition by construction — the iterative merge loop re-aggregates
     pairs per round; each round is this same bounded-key shape).
     """
@@ -1784,7 +1826,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would shuffle every token twice); the count aggregate
     is the only exchange and map-side combine compresses it to the
     distinct-bigram domain per task. Unlike char pairs that domain is
-    data-sized (vocab²-bounded but long-tailed), so the top-{_NGRAM_TOP}
+    data-sized (vocab²-bounded but long-tailed), so the top-_NGRAM_TOP
     window runs AFTER the count table — at 100 TB that table is the
     thing you'd additionally count-min-sketch if it outgrew memory
     (agg_cms_heavy_hitters is the registered sketch path).
