@@ -17,10 +17,35 @@ raw events again.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
+
+
+
+# The ONE per-row cents-lattice spelling (r10 review: round() and
+# floor(+0.5) variants coexisted across six daily rollups; they agree
+# only for non-negative values — round is half-away-from-zero,
+# floor(x+0.5) half-toward-+inf — so a signed-data copy of the wrong
+# variant would silently fork the lattice). floor(x*100 + 0.5) is the
+# repo-wide convention (docs/dialect_notes.md).
+_CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _floordiv_sql(expr: str, d: int | str) -> str:
+    """FLOOR division as a Spark SQL expression — matches DuckDB's ``//``
+    for NEGATIVE operands too (Spark's ``div`` truncates toward zero, so
+    -1 div 86400 = 0 where -1 // 86400 = -1). pmod() is always
+    non-negative, so (x - pmod(x, d)) is exactly divisible and the div
+    is exact int64 arithmetic (r10 review: pre-origin timestamps or
+    negative cent sums would silently land in the wrong bucket/day)."""
+    return f"((({expr}) - pmod(({expr}), {d})) div {d})"
+
+
+def _cents_spark(col: Column) -> Column:
+    """``value`` -> exact integer cents; SQL twin is ``_CENTS_SQL``."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
 
 
 @register(
@@ -86,7 +111,7 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH obs AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         round(avg(value), 4) AS v
+         floor(avg(value) * 10000 + 0.5) / 10000 AS v
   FROM events
   WHERE event_type = 'purchase'
   GROUP BY user_id, CAST(ts AS DATE)
@@ -140,14 +165,21 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes partition by user_id, so everything after the first aggregate
     is one shuffle on user_id. ``last/first(ignorenulls)`` is the
     O(n)-per-partition carry; no self-join, no as-of join needed.
-    Both engines round the observed daily mean to 4 dp BEFORE
-    interpolating so the line arithmetic starts from identical inputs.
+    Both engines floor-round the observed daily mean onto the 4-dp
+    lattice BEFORE interpolating so the line arithmetic starts from
+    identical inputs (floor(x*1e4+0.5), not round(): a cents mean can
+    sit exactly on a half, where native round() is engine-divergent).
     """
     ev = load_table(spark, sf_dir, "events")
     obs = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .agg(
+            # floor lattice, not round(): avg of cent values is a
+            # terminating rational that can sit on a 4-dp half where the
+            # engines' round() disagree (docs/dialect_notes.md)
+            (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias("v")
+        )
     )
     spine = (
         obs.groupBy("user_id")
@@ -290,7 +322,12 @@ def ts_seasonality_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         "n",
         (F.floor(share * 1000000 + 0.5) / 1000000).alias("share"),
-        (F.floor(share * 24 * 10000 + 0.5) / 10000).alias("seasonal_idx"),
+        # operand order matches the oracle exactly: (n*24.0)/tot, ONE
+        # division before the lattice — (share*24) would round twice and
+        # can land on the other side of the floor(+0.5) boundary
+        (F.floor(F.col("n") * 24.0 / tot * 10000 + 0.5) / 10000).alias(
+            "seasonal_idx"
+        ),
     )
 
 
@@ -566,7 +603,9 @@ def ts_wau_bitmap_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     words = ev.groupBy(
         F.to_date("ts").alias("day"),
-        (F.col("user_id") / _BM_WORD).cast("bigint").alias("bucket"),
+        # integer div, not double division: the 53-bit double mantissa
+        # corrupts buckets for ids above 2^53 (same fix as _bitmap_words)
+        F.expr(f"user_id div {_BM_WORD}").alias("bucket"),
     ).agg(
         F.bit_or(
             F.expr(f"shiftleft(1L, cast(user_id % {_BM_WORD} as int))")
@@ -727,7 +766,7 @@ def hist_quantiles(daily: DataFrame) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS HUGEINT) AS v
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS v
   FROM events GROUP BY 1, 2
 ),
 lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
@@ -774,7 +813,7 @@ def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.to_date("ts").alias("day")
         )
         .agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            F.sum(_cents_spark(F.col("value")))
             .cast(dec)
             .alias("v")
         )
@@ -819,7 +858,7 @@ def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
   FROM events GROUP BY 1, 2
 ),
 flagged AS (
@@ -863,7 +902,7 @@ def ts_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v"))
+        .agg(F.sum(_cents_spark(F.col("value"))).alias("v"))
     )
     w = Window.partitionBy("event_type").orderBy("day")
     flagged = daily.withColumn(
@@ -909,7 +948,7 @@ _LTTB_ORIGIN = "2024-01-01 00:00:00"  # epoch origin inside the data range
 WITH pts AS (
   SELECT user_id, ts, event_id, value,
          date_diff('microsecond', TIMESTAMP '{_LTTB_ORIGIN}', ts) AS x,
-         CAST(round(value * 100) AS BIGINT)                       AS y,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)                 AS y,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn,
          count(*)    OVER (PARTITION BY user_id)   AS n
@@ -969,7 +1008,7 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{_LTTB_ORIGIN}', ts)"
     )
-    y = F.round(F.col("value") * 100).cast("long")
+    y = _cents_spark(F.col("value"))
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_n = Window.partitionBy("user_id")
     pts = ev.select(
@@ -983,8 +1022,8 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_n).alias("n"),
     ).withColumn("bucket", F.expr(f"(rn - 1) * {_LTTB_K} div n"))
     bk = pts.groupBy("user_id", "bucket").agg(
-        F.expr("sum(x) div count(1)").alias("xb"),
-        F.expr("sum(y) div count(1)").alias("yb"),
+        F.expr(_floordiv_sql("sum(x)", "count(1)")).alias("xb"),
+        F.expr(_floordiv_sql("sum(y)", "count(1)")).alias("yb"),
     )
     w_b = Window.partitionBy("user_id").orderBy("bucket")
     bl = bk.select(
@@ -1127,7 +1166,8 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sess_id",
         F.explode(
             F.sequence(
-                F.expr(f"s div {_CONC_DAY_US}"), F.expr(f"e div {_CONC_DAY_US}")
+                F.expr(_floordiv_sql("s", _CONC_DAY_US)),
+                F.expr(_floordiv_sql("e", _CONC_DAY_US)),
             )
         ).alias("d"),
         "s",
@@ -1271,7 +1311,7 @@ def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            _cents_spark(F.col("value"))
         ).alias("cents")
     )
     return snaive_backtest_from_daily(daily)
@@ -1443,7 +1483,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        F.sum(_cents_spark(F.col("value")))
         .cast("bigint")
         .alias("cents")
     )
@@ -1857,7 +1897,7 @@ def ts_ship_delay_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT event_type,
-         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          lead(epoch_us(ts)) OVER (PARTITION BY event_type
                                   ORDER BY ts, event_id)
            - epoch_us(ts) AS gap_us
@@ -1901,7 +1941,7 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seg = ev.select(
         "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        _cents_spark(F.col("value")).alias("cents"),
         (F.lead(us).over(w) - us).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
     return seg.groupBy("event_type").agg(
