@@ -77,7 +77,14 @@ def _hash_words_np(flat):
     CONSTRUCTION (pure int64 arithmetic: max intermediate P*31 + 0x10FFFF
     << 2^63). The per-character Catalyst fold this replaces was the
     hottest expression in the repo (~50 s of interpreted substring/ascii
-    calls on the sf0.1 shingle pass)."""
+    calls on the sf0.1 shingle pass).
+
+    Precondition (r10 review): words must not contain EMBEDDED NUL
+    characters — numpy's fixed-width U dtype uses codepoint 0 as right
+    padding, so an interior NUL position is skipped here while the SQL
+    fold on both engines would include its 0 contribution. Tokens come
+    from split-on-space over text columns, where NUL does not survive
+    ingestion; a corpus that can carry NULs must strip them upstream."""
     if len(flat) == 0:
         return np.zeros(0, dtype=np.int64)
     u = np.asarray(flat, dtype="U")  # NUL-padded fixed-width codepoints
@@ -223,7 +230,8 @@ WITH sh AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, round({_JACCARD_DUCK}, 6) AS jaccard
+SELECT id_a, id_b,
+       floor(({_JACCARD_DUCK}) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM p WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
 """,
 )
@@ -239,7 +247,17 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard_raw", F.expr(_JACCARD_SPARK))
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
-        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            # floor lattice, not round(): a rational like 449/640 has a
+            # binary-terminating shape where Spark's shortest-decimal
+            # HALF_UP and DuckDB's binary-value round disagree
+            # (docs/dialect_notes.md; r10 review)
+            (F.floor(F.col("jaccard_raw") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "jaccard"
+            ),
+        )
     )
 
 
@@ -282,7 +300,8 @@ WITH hashed AS (
     JOIN hashed ha ON ha.doc_id = c.id_a
     JOIN hashed hb ON hb.doc_id = c.id_b
 )
-SELECT id_a, id_b, round({_JACCARD_DUCK}, 6) AS jaccard
+SELECT id_a, id_b,
+       floor(({_JACCARD_DUCK}) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM pairs WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
 """,
 )
@@ -342,7 +361,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("jaccard_raw", F.expr(_JACCARD_SPARK))
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
-        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            # floor lattice, not round(): a rational like 449/640 has a
+            # binary-terminating shape where Spark's shortest-decimal
+            # HALF_UP and DuckDB's binary-value round disagree
+            # (docs/dialect_notes.md; r10 review)
+            (F.floor(F.col("jaccard_raw") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "jaccard"
+            ),
+        )
     )
 
 
@@ -374,7 +403,8 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is the document fingerprint. Near-identical token sets collapse
     to the same fingerprint; dup_count is the cluster size.
 
-    Per-doc work is a projection + a (doc_id, bit) aggregation — no joins.
+    Per-doc work is a projection + ONE doc_id aggregation carrying 16
+    per-bit vote sums — no joins, no row amplification.
     At 100 TB the fingerprint would widen to 64 bits, with Hamming-distance
     banding (split into 4×16-bit bands, join per band) for distance<=k
     pairing — same shape as the MinHash band join above.
@@ -384,20 +414,21 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     th = toks.select("doc_id", wordhash(F.col("tok")).alias("h"))
-    bit_ids = spark.range(0, 16).select(F.col("id").cast("int").alias("b"))
-    bits = (
-        th.crossJoin(F.broadcast(bit_ids))
-        .select("doc_id", "b", F.expr("2 * ((shiftright(h, b)) & 1) - 1").alias("v"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
+    # ONE aggregate with 16 per-bit vote-sum columns (r10 review: the
+    # earlier 16-row crossJoin amplified the token-hash relation 16x and
+    # shuffled it twice); votes combine map-side, the single shuffle
+    # moves 1x rows, and the fingerprint is a pure post-projection —
+    # bit-identical output.
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * ((shiftright(h, {b})) & 1) - 1")).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash16")
-    )
+    sim = F.lit(0)
+    for b in range(16):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    fp = votes.select("doc_id", sim.cast("bigint").alias("simhash16"))
     return fp.withColumn(
         "dup_count", F.count("*").over(Window.partitionBy("simhash16")).cast("bigint")
     )
@@ -546,6 +577,22 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deletion_variants(name_col: str):
+    """D1 deletion neighborhood of a string column: {s} + {s minus one
+    char} — the ONE definition shared by the production
+    ``fuzzy_match_names`` join and ``eval_fuzzy_blocking`` (r10 review:
+    the eval carried a verbatim copy of the expression it exists to
+    measure; silent drift would defeat its completeness certificate)."""
+    return F.array_union(
+        F.array(F.col(name_col)),
+        F.expr(
+            f"transform(sequence(1, length({name_col})),"
+            f" i -> concat(substring({name_col}, 1, i - 1),"
+            f"             substring({name_col}, i + 1, length({name_col}))))"
+        ),
+    )
+
+
 @register(
     "fuzzy_match_names",
     oracle="""
@@ -579,14 +626,7 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision profile).
     """
     c = load_table(spark, sf_dir, "customer")
-    variants = F.array_union(
-        F.array(F.col("c_name")),
-        F.expr(
-            "transform(sequence(1, length(c_name)),"
-            " i -> concat(substring(c_name, 1, i - 1),"
-            "             substring(c_name, i + 1, length(c_name))))"
-        ),
-    )
+    variants = _deletion_variants("c_name")
     v = c.select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
@@ -1027,7 +1067,11 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ws.select(
         "doc_id",
         F.posexplode(ngram_hashes_positional(F.col("ws"))).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h").cache()
+    # ^ pinned: g feeds the df-cap aggregate and BOTH self-join sides —
+    # uncached, the positional n-gram Arrow kernel over the full corpus
+    # runs at least twice per job (r10 review; dedup_containment pins the
+    # same shape with xk.cache())
     keep = g.groupBy("h").agg(
         F.countDistinct("doc_id").alias("df")
     ).filter(F.col("df") <= SPAN_DF_CAP).select("h")
@@ -1090,7 +1134,12 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever forms, so this scales exactly like exact dedup does. Integer
     ppm, no float hazard.
     """
-    hashed = _hashed_shingles(spark, sf_dir)
+    # .cache(): `ex` feeds the firsts aggregate AND the rejoin probe —
+    # without the pin the Arrow word-hash kernel (the dominant cost) runs
+    # twice in one job (r10 review; the same pin its siblings carry). The
+    # plan-equal cache entry is shared with dedup_near_minhash's when both
+    # run in one session.
+    hashed = _hashed_shingles(spark, sf_dir).cache()
     ex = hashed.select("doc_id", F.explode("hs").alias("h"))
     firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1176,15 +1225,9 @@ def eval_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select("id_a", "id_b")
+        .cache()  # feeds intersect AND n_true — quadratic lineage, once
     )
-    variants = F.array_union(
-        F.array(F.col("name")),
-        F.expr(
-            "transform(sequence(1, length(name)),"
-            " i -> concat(substring(name, 1, i - 1),"
-            "             substring(name, i + 1, length(name))))"
-        ),
-    )
+    variants = _deletion_variants("name")
     v = c.select("id", "nk", F.explode(variants).alias("vkey"))
     va = v.select(F.col("id").alias("id_a"), "nk", "vkey")
     vb = v.select(F.col("id").alias("id_b"), "nk", "vkey")
@@ -1193,6 +1236,7 @@ def eval_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .cache()  # feeds intersect AND n_cand (r10 review)
     )
     hit = cand.intersect(truth)
     n_true = truth.count()

@@ -38,6 +38,7 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         neigh = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -57,6 +58,18 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # r10 review: silently returning unconverged labels would make
+        # dedup_clusters emit two cluster ids for one true component —
+        # a wrong answer with no diagnostic. A component diameter above
+        # max_rounds means this simple kernel is the wrong tool: fail
+        # loudly and point at the O(log n) alternating-star variant.
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the bound); use "
+            "graph_analytics.graph_cc_alternating for long-chain graphs"
+        )
     return labels
