@@ -102,10 +102,31 @@ def main() -> int:
     ap.add_argument("--max-age", type=int, default=4)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--rewritten",
+        action="store_true",
+        help="check every tier-0 key (current fingerprint differs from "
+        "green_hashes) instead of the over-age set — run at round close "
+        "when the round's rewrite count exceeds the driver's ~50-key "
+        "window, so overflow rewrites still get RECORDED t2-faithful "
+        "evidence at HEAD instead of shipping on stale greens",
+    )
     args = ap.parse_args()
 
     latest = evidence_rounds()
-    stale = over_age_keys(args.max_age, latest=latest)
+    if args.rewritten:
+        from _evidence import load_green_hashes
+
+        from bangdatapipeline_spark.registry import load_all, query_hash
+
+        recorded = load_green_hashes()
+        registry = load_all()
+        stale = sorted(
+            k for k in registry
+            if k in recorded and recorded[k] != query_hash(registry[k])
+        )
+    else:
+        stale = over_age_keys(args.max_age, latest=latest)
     if args.status:
         from bangdatapipeline_spark.registry import load_all
 
