@@ -63,7 +63,6 @@ CARTESIAN_OK = {
     "retrieval_rrf_hybrid",  # same BM25 scalars inside the lexical leg
     "text_surprisal",  # 1-row vocab-size/total-token scalars
     "text_surprisal_bigram",  # 1-row smoothing scalars
-    "dedup_near_simhash",  # 1-row hyperplane codebook broadcast
     "join_bloom_prefilter",  # 1-row bloom bit-set broadcast onto the fact scan
     "ml_naive_bayes",  # per-lang model rows (bounded by |langs|) broadcast
     "emb_knn_outlier",  # exact brute-force pair pass (broadcast query side)
