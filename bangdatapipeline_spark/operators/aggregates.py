@@ -1815,6 +1815,19 @@ def exact_select(df: DataFrame, targets: DataFrame, width: int) -> DataFrame:
     ``width`` so per-(grp, bucket) row counts stay task-sized; recurse
     the bisection one level if a bucket outgrows a partition."""
     carry = [c for c in targets.columns if c not in ("grp", "k")]
+    # Carry columns pass through the kernel's own join/window plumbing;
+    # a carry that shadows an internal name would make the spec join
+    # ambiguous or silently mis-resolve (r11 review). Fail loudly at
+    # entry instead — current callers carry only n/q/role/frac.
+    _reserved = {"v", "bucket", "off", "rn", "cnt", "cum", "cum_prev",
+                 "s_grp", "s_bucket", "s_off"}
+    clash = _reserved.intersection(carry)
+    if clash:
+        raise ValueError(
+            f"exact_select: carry column(s) {sorted(clash)} collide with "
+            f"the kernel's reserved internals {sorted(_reserved)}; rename "
+            "them in the targets relation before calling"
+        )
     hist = df.groupBy("grp", (F.col("v") - F.col("v") % width).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -28,8 +28,14 @@ from bangdatapipeline_spark.tables import load_table
 # floor(+0.5) variants coexisted across six daily rollups; they agree
 # only for non-negative values — round is half-away-from-zero,
 # floor(x+0.5) half-toward-+inf — so a signed-data copy of the wrong
-# variant would silently fork the lattice). floor(x*100 + 0.5) is the
-# repo-wide convention (docs/dialect_notes.md).
+# variant would silently fork the lattice). floor(x*100 + 0.5) is this
+# file's convention (docs/dialect_notes.md); every oracle here
+# interpolates this constant (r11: the six daily-rollup oracles are
+# f-strings over it, so a signed-data lattice fork can no longer be
+# introduced by editing one copy). inference.py / layout_ops.py use the
+# round() spelling instead — consistently on BOTH their Spark and
+# oracle sides, over non-negative domains where the two lattices agree
+# — so they pair internally; do not copy either spelling across files.
 _CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
 
 
@@ -763,10 +769,10 @@ def hist_quantiles(daily: DataFrame) -> DataFrame:
 
 @register(
     "ts_xcorr_leadlag",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS v
+         CAST(sum({_CENTS_SQL}) AS HUGEINT) AS v
   FROM events GROUP BY 1, 2
 ),
 lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
@@ -855,10 +861,10 @@ def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_up_streaks",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+         CAST(sum({_CENTS_SQL}) AS BIGINT) AS v
   FROM events GROUP BY 1, 2
 ),
 flagged AS (
@@ -948,7 +954,7 @@ _LTTB_ORIGIN = "2024-01-01 00:00:00"  # epoch origin inside the data range
 WITH pts AS (
   SELECT user_id, ts, event_id, value,
          date_diff('microsecond', TIMESTAMP '{_LTTB_ORIGIN}', ts) AS x,
-         CAST(floor(value * 100 + 0.5) AS BIGINT)                 AS y,
+         {_CENTS_SQL}                                             AS y,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn,
          count(*)    OVER (PARTITION BY user_id)   AS n
@@ -1270,10 +1276,10 @@ def ts_max_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_forecast_snaive_eval",
     tags=("stream_twin", "stream_test:test_snaive_backtest_stream_equals_batch"),
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
 j AS (
@@ -1443,10 +1449,10 @@ def ts_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_peak_detection",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
 nbr AS (
@@ -1894,10 +1900,10 @@ def ts_ship_delay_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_twap",
-    oracle="""
+    oracle=f"""
 WITH seg AS (
   SELECT event_type,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         {_CENTS_SQL} AS cents,
          lead(epoch_us(ts)) OVER (PARTITION BY event_type
                                   ORDER BY ts, event_id)
            - epoch_us(ts) AS gap_us

@@ -21,6 +21,7 @@ reachable via ``.df`` — the wrapper is an on-ramp, not a cage.
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Callable, Mapping
 
 import pyspark.sql.functions as F
@@ -361,8 +362,12 @@ class Frame:
         ``F.hash``), so ``repartition(n, steer)`` places bucket ``f`` in
         partition ``f`` by construction. One deterministic hash shuffle
         + per-partition sort — the same I/O as the sampled range shuffle,
-        with reproducible, exactly-balanced files. Cells holding more
-        than one quantile collapse (fewer, still-tight files).
+        with reproducible, exactly-balanced files. A cell heavy enough to
+        cross several quantile thresholds pushes the surplus thresholds
+        backward onto the nearest earlier cells (r11: naive dedup merged
+        small leading cells into the heavy cell's file, widening bboxes),
+        so skew costs at most the thresholds that have no earlier cell
+        left, never a neighbour's file.
 
         Scale: every driver-side structure is bounded by the z LATTICE
         (<= 2**16 cells) or by ``n_files`` — never by the data. Rows
@@ -391,16 +396,31 @@ class Frame:
             .collect()  # bounded by the z lattice (<= 65536 rows), not data
         )
         total = sum(n for _, n in hist)
-        bounds: list[int] = []  # bounds[i] = last z-cell of file i
+        raw: list[int] = []  # one entry per crossed quantile threshold
         cum, nxt = 0, 1
         for c, n in hist:
             cum += n
             while nxt < n_files and cum * n_files >= nxt * total:
-                bounds.append(c)
+                raw.append(c)
                 nxt += 1
-        bounds = sorted(set(bounds))
-        if bounds and bounds[-1] == hist[-1][0]:
-            bounds.pop()  # max cell closes the last file anyway
+        # Distinctify: one heavy cell crossing several thresholds yields
+        # duplicate raw bounds. Naive dedup over-collapses files (r10
+        # review: hist [(0,5),(1,5),(2,90)] at n_files=4 collapsed to ONE
+        # file where cells 0/1 could keep their own) — instead push
+        # surplus thresholds BACKWARD onto the nearest earlier unused
+        # cells. Walk raw bounds last-to-first keeping assigned cells
+        # strictly decreasing; the max cell is never a bound (it would
+        # close an empty last file). A threshold with no earlier cell
+        # left is genuinely unsatisfiable and is dropped.
+        cells = [c for c, _ in hist[:-1]]  # candidate bound cells, sorted
+        bounds = []  # built decreasing, reversed below
+        for b in reversed(raw):
+            hi = bounds[-1] if bounds else None  # smallest assigned so far
+            # largest candidate cell <= b and < hi
+            i = bisect.bisect_right(cells, b if hi is None else min(b, hi - 1)) - 1
+            if i >= 0:
+                bounds.append(cells[i])
+        bounds.reverse()  # bounds[i] = last z-cell of file i, increasing
         n_buckets = len(bounds) + 1
 
         # (cell -> hash-steer value) mapping, broadcast-joined onto rows.

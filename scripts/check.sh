@@ -14,6 +14,10 @@
 cd "$(dirname "$0")/.."
 python scripts/driver_sim.py /root/testdata/sf0.001
 python scripts/driver_sim.py
+# regenerate the plan-shape doc at the tree the sweep just certified —
+# the suite's PLANS.md freshness gate (tests/test_plans.py) compares its
+# source_hash stamp against the live tree, same ratchet as the sweep's
+python scripts/dump_plans.py
 python -m pytest tests/ -x -q
 python scripts/evidence_ledger.py --status
 python bench.py

@@ -70,9 +70,18 @@ SHOWCASE: list[tuple[str, str]] = [
 
 
 def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _evidence import source_tree_hash
+
     registry = load_all()
     spark = get_spark("plans")
+    # Content-addressed freshness stamp (VERDICT r10 task 3): PLANS.md
+    # certifies the plans of a specific operator tree; the gate in
+    # tests/test_plans.py fails the round close if the live tree's hash
+    # differs (same mechanism as the SWEEP source-hash gate).
     out = ["# Physical plans — headline queries (generated by scripts/dump_plans.py)",
+           "",
+           f"<!-- source_hash: {source_tree_hash()} -->",
            "",
            f"Scale factor dir: `{SF_DIR}`; session config: bangdatapipeline_spark/session.py.",
            "Regenerate after plan-affecting changes: `python scripts/dump_plans.py`.",

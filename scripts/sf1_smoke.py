@@ -121,12 +121,24 @@ def synthesize(spark) -> None:
         print(f"synthesized {name}: {n} rows", file=sys.stderr)
 
 
-def _ledger_keys(registry) -> list[str]:
+_LEDGER_CAP = 60  # hard cap on the --ledger slice (VERDICT r10 task 5)
+
+
+def _ledger_keys(registry) -> tuple[list[str], dict]:
     """The round-loop slice: 20 slowest benched keys (most likely to go
     super-linear) + 20 newest keys (insertion-order tail, never-benched
     keys first — no scale evidence yet) + every key rewritten since the
     last round's closing commit (green_hashes.json fingerprint differs —
-    their old sf1 evidence describes code that no longer exists)."""
+    their old sf1 evidence describes code that no longer exists).
+
+    The slice is CAPPED at ``_LEDGER_CAP`` keys (r10's 66-rewrite round
+    pushed it to 92 keys / 347 s; two such rounds would put the
+    round-close loop past 10 minutes). When the rewrite set overflows
+    the cap, rewrites are SAMPLED round-robin across operator families
+    (the ``<prefix>_`` before the first underscore) so every touched
+    family keeps at least one sf1 execution; the cap and the
+    sampled/total counts are recorded in the ledger entry so a capped
+    round is visibly capped, never silently thinner."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         with open(os.path.join(root, "BENCH_FULL.json")) as f:
@@ -159,7 +171,31 @@ def _ledger_keys(registry) -> list[str]:
         k for k in registry
         if k in recorded and recorded[k] != query_hash(registry[k])
     ]
-    return sorted(set(slowest) | set(newest) | set(rewritten))
+    base = set(slowest) | set(newest)
+    room = max(0, _LEDGER_CAP - len(base))
+    extra = sorted(set(rewritten) - base)
+    sampled = extra
+    if len(extra) > room:
+        # round-robin across families so every touched family keeps at
+        # least one sf1 execution under the cap
+        fams: dict[str, list[str]] = {}
+        for k in extra:
+            fams.setdefault(k.split("_", 1)[0], []).append(k)
+        order = sorted(fams)
+        sampled, i = [], 0
+        while len(sampled) < room:
+            fam = fams[order[i % len(order)]]
+            if fam:
+                sampled.append(fam.pop(0))
+            elif all(not fams[f] for f in order):
+                break
+            i += 1
+    meta = {
+        "cap": _LEDGER_CAP,
+        "rewritten_total": len(set(rewritten) - base),
+        "rewritten_sampled": len(sampled),
+    }
+    return sorted(base | set(sampled)), meta
 
 
 _BUDGETS_PATH = os.path.join(
@@ -176,9 +212,14 @@ def _budget_check(timings: dict[str, float]) -> dict[str, list[float]]:
     as ``over_budget``, which the contract test requires empty in the
     latest entry) — one more triangle-heavy addition can no longer
     double the round-loop cost silently. Keys not yet budgeted get
-    self-seeded at 1.2x their first observed time (floor 5 s) so new
-    heavy keys alert from their second run; existing budgets only change
-    by hand, with the rationale in the commit that changes them."""
+    self-seeded at min(1.2x first observed time, the 30 s default),
+    floor 5 s, so new heavy keys alert from their second run; the min()
+    cap means a key whose FIRST observation already exceeds the default
+    budget seeds AT the default — it keeps alerting until a human sets
+    a budget by hand (r11 review: the old uncapped seed let an
+    over-budget first observation auto-baseline its own regression).
+    Existing budgets only change by hand, with the rationale in the
+    commit that changes them."""
     if os.path.exists(_BUDGETS_PATH):
         # a corrupt budgets file must CRASH, not silently count as empty:
         # empty would re-seed every key at 1.2x its CURRENT time, erasing
@@ -194,7 +235,11 @@ def _budget_check(timings: dict[str, float]) -> dict[str, list[float]]:
     }
     for k, t in over.items():
         print(f"OVER BUDGET {k}: {t[0]}s > {_DRIFT_RATIO}x{t[1]}s", file=sys.stderr)
-    new = {k: max(5.0, round(1.2 * t, 1)) for k, t in timings.items() if k not in budgets}
+    new = {
+        k: max(5.0, min(round(1.2 * t, 1), _DEFAULT_BUDGET_SEC))
+        for k, t in timings.items()
+        if k not in budgets
+    }
     if new:
         with open(_BUDGETS_PATH, "w") as f:
             json.dump(dict(sorted({**budgets, **new}.items())), f, indent=1)
@@ -212,7 +257,10 @@ def _append_ledger(summary: dict) -> None:
             for k in (
                 "keys", "failed", "slowest_sec", "total_sec",
                 "timings", "over_budget",
+                # slice-cap bookkeeping (r11): present on --ledger runs
+                "cap", "rewritten_total", "rewritten_sampled",
             )
+            if k in summary
         },
     }
     with open(os.path.join(REPO_ROOT, "SCALE_LEDGER.jsonl"), "a") as f:
@@ -234,8 +282,9 @@ def main() -> int:
     failures: dict[str, str] = {}
     timings: dict[str, float] = {}
     keys = [k for k in sorted(registry) if only is None or k in only]
+    slice_meta: dict = {}
     if ledger and only is None:
-        keys = _ledger_keys(registry)
+        keys, slice_meta = _ledger_keys(registry)
     # Cache hygiene (VERDICT r9 task 4): pressure-triggered release with
     # a fixed-stride backstop — the same discipline driver_sim uses —
     # instead of a bare clearCache() after EVERY key. clearCache alone
@@ -273,6 +322,7 @@ def main() -> int:
         "timings": dict(sorted(timings.items())),
         "over_budget": _budget_check(timings),
         "out_dir": OUT_DIR,
+        **slice_meta,
     }
     print(json.dumps(summary))
     if ledger and only is None:

@@ -72,6 +72,8 @@ def test_final_line_stays_under_tail_capture_budget():
         "retried": True,
         "retry_published": False,
         "headline_min_published": True,
+        "nonheadline_min_published": True,
+        "n_nonheadline_retried": bench.NONHEADLINE_RETRY_COUNT,
         "noise_ratio_initial": 99999.999,
         "noise_ratio_retry": 99999.999,
         "n_queries_total": len(bench.BENCH_QUERIES) + 1,
@@ -108,10 +110,13 @@ def test_bench_full_has_breakout_and_plan_budget():
         "retried",
         "retry_published",
         "headline_min_published",
+        "nonheadline_min_published",
         "noise_ratio_initial",
         "noise_ratio_retry",
         "headline_initial",
         "headline_retry",
+        "nonheadline_initial",
+        "nonheadline_retry",
         "cold_sec_retry",
         "cold_recheck",
     ):
@@ -148,7 +153,32 @@ def test_bench_full_has_breakout_and_plan_budget():
     if full["retried"]:
         # cold_sec stays the main sweep's genuinely-cold sample; the
         # retry's warm re-runs are recorded separately
-        assert set(full["cold_sec_retry"]) == set(full["headline_retry"])
+        assert set(full["cold_sec_retry"]) == set(full["headline_retry"]) | set(
+            full["nonheadline_retry"]
+        )
+    # r11 rule: retried non-headline rows always publish per-query min,
+    # and both raw passes are present to recompute each published value
+    assert full["nonheadline_min_published"] == (
+        full["retried"] and len(full["nonheadline_retry"]) > 0
+    )
+    assert set(full["nonheadline_initial"]) == set(full["nonheadline_retry"])
+    assert set(full["nonheadline_retry"]).isdisjoint(bench.HEADLINE_METRICS)
+    assert len(full["nonheadline_retry"]) <= bench.NONHEADLINE_RETRY_COUNT
+    for m, v in full["nonheadline_initial"].items():
+        assert full["queries"][m] == min(v, full["nonheadline_retry"][m])
+    # r11 drift gate: every budgeted non-headline row must publish within
+    # BENCH_DRIFT_RATIO x its hand-set quiet-host reference — a committed
+    # artifact with alerts means an unadjudicated regression shipped.
+    assert full["over_budget"] == {}, full["over_budget"]
+    budgets = json.load(
+        open(os.path.join(os.path.dirname(bench.__file__), "scripts",
+                          "bench_budgets.json"))
+    )
+    for m, ref in budgets.items():
+        assert m in full["queries"], f"budgeted row {m} not benched"
+        assert full["queries"][m] <= bench.BENCH_DRIFT_RATIO * ref, (
+            m, full["queries"][m], ref,
+        )
     # every cold outlier got a recheck row (transient-vs-intrinsic audit)
     for m, cold in full["cold_sec"].items():
         bar = bench.COLD_OUTLIER_RATIO * max(

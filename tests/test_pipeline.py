@@ -378,3 +378,29 @@ def test_zorder_write_keeps_null_dimension_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.filter(F.col("xv").isNull()).count() == 200
+
+
+def test_zorder_write_skewed_heavy_cell_keeps_small_cells_apart(spark, tmp_path):
+    """r11 review: a z-cell heavy enough to cross several quantile
+    thresholds must push the surplus thresholds BACKWARD onto earlier
+    cells instead of collapsing them — hist like [(0,5),(1,5),(2,90)]
+    at n_files=4 used to produce ONE file; cells 0 and 1 must keep
+    their own files (3 files total: 5, 5, 90 rows)."""
+    from bangdatapipeline_spark.pipeline import Frame
+
+    # x in {0,1,2}, y=0 → morton z == cell == x; 5+5+90 rows
+    rows = [(i, 0, 0) for i in range(5)]
+    rows += [(i, 1, 0) for i in range(5, 10)]
+    rows += [(i, 2, 0) for i in range(10, 100)]
+    df = spark.createDataFrame(rows, "id long, xv int, yv int")
+    out = str(tmp_path / "zorder_skew")
+    Frame(df).to_parquet_zorder(out, F.col("xv"), F.col("yv"), n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    sizes = sorted(
+        r["n"]
+        for r in back.groupBy(F.input_file_name())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sizes == [5, 5, 90], sizes

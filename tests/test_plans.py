@@ -589,3 +589,35 @@ def test_max_silence_two_level_no_global_feed_sort(spark, sf_dir):
     stream by type alone before the first window."""
     plan = _plan(REGISTRY["ts_max_silence"].fn(spark, sf_dir))
     assert plan.count("Window") == 2, plan[:3000]
+
+
+def test_plans_doc_is_fresh_at_current_tree():
+    """VERDICT r10 task 3 — docs/PLANS.md certifies the plan shapes of a
+    specific operator tree; a stale doc (r10 shipped one a full round of
+    rewrites behind) silently mis-documents the shipped plans. The doc
+    carries a content-addressed source_hash stamp (same formula as the
+    SWEEP freshness gate); regenerate via `python scripts/dump_plans.py`
+    when this fails."""
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "docs", "PLANS.md")
+    assert os.path.exists(path), "docs/PLANS.md missing"
+    with open(path) as f:
+        head = f.read(4096)
+    m = re.search(r"<!-- source_hash: ([0-9a-f]{32}) -->", head)
+    assert m, (
+        "docs/PLANS.md has no source_hash stamp — regenerate via "
+        "`python scripts/dump_plans.py`"
+    )
+    scripts = os.path.join(root, "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    import _evidence
+
+    assert _evidence.source_tree_hash(root) == m.group(1), (
+        "docs/PLANS.md is stale relative to the live operator tree — "
+        "re-run `python scripts/dump_plans.py` before closing the round"
+    )

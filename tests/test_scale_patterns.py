@@ -147,3 +147,13 @@ def test_scale_ledger_entries_are_clean():
             last["total_sec"],
             last["keys"],
         )
+    if last["round"] >= 11:
+        # VERDICT r10 task 5: the slice is hard-capped (family-diverse
+        # rewrite sampling), with the cap and sampled/total counts
+        # recorded so a capped round is visibly capped
+        import sys
+        sys.path.insert(0, os.path.join(root, "scripts"))
+        from sf1_smoke import _LEDGER_CAP
+        assert last["cap"] == _LEDGER_CAP, last
+        assert last["keys"] <= _LEDGER_CAP, last
+        assert last["rewritten_sampled"] <= last["rewritten_total"], last
