@@ -157,3 +157,6 @@ def test_scale_ledger_entries_are_clean():
         assert last["cap"] == _LEDGER_CAP, last
         assert last["keys"] <= _LEDGER_CAP, last
         assert last["rewritten_sampled"] <= last["rewritten_total"], last
+        # budget alerts must have been retried once warm before standing
+        # (shared-memo attribution noise vs real regression)
+        assert "budget_retried" in last, last
