@@ -16,8 +16,17 @@ python scripts/driver_sim.py /root/testdata/sf0.001
 python scripts/driver_sim.py
 # regenerate the plan-shape doc at the tree the sweep just certified —
 # the suite's PLANS.md freshness gate (tests/test_plans.py) compares its
-# source_hash stamp against the live tree, same ratchet as the sweep's
-python scripts/dump_plans.py
+# source_hash stamp against the live tree, same ratchet as the sweep's.
+# Skipped when the stamp already matches (the md5 probe is cheap; the
+# regeneration is a Spark session + 40+ formatted plans).
+python - <<'PYEOF' || python scripts/dump_plans.py
+import re, sys
+sys.path.insert(0, "scripts")
+from _evidence import source_tree_hash
+m = re.search(r"<!-- source_hash: ([0-9a-f]{32}) -->",
+              open("docs/PLANS.md").read(4096))
+sys.exit(0 if m and m.group(1) == source_tree_hash() else 1)
+PYEOF
 python -m pytest tests/ -x -q
 python scripts/evidence_ledger.py --status
 python bench.py

@@ -135,8 +135,11 @@ def _ledger_keys(registry) -> tuple[list[str], dict]:
     pushed it to 92 keys / 347 s; two such rounds would put the
     round-close loop past 10 minutes). When the rewrite set overflows
     the cap, rewrites are SAMPLED round-robin across operator families
-    (the ``<prefix>_`` before the first underscore) so every touched
-    family keeps at least one sf1 execution; the cap and the
+    (the ``<prefix>_`` before the first underscore) so coverage spreads
+    as evenly across touched families as the remaining room allows —
+    when the rewrite set spans more families than there is room,
+    alphabetically-later families are the ones dropped (room can be as
+    low as cap - |slowest ∪ newest| ≈ 20 slots). The cap and the
     sampled/total counts are recorded in the ledger entry so a capped
     round is visibly capped, never silently thinner."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -205,21 +208,27 @@ _DEFAULT_BUDGET_SEC = 30.0
 _DRIFT_RATIO = 1.5
 
 
-def _budget_check(timings: dict[str, float]) -> dict[str, list[float]]:
+def _budget_check(
+    timings: dict[str, float], finalize: bool = True
+) -> dict[str, list[float]]:
     """Per-key sf1 runtime budgets (VERDICT r9 task 4): each ledger key
     has a budget in scripts/sf1_budgets.json; a key exceeding
     _DRIFT_RATIO x its budget is an ALERT (recorded in the ledger entry
     as ``over_budget``, which the contract test requires empty in the
     latest entry) — one more triangle-heavy addition can no longer
-    double the round-loop cost silently. Keys not yet budgeted get
-    self-seeded at min(1.2x first observed time, the 30 s default),
-    floor 5 s, so new heavy keys alert from their second run; the min()
-    cap means a key whose FIRST observation already exceeds the default
-    budget seeds AT the default — it keeps alerting until a human sets
-    a budget by hand (r11 review: the old uncapped seed let an
-    over-budget first observation auto-baseline its own regression).
-    Existing budgets only change by hand, with the rationale in the
-    commit that changes them."""
+    double the round-loop cost silently. Keys not yet budgeted: a first
+    observation AT or UNDER the 30 s default self-seeds a budget at
+    max(5 s, 1.2x observed); a first observation OVER the default is an
+    immediate alert and is NOT seeded, so it keeps alerting every run
+    until a human sets its budget by hand (r11 review, twice: the
+    uncapped seed auto-baselined regressions, and a min()-capped seed
+    still silently passed keys in the 30-45 s band). Existing budgets
+    only change by hand, with the rationale in the commit that changes
+    them.
+
+    ``finalize=False`` runs detect-only (no stderr alerts, no seeding)
+    — the pre-retry probe; the post-retry call prints, seeds from the
+    settled timings, and is what the ledger records."""
     if os.path.exists(_BUDGETS_PATH):
         # a corrupt budgets file must CRASH, not silently count as empty:
         # empty would re-seed every key at 1.2x its CURRENT time, erasing
@@ -228,17 +237,23 @@ def _budget_check(timings: dict[str, float]) -> dict[str, list[float]]:
             budgets = json.load(f)
     else:
         budgets = {}
-    over = {
-        k: [t, budgets.get(k, _DEFAULT_BUDGET_SEC)]
-        for k, t in timings.items()
-        if t > _DRIFT_RATIO * budgets.get(k, _DEFAULT_BUDGET_SEC)
-    }
+    over = {}
+    for k, t in timings.items():
+        if k in budgets:
+            if t > _DRIFT_RATIO * budgets[k]:
+                over[k] = [t, budgets[k]]
+        elif t > _DEFAULT_BUDGET_SEC:
+            # unbudgeted AND over the default: no drift grace — a new
+            # heavy key needs a deliberate hand-set budget
+            over[k] = [t, _DEFAULT_BUDGET_SEC]
+    if not finalize:
+        return over
     for k, t in over.items():
-        print(f"OVER BUDGET {k}: {t[0]}s > {_DRIFT_RATIO}x{t[1]}s", file=sys.stderr)
+        print(f"OVER BUDGET {k}: {t[0]}s > budget {t[1]}s", file=sys.stderr)
     new = {
-        k: max(5.0, min(round(1.2 * t, 1), _DEFAULT_BUDGET_SEC))
+        k: max(5.0, round(1.2 * t, 1))
         for k, t in timings.items()
-        if k not in budgets
+        if k not in budgets and t <= _DEFAULT_BUDGET_SEC
     }
     if new:
         with open(_BUDGETS_PATH, "w") as f:
@@ -320,7 +335,7 @@ def main() -> int:
     # keep the min — a key still over budget on its warm retry is a
     # real regression, not attribution noise.
     budget_retried: dict[str, float] = {}
-    for k in sorted(_budget_check(timings)):  # also self-seeds new keys
+    for k in sorted(_budget_check(timings, finalize=False)):  # detect-only probe
         if k in failures:
             continue
         t0 = time.perf_counter()

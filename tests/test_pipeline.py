@@ -388,7 +388,10 @@ def test_zorder_write_skewed_heavy_cell_keeps_small_cells_apart(spark, tmp_path)
     their own files (3 files total: 5, 5, 90 rows)."""
     from bangdatapipeline_spark.pipeline import Frame
 
-    # x in {0,1,2}, y=0 → morton z == cell == x; 5+5+90 rows
+    # x in {0,1,2}, y=0 → z = morton2(x, 0) spreads x's bits to even
+    # positions (x=2 → z=4), so cells are {0, 1, 4}: distinct and
+    # MONOTONE in x, which is all the histogram structure needs;
+    # 5+5+90 rows
     rows = [(i, 0, 0) for i in range(5)]
     rows += [(i, 1, 0) for i in range(5, 10)]
     rows += [(i, 2, 0) for i in range(10, 100)]
