@@ -21,6 +21,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.windows import (
+    SCD2_KEY_BOUND,
+    _SCD2_ORACLE,
+    scd2_history,
+)
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -123,7 +128,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        count(*)                                          AS n_items
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
@@ -160,7 +165,11 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            # round at 4dp — the 1e-4 VALUE lattice of price*(1-discount)
+            # products — not 2dp: per-group sums land exactly on
+            # half-cents, where engines' float accumulation orders flip
+            # the cent (docs/dialect_notes.md "aggregate-sum form")
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -204,6 +213,25 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_order(desc: bool = False) -> list:
+    """The ONE as-of event-stream ordering (r11: four hand-synchronized
+    copies collapsed): partition-less ORDER columns for the join_asof
+    family's user_id windows — time, then CLICKS-BEFORE-PURCHASES on
+    timestamp ties, then event_id as the final deterministic tie-break.
+    On the descending scan (``desc=True``, the forward as-of) the same
+    invariant is expressed as purchases-first, which keeps same-ts
+    clicks invisible to a forward-looking purchase (strict ``>``).
+    Every as-of variant's correctness argument hangs on this ordering;
+    change it here or nowhere."""
+    if desc:
+        tie = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(
+            F.lit(1)
+        )
+        return [F.col("ts").desc(), tie, F.col("event_id")]
+    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    return [F.col("ts"), tie, F.col("event_id")]
+
+
 @register(
     "join_asof",
     oracle="""
@@ -228,11 +256,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB-safe formulation.
     """
     ev = load_table(spark, sf_dir, "events")
-    # On ts ties a click sorts before a purchase so `c.ts <= p.ts` holds.
-    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    # _asof_order: clicks before purchases on ties, so `c.ts <= p.ts` holds.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), tie, F.col("event_id"))
+        .orderBy(*_asof_order())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
@@ -281,7 +308,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a TOLERANCE bound (pandas ``merge_asof(...,
     tolerance=...)`` semantics): the latest same-user click at-or-before
     each purchase counts only if it happened within the last
-    {_ASOF_TOL_MIN} minutes — stale matches are dropped (NULL), and every
+    ``_ASOF_TOL_MIN`` minutes — stale matches are dropped (NULL), and every
     purchase survives with a ``matched`` flag. The attribution-window
     variant of ``join_asof``: "credit the click only if it was recent".
 
@@ -292,10 +319,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds floor-divided to minutes: exact on both engines.
     """
     ev = load_table(spark, sf_dir, "events")
-    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), tie, F.col("event_id"))
+        .orderBy(*_asof_order())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
@@ -402,10 +428,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta join; the 100 TB-safe formulation of `merge_asof`.
     """
     ev = load_table(spark, sf_dir, "events")
-    # Clicks sort before purchases on ts ties so `c.ts <= p.ts` candidates
-    # (backward includes equal-ts) precede the purchase row in the stream.
-    tie = F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
-    order = [F.col("ts"), tie, F.col("event_id")]
+    # _asof_order: backward candidates (c.ts <= p.ts, equal-ts included)
+    # precede the purchase row in the stream.
+    order = _asof_order()
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy(*order)
@@ -508,20 +533,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_temporal_pit",
-    oracle="""
+    oracle=f"""
 WITH ranges AS (
-  SELECT o_custkey AS custkey,
-         CAST(row_number() OVER w AS INT) AS version,
-         round(o_totalprice, 2) AS totalprice,
-         o_orderdate AS valid_from,
-         lead(o_orderdate) OVER w AS valid_to
-  FROM orders WHERE o_custkey < 300
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+{_SCD2_ORACLE}
 ),
 f AS (
   SELECT o.o_custkey AS custkey, l.l_orderkey, l.l_linenumber, l.l_shipdate
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_custkey < 300
+  WHERE o.o_custkey < {SCD2_KEY_BOUND}
 )
 SELECT f.custkey, f.l_orderkey, f.l_linenumber, f.l_shipdate,
        r.version, r.totalprice
@@ -547,15 +566,13 @@ def join_temporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``join_asof``) to keep per-entity state a sorted partition-local
     run; bucket both sides by entity key to kill the shuffle.
     """
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ranges = o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.row_number().over(w).cast("int").alias("version"),
-        F.round("o_totalprice", 2).alias("totalprice"),
-        F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w).alias("valid_to"),
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < SCD2_KEY_BOUND
     )
+    # the shared SCD2 kernel (windows.scd2_history); pit only consumes
+    # the effectivity range + version, so the audit columns drop before
+    # the broadcast
+    ranges = scd2_history(o).drop("orderkey", "is_current")
     li = load_table(spark, sf_dir, "lineitem")
     f = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("custkey"),
@@ -917,12 +934,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward as-of (cites join_asof's plan audit).
     """
     ev = load_table(spark, sf_dir, "events")
-    # ts DESC: "preceding" rows are later in time. On ts ties a purchase
-    # sorts first so same-ts clicks stay invisible to it (strict >).
-    tie = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    # _asof_order(desc=True): "preceding" rows are later in time; same-ts
+    # clicks stay invisible to the purchase (strict >).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), tie, F.col("event_id"))
+        .orderBy(*_asof_order(desc=True))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))

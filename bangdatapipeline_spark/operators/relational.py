@@ -98,7 +98,7 @@ _Q10_SQL = """
 SELECT c.c_custkey,
        c.c_name,
        n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM customer c
 JOIN orders o    ON o.o_custkey = c.c_custkey
@@ -207,7 +207,7 @@ def sql_api_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'

@@ -28,14 +28,19 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
        count(*) FILTER (WHERE event_type = 'signup')   AS signup,
        count(*) FILTER (WHERE event_type = 'view')     AS view,
-       count(*)                                        AS total
+       count(*) FILTER (WHERE event_type IN
+           ('click', 'error', 'purchase', 'signup', 'view')) AS total
 FROM events
 GROUP BY user_id
 """,
 )
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long->wide pivot with an explicit value list (single-pass hash agg;
-    never let Spark scan for distinct pivot values at scale)."""
+    never let Spark scan for distinct pivot values at scale). ``total``
+    is the total over the PIVOTED types, on both engines — an explicit
+    value list excludes out-of-list types everywhere, so a bare oracle
+    count(*) would silently diverge the day the fixture grows a sixth
+    event_type (r11 review)."""
     ev = load_table(spark, sf_dir, "events")
     pivoted = (
         ev.groupBy("user_id")
@@ -303,7 +308,7 @@ GROUP BY 1, 2
 def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union — the everyday lakehouse situation where an
     old table generation lacks a column the new generation added (here:
-    orders before {_EVO_SPLIT} simulate the pre-`o_orderpriority` era).
+    orders before ``_EVO_SPLIT`` simulate the pre-`o_orderpriority` era).
     ``unionByName(allowMissingColumns=True)`` aligns columns BY NAME and
     null-fills the missing one — positional ``union`` would silently
     misalign columns, the classic schema-drift corruption. The aggregate

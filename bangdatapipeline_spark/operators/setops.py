@@ -131,11 +131,9 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under ties."""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"),
-                 F.col("o_totalprice").alias("_ord"))
-        .orderBy(F.col("_ord").desc(), F.col("o_orderkey").asc())
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
-        .select("o_orderkey", "price")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
     )
 
 

@@ -27,6 +27,62 @@ from bangdatapipeline_spark.tables import load_table
 
 SESSION_GAP_MIN = 30
 WATERMARK_DELAY = "1 hour"
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """The ONE lag-gap-flag-cumsum sessionization kernel: the input
+    events plus (prev_ts, is_new, sess_id), where a session breaks
+    after ``SESSION_GAP_MIN`` minutes of inactivity; partitioned by
+    user_id, ordered by (ts, event_id) — the deterministic tie-break
+    every consumer's correctness argument depends on. SQL twin:
+    :func:`sessionize_cte`. One shuffle on user_id; every downstream
+    consumer refines this same partitioning. Consumers:
+    ``stream_session``, ``events_session_funnel``,
+    windows.``win_session_bounces`` (r11: three hand-synchronized
+    copies collapsed — a gap-boundary or tie-break change now edits
+    exactly one kernel)."""
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts") - F.col("prev_ts")
+                > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def sessionize_cte(cols: str) -> str:
+    """SQL twin of :func:`sessionize`: a ``WITH`` prefix whose final CTE
+    ``sess`` carries ``cols`` (must include user_id, ts, event_id) plus
+    prev_ts/is_new/sess_id. Callers append their own CTEs with a
+    leading comma, or the final SELECT directly."""
+    return f"""
+WITH o AS (
+    SELECT {cols},
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM o
+), sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)"""
 # deterministic pseudo-shuffle of arrival order for the late-data demo
 # (event_id itself is time-ordered, so "arrival = event_id" has no late rows)
 ARRIVAL = "(event_id * 1103515245 + 12345) % 2147483647"
@@ -87,20 +143,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     tags=("stream_twin", "stream_test:test_session_stream_equals_batch"),
     oracle=f"""
-WITH o AS (
-    SELECT user_id, ts, event_id, value,
-           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-    FROM events
-), flagged AS (
-    SELECT *, CASE WHEN prev_ts IS NULL
-                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
-                   THEN 1 ELSE 0 END AS is_new
-    FROM o
-), sess AS (
-    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sess_id
-    FROM flagged
-)
+{sessionize_cte("user_id, ts, event_id, value")}
 SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
        min(ts) AS sess_start, max(ts) AS sess_end,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -110,23 +153,11 @@ FROM sess GROUP BY user_id, sess_id
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap — the classic
-    lag-gap-flag-cumsum kernel (one shuffle on user_id; state bounded per
-    user). Streaming variant: streaming.session_aggregate uses
-    F.session_window with the same gap."""
-    ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (F.col("ts") - F.col("prev_ts") > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    lag-gap-flag-cumsum kernel (:func:`sessionize`; one shuffle on
+    user_id; state bounded per user). Streaming variant:
+    streaming.session_aggregate uses F.session_window with the same
+    gap."""
+    sess = sessionize(load_table(spark, sf_dir, "events"))
     return sess.groupBy("user_id", F.col("sess_id").cast("bigint").alias("sess_id")).agg(
         F.min("ts").alias("sess_start"),
         F.max("ts").alias("sess_end"),
@@ -593,20 +624,7 @@ def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_session_funnel",
     oracle=f"""
-WITH o AS (
-    SELECT user_id, ts, event_id, event_type,
-           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-    FROM events
-), flagged AS (
-    SELECT *, CASE WHEN prev_ts IS NULL
-                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
-                   THEN 1 ELSE 0 END AS is_new
-    FROM o
-), sess AS (
-    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sess_id
-    FROM flagged
-), s1 AS (
+{sessionize_cte("user_id, ts, event_id, event_type")}, s1 AS (
     SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
                 OVER (PARTITION BY user_id, sess_id) AS t_view
     FROM sess
@@ -650,27 +668,7 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-ts chain, not event adjacency, exactly like the lifetime
     funnel. Conversion is integer ppm.
     """
-    ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (
-                F.col("ts") - F.col("prev_ts")
-                > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("is_new").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    sess = sessionize(load_table(spark, sf_dir, "events"))
     ws = Window.partitionBy("user_id", "sess_id")
     staged = (
         sess.withColumn(

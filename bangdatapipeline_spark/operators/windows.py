@@ -179,7 +179,14 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_ORACLE = """
+# Demo-sized dimension slice shared by every SCD2 consumer.
+SCD2_KEY_BOUND = 300
+
+# The ONE SCD2 ranges spelling — scd2_ranges' full oracle, and embedded
+# as the `ranges` CTE by joins.join_temporal_pit (r11: the two
+# hand-synchronized copies of this window collapsed; a tie-break or
+# half-open-convention change now edits exactly one string).
+_SCD2_ORACLE = f"""
 SELECT o_custkey AS custkey,
        CAST(row_number() OVER w AS INT) AS version,
        o_orderkey AS orderkey,
@@ -188,23 +195,19 @@ SELECT o_custkey AS custkey,
        lead(o_orderdate) OVER w AS valid_to,
        (lead(o_orderdate) OVER w IS NULL) AS is_current
 FROM orders
-WHERE o_custkey < 300
+WHERE o_custkey < {SCD2_KEY_BOUND}
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-@register("scd2_ranges", oracle=_SCD2_ORACLE)
-def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type 2 history build: each customer's
-    ordered change records become versioned rows with [valid_from,
-    valid_to) effectivity ranges and an is_current flag — the standard
-    warehouse pattern for temporal dimensions, as one window pass
-    (row_number + lead share a single (custkey, date, key) sort). The
-    deterministic o_orderkey tie-break keeps same-day changes stable.
-    At 100 TB this is one shuffle on the dimension key; each entity's
-    history is a partition-local sorted run.
-    """
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+def scd2_history(o: DataFrame) -> DataFrame:
+    """The ONE SCD2 ranges kernel: a pre-filtered orders slice becomes
+    versioned rows (custkey, version, orderkey, totalprice, valid_from,
+    valid_to, is_current) with [valid_from, valid_to) half-open
+    effectivity and a deterministic o_orderkey tie-break for same-day
+    changes. SQL twin: ``_SCD2_ORACLE``. One shuffle on the dimension
+    key; row_number + lead share a single (custkey, date, key) sort.
+    Consumers: ``scd2_ranges`` and joins.``join_temporal_pit``."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         F.col("o_custkey").alias("custkey"),
@@ -215,6 +218,22 @@ def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
+
+
+@register("scd2_ranges", oracle=_SCD2_ORACLE)
+def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: each customer's
+    ordered change records become versioned rows with [valid_from,
+    valid_to) effectivity ranges and an is_current flag — the standard
+    warehouse pattern for temporal dimensions, as one window pass
+    (see :func:`scd2_history`, the shared kernel). At 100 TB this is
+    one shuffle on the dimension key; each entity's history is a
+    partition-local sorted run.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < SCD2_KEY_BOUND
+    )
+    return scd2_history(o)
 
 
 # --------------------------------------------------------------------------
@@ -479,8 +498,8 @@ FROM x
 @register("win_ewma", oracle=_EWMA_ORACLE)
 def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized trailing-window EWMA of event values per user (span
-    {_EWMA_SPAN}, decay {_EWMA_DECAY}): ewma_i = Σ_d v_(i-d)·decay^d /
-    Σ_d decay^d over the last {_EWMA_SPAN} events — pandas
+    ``_EWMA_SPAN``, decay ``_EWMA_DECAY``): ewma_i = Σ_d v_(i-d)·decay^d /
+    Σ_d decay^d over the last ``_EWMA_SPAN`` events — pandas
     ``ewm(adjust=True)`` over a bounded window, the smoothing primitive
     for metric dashboards and anomaly baselines.
 
@@ -584,7 +603,7 @@ def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines.
     Plan/scale: ONE user-keyed shuffle serves the lag and both frame
     windows (same partitioning + ordering); state per row is the
-    {_ROLL_FRAME + 1}-row frame — Spark evaluates bounded ROWS frames
+    (``_ROLL_FRAME`` + 1)-row frame — Spark evaluates bounded ROWS frames
     incrementally, never materializing per-row copies.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -658,7 +677,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 )
 def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact quartiles (p25/median/p75) over a trailing
-    {_MED_FRAME + 1}-row frame per user — the robust-statistics
+    (``_MED_FRAME`` + 1)-row frame per user — the robust-statistics
     companion to ``win_rolling_stats``' mean/stddev (medians shrug off
     the outliers that wreck a rolling mean).
 
@@ -828,24 +847,11 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bounce_oracle() -> str:
     from bangdatapipeline_spark.operators.streaming_batch import (
-        SESSION_GAP_MIN,
+        sessionize_cte,
     )
 
     return f"""
-WITH o AS (
-    SELECT user_id, ts, event_id,
-           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-    FROM events
-), flagged AS (
-    SELECT *, CASE WHEN prev_ts IS NULL
-                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
-                   THEN 1 ELSE 0 END AS is_new
-    FROM o
-), sess AS (
-    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sess_id
-    FROM flagged
-), s AS (
+{sessionize_cte("user_id, ts, event_id")}, s AS (
     SELECT user_id, sess_id, min(ts) AS sess_start,
            CAST(count(*) AS BIGINT) AS n_events
     FROM sess GROUP BY 1, 2
@@ -876,31 +882,9 @@ def win_session_bounces(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily table a year-long 100 TB event store produces here is a few
     hundred rows.
     """
-    from bangdatapipeline_spark.operators.streaming_batch import (
-        SESSION_GAP_MIN,
-    )
+    from bangdatapipeline_spark.operators.streaming_batch import sessionize
 
-    ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (
-                F.col("ts") - F.col("prev_ts")
-                > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("is_new").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    sess = sessionize(load_table(spark, sf_dir, "events"))
     per_session = sess.groupBy("user_id", "sess_id").agg(
         F.min("ts").alias("sess_start"),
         F.count(F.lit(1)).alias("n_events"),
