@@ -124,7 +124,8 @@ SELECT '{label}' AS col_name,
        cnt,
        rnk,
        (cnt * 1000000) // n_total            AS share_ppm,
-       (cnt * n_keys * 1000000) // n_total   AS hot_x_ppm
+       CAST(floor(CAST(cnt AS DOUBLE) * n_keys * 1000000 / n_total)
+            AS BIGINT)                       AS hot_x_ppm
 FROM (
   SELECT k, cnt,
          row_number() OVER (ORDER BY cnt DESC, k) AS rnk,
@@ -171,7 +172,18 @@ def dq_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cnt",
                 "rnk",
                 F.expr("cnt * 1000000 div n_total").alias("share_ppm"),
-                F.expr("cnt * n_keys * 1000000 div n_total").alias("hot_x_ppm"),
+                # hot_x through IEEE doubles, not int64 (r11 review):
+                # cnt * n_keys * 1000000 overflows int64 at ~1e7 keys x
+                # 1e6-event hot key — Spark wraps silently, DuckDB
+                # raises. Both engines evaluate the SAME double ops in
+                # the SAME left-assoc order, so the result is
+                # bit-identical cross-engine; share_ppm keeps the exact
+                # integer path (cnt*1e6 bounded until a single key
+                # holds ~9.2e12 rows).
+                F.expr(
+                    "CAST(floor(CAST(cnt AS DOUBLE) * n_keys * 1000000"
+                    " / n_total) AS BIGINT)"
+                ).alias("hot_x_ppm"),
             )
         )
         out = row if out is None else out.unionByName(row)
@@ -296,13 +308,19 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
     )
     g = ev.agg(F.max("ts").alias("global_max"))
-    lag_us = F.expr("timestampdiff(MICROSECOND, last_ts, global_max)")
+    # exact integer floor-division to minutes (r11 review: the double
+    # quotient `/ 6e7` cast to long can round up across an integer
+    # boundary once the quotient's ulp exceeds 1, flipping is_stale vs
+    # the oracle's integer `//`; lag is non-negative so div == floor)
+    lag_min = F.expr(
+        "timestampdiff(MICROSECOND, last_ts, global_max) div 60000000"
+    )
     return per.crossJoin(F.broadcast(g)).select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         "last_ts",
-        (lag_us / 60_000_000).cast("long").alias("lag_minutes"),
-        ((lag_us / 60_000_000).cast("long") > _FRESH_STALE_MIN).alias("is_stale"),
+        lag_min.alias("lag_minutes"),
+        (lag_min > _FRESH_STALE_MIN).alias("is_stale"),
     )
 
 
@@ -544,10 +562,16 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key count — pass through the global row_number that pairs
     gap_start[i] with gap_end[i]. The two scalar extremes broadcast.
     """
+    # cached: this one key projection feeds SEVEN consumers (the bounds
+    # aggregate, both sides of each anti-join, and the bounds subplan
+    # under each crossJoin) — uncached, each re-scanned parquet (r11
+    # review). Narrow (one long column), so the cache is the cheapest
+    # relation in the plan; session hygiene via caches.release.
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_orderkey").alias("k"))
+        .cache()
     )
     bounds = o.agg(F.max("k").alias("kmax"), F.min("k").alias("kmin"))
     # keys whose successor is absent = island ends -> a gap starts at k+1

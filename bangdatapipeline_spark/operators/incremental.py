@@ -342,7 +342,7 @@ j AS (
          d.bal_cents AS old_bal, s.bal_cents AS new_bal,
          CASE WHEN d.key IS NULL THEN 'insert'
               WHEN s.key IS NULL THEN 'delete'
-              WHEN d.bal_cents <> s.bal_cents THEN 'update'
+              WHEN d.bal_cents IS DISTINCT FROM s.bal_cents THEN 'update'
               ELSE 'noop' END AS op
   FROM dim d FULL OUTER JOIN snap s ON d.key = s.key
 )
@@ -410,15 +410,25 @@ def scd2_result(dim: DataFrame, snap: DataFrame) -> DataFrame:
     maintains the incoming snapshot as keyed state and calls this
     read-side): ``dim (key, old_bal)`` full-outer ``snap (key,
     new_bal)``, one joined relation projected twice."""
-    j = dim.join(snap, "key", "full_outer").select(
-        "key",
-        "old_bal",
-        "new_bal",
-        F.when(F.col("old_bal").isNull(), "insert")
-        .when(F.col("new_bal").isNull(), "delete")
-        .when(F.col("old_bal") != F.col("new_bal"), "update")
-        .otherwise("noop")
-        .alias("op"),
+    # classify on KEY PRESENCE (r11 review), not value nullness: a
+    # matched key carrying a NULL balance is not an insert — presence
+    # markers survive the outer join where a nullable value cannot; the
+    # value comparison is null-safe (IS DISTINCT FROM twin), so
+    # NULL -> value and value -> NULL transitions classify as updates
+    # on both engines.
+    j = (
+        dim.withColumn("_in_dim", F.lit(True))
+        .join(snap.withColumn("_in_snap", F.lit(True)), "key", "full_outer")
+        .select(
+            "key",
+            "old_bal",
+            "new_bal",
+            F.when(F.col("_in_dim").isNull(), "insert")
+            .when(F.col("_in_snap").isNull(), "delete")
+            .when(~F.col("old_bal").eqNullSafe(F.col("new_bal")), "update")
+            .otherwise("noop")
+            .alias("op"),
+        )
     )
     closed_or_kept = j.filter(F.col("op").isin("noop", "update", "delete")).select(
         "key",

@@ -103,16 +103,29 @@ class TxnTable:
             except FileNotFoundError:
                 pass
 
-    def snapshot(self, at_version: int | None = None) -> list[dict]:
+    def snapshot(
+        self,
+        at_version: int | None = None,
+        commits: list[dict] | None = None,
+    ) -> list[dict]:
         """Live file entries (each ``{"path", "bucket"}``) = log replay.
 
         ``at_version`` replays only commits <= that version — time-travel
         (`SELECT ... VERSION AS OF v`): any historical snapshot is just a
         shorter log prefix, readable for free as long as its files have
         not been vacuumed.
+
+        ``commits`` replays an already-listed log. Writers MUST pass the
+        same listing they derive their commit version from (r11 review):
+        re-listing the log after reading the snapshot let a commit that
+        landed in between claim a FREE version slot, so ``os.link``
+        succeeded and the concurrent writer's files were silently
+        overwritten — a lost update the exclusive-create was built to
+        prevent. One listing per operation also bounds log parsing to
+        O(commits) per op instead of O(commits) per accessor call.
         """
         live: dict[str, dict] = {}
-        for commit in self._commits():
+        for commit in commits if commits is not None else self._commits():
             if at_version is not None and commit["version"] > at_version:
                 break
             for entry in commit.get("add", []):
@@ -121,10 +134,12 @@ class TxnTable:
                 live.pop(rel, None)
         return sorted(live.values(), key=lambda e: e["path"])
 
-    def last_txn_version(self, app_id: str) -> int | None:
+    def last_txn_version(
+        self, app_id: str, commits: list[dict] | None = None
+    ) -> int | None:
         """Highest committed application-transaction version for app_id."""
         best = None
-        for commit in self._commits():
+        for commit in commits if commits is not None else self._commits():
             txn = commit.get("txn")
             if txn and txn.get("app_id") == app_id:
                 v = txn.get("version")
@@ -135,13 +150,13 @@ class TxnTable:
     # ------------------------------------------------------------------
     # data plumbing
     # ------------------------------------------------------------------
-    def _n_buckets(self) -> int:
-        return self._commits()[0]["n_buckets"]
+    def _n_buckets(self, commits: list[dict] | None = None) -> int:
+        return (commits if commits is not None else self._commits())[0]["n_buckets"]
 
-    def _key_col(self) -> str:
-        return self._commits()[0]["key_col"]
+    def _key_col(self, commits: list[dict] | None = None) -> str:
+        return (commits if commits is not None else self._commits())[0]["key_col"]
 
-    def _schema(self) -> list[dict] | None:
+    def _schema(self, commits: list[dict] | None = None) -> list[dict] | None:
         """Table data-column schema pinned by the CREATE commit
         (``[{"name", "type"}, ...]``) — the authority every later MERGE is
         validated against so a malformed changelog can never narrow or
@@ -149,7 +164,7 @@ class TxnTable:
         have a CREATE commit without the key; return ``None`` so callers
         skip the gate instead of hard-failing every future merge with an
         opaque KeyError (no migration path would exist otherwise)."""
-        return self._commits()[0].get("schema")
+        return (commits if commits is not None else self._commits())[0].get("schema")
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, _DATA_DIR, rel)
@@ -259,24 +274,32 @@ class TxnTable:
 
         ``changelog`` carries the table's data columns plus ``delete_col``
         and the ``order_cols`` total order; per key the latest changelog
-        row wins (WHEN MATCHED UPDATE / WHEN MATCHED AND is_delete DELETE
-        / WHEN NOT MATCHED INSERT). Only the buckets containing changed
-        keys are rewritten. Returns merge stats; replaying an already-
-        committed ``(app_id, version)`` is a NO-OP (idempotent).
+        row wins WHOLESALE — a matched row is replaced by the changelog
+        row's columns including its NULLs (WHEN MATCHED UPDATE / WHEN
+        MATCHED AND is_delete DELETE / WHEN NOT MATCHED INSERT). Only
+        the buckets containing changed keys are rewritten. Returns merge
+        stats; replaying an already-committed ``(app_id, version)`` is a
+        NO-OP (idempotent).
         """
-        last = self.last_txn_version(app_id)
+        # ONE log listing for the whole operation: the commit version is
+        # pinned to the same listing the snapshot replays, so any commit
+        # landing in between makes our os.link hit EEXIST (conflict)
+        # instead of claiming a fresh slot and losing that writer's
+        # update (r11 review).
+        commits = self._commits()
+        last = self.last_txn_version(app_id, commits=commits)
         if last is not None and version <= last:
             return {"skipped": True, "reason": f"txn {app_id}:{version} <= {last}"}
 
-        key_col = self._key_col()
-        n_buckets = self._n_buckets()
+        key_col = self._key_col(commits=commits)
+        n_buckets = self._n_buckets(commits=commits)
         o1, o2 = order_cols
 
         # schema gate: the changelog must carry EXACTLY the data columns
         # pinned by the CREATE commit (plus delete/order bookkeeping) with
         # matching types — otherwise the rewrite would silently narrow or
         # retype the touched buckets, leaving a mixed-schema table
-        schema = self._schema()
+        schema = self._schema(commits=commits)
         if schema is not None:
             expected = {s["name"]: s["type"] for s in schema}
             bookkeeping = {delete_col, o1, o2}
@@ -314,45 +337,65 @@ class TxnTable:
         w = Window.partitionBy(key_col).orderBy(
             F.col(o1).desc(), F.col(o2).desc()
         )
+        # persisted: the latest-wins window is the merge's dominant cost
+        # and feeds BOTH the touched-buckets collect and the write job —
+        # unpersisted it ran twice (r11 review)
         compacted = (
             changelog.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", o1, o2)
             .withColumn("_bucket", self._bucket_expr(key_col, n_buckets))
+            .persist()
         )
+        try:
+            # file-level pruning: which buckets does the delta touch?
+            touched = {
+                r[0] for r in compacted.select("_bucket").distinct().collect()
+            }  # bounded: <= n_buckets rows of metadata, like the manifest
+            snapshot = self.snapshot(commits=commits)
+            affected = [e for e in snapshot if e["bucket"] in touched]
+            carried = [e for e in snapshot if e["bucket"] not in touched]
 
-        # file-level pruning: which buckets does the delta touch?
-        touched = {
-            r[0] for r in compacted.select("_bucket").distinct().collect()
-        }  # bounded: <= n_buckets rows of metadata, like the manifest itself
-        snapshot = self.snapshot()
-        affected = [e for e in snapshot if e["bucket"] in touched]
-        carried = [e for e in snapshot if e["bucket"] not in touched]
-
-        base = (
-            self.read(affected)
-            if affected
-            else self.spark.createDataFrame([], self.read().select(*data_cols).schema)
-        )
-        delta = compacted.select(
-            *[F.col(c).alias(f"_d_{c}") for c in data_cols],
-            F.col(delete_col).alias("_d_del"),
-            "_bucket",
-        )
-        merged = (
-            base.join(delta, base[key_col] == delta[f"_d_{key_col}"], "full_outer")
-            .filter(~F.coalesce("_d_del", F.lit(False)))  # WHEN MATCHED AND del: DELETE
-            .select(
-                *[
-                    F.coalesce(F.col(f"_d_{c}"), F.col(c)).alias(c)
-                    for c in data_cols
-                ]
+            base = (
+                self.read(affected)
+                if affected
+                else self.spark.createDataFrame(
+                    [], self.read(snapshot).select(*data_cols).schema
+                )
             )
-            .withColumn("_bucket", self._bucket_expr(key_col, n_buckets))
-        )
+            delta = compacted.select(
+                *[F.col(c).alias(f"_d_{c}") for c in data_cols],
+                F.col(delete_col).alias("_d_del"),
+                F.lit(True).alias("_d_present"),
+                "_bucket",
+            )
+            # latest-wins is WHOLESALE row replacement: a matched row
+            # takes the changelog row's columns INCLUDING NULLs (a CDC
+            # update clearing a field must clear it — per-column
+            # coalesce kept the stale value forever, r11 review). The
+            # _d_present marker, not key nullness, decides which side
+            # wins, so NULL keys can't misroute the choice.
+            has_delta = F.col("_d_present").isNotNull()
+            merged = (
+                base.join(
+                    delta, base[key_col] == delta[f"_d_{key_col}"], "full_outer"
+                )
+                .filter(~F.coalesce("_d_del", F.lit(False)))  # MATCHED+del: DELETE
+                .select(
+                    *[
+                        F.when(has_delta, F.col(f"_d_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in data_cols
+                    ]
+                )
+                .withColumn("_bucket", self._bucket_expr(key_col, n_buckets))
+            )
 
-        next_commit = len(self._commits())
-        added = self._write_data_files(merged, version=next_commit)
+            next_commit = len(commits)
+            added = self._write_data_files(merged, version=next_commit)
+        finally:
+            compacted.unpersist()
         self._write_commit(
             {
                 "version": next_commit,
@@ -378,7 +421,11 @@ class TxnTable:
         atomically and time travel still sees the pre-compaction layout.
         Skips (no commit) when every bucket is already a single file.
         """
-        snapshot = self.snapshot()
+        # ONE listing: version pinned to the snapshot's log state, so a
+        # concurrent commit forces our EEXIST conflict instead of being
+        # silently overwritten (same rule as merge_cdc, r11 review)
+        commits = self._commits()
+        snapshot = self.snapshot(commits=commits)
         by_bucket: dict[int, list[dict]] = {}
         for e in snapshot:
             by_bucket.setdefault(e["bucket"], []).append(e)
@@ -387,11 +434,14 @@ class TxnTable:
             return {"skipped": True, "reason": "already compact"}
         to_rewrite = [e for b in frag for e in by_bucket[b]]
         rows = self.read(to_rewrite).withColumn(
-            "_bucket", self._bucket_expr(self._key_col(), self._n_buckets())
+            "_bucket",
+            self._bucket_expr(
+                self._key_col(commits=commits), self._n_buckets(commits=commits)
+            ),
         )
         # one output file per bucket: partition-wise coalesce via the
         # bucket repartition inside _write_data_files
-        next_commit = len(self._commits())
+        next_commit = len(commits)
         added = self._write_data_files(rows, version=next_commit)
         self._write_commit(
             {

@@ -386,3 +386,54 @@ def test_txn_pre_schema_pinning_table_still_merges(spark, tmp_path):
     got = legacy.read().select("c_custkey", "c_name", "c_acctbal")
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_merge_cdc_null_update_clears_field(spark, tmp_path):
+    """r11 review: latest-wins is WHOLESALE row replacement — a CDC
+    update carrying NULL for a column must CLEAR it (the source system
+    nulled the field). Per-column coalesce kept the stale value forever,
+    and the idempotent replay never fixed it."""
+    path = str(tmp_path / "null_clear_table")
+    base = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+    ch = spark.createDataFrame(
+        [(5, None, 77.25, False, 1_000_000, 1)],
+        "c_custkey bigint, c_name string, c_acctbal double, "
+        "is_delete boolean, ts_us bigint, event_id bigint",
+    )
+    assert not t.merge_cdc(ch, app_id="nuller", version=1)["skipped"]
+    row = t.read().filter(F.col("c_custkey") == 5).collect()
+    assert len(row) == 1
+    assert row[0]["c_name"] is None, "NULL update must clear the field"
+    assert row[0]["c_acctbal"] == 77.25
+
+
+def test_merge_cdc_version_pinned_at_snapshot_read(spark, tmp_path, monkeypatch):
+    """r11 review (lost-update race): a commit landing between a merge's
+    snapshot read and its publish must make the merge FAIL with the
+    concurrency conflict — the old code re-listed the log after the
+    snapshot, claimed the next FREE version slot, and silently
+    overwrote the concurrent writer's files."""
+    path = str(tmp_path / "race_pin_table")
+    base = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = TxnTable.create(spark, path, base, key_col="c_custkey", n_buckets=4)
+
+    orig_snapshot = TxnTable.snapshot
+
+    def snapshot_then_concurrent_commit(self, at_version=None, commits=None):
+        out = orig_snapshot(self, at_version=at_version, commits=commits)
+        # a second writer lands a commit right after our snapshot read
+        v = len(self._commits())
+        self._write_commit(
+            {"version": v, "op": "OTHER_WRITER", "add": [], "remove": []}
+        )
+        monkeypatch.setattr(TxnTable, "snapshot", orig_snapshot)  # fire once
+        return out
+
+    monkeypatch.setattr(TxnTable, "snapshot", snapshot_then_concurrent_commit)
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t.merge_cdc(_changelog(spark), app_id="racer", version=1)
