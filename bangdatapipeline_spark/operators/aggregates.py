@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -2331,10 +2332,10 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_higher_moments",
-    oracle="""
+    oracle=f"""
 WITH c AS (
   SELECT c_mktsegment AS segment,
-         CAST(floor(c_acctbal * 100 + 0.5) AS HUGEINT) AS cents
+         {cents_sql("c_acctbal", "HUGEINT")} AS cents
   FROM customer
 ),
 s AS (
@@ -2388,6 +2389,8 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     else; at 100 TB this is a full-scan + 5-number-per-segment reduce.
     """
     c = load_table(spark, sf_dir, "customer")
+    # same floor(x*100+0.5) lattice as lattice.cents_col, but cast to
+    # decimal(38,0) (the HUGEINT twin) so cents^3 products can't overflow
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("decimal(38,0)")
     s = (
         c.select(F.col("c_mktsegment").alias("segment"), cents.alias("cents"))
@@ -2436,9 +2439,9 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_mann_whitney",
-    oracle="""
+    oracle=f"""
 WITH x AS (
-  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+  SELECT {cents_sql("value")} AS cents,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
   FROM events WHERE event_type IN ('click', 'view')
 ),
@@ -2504,7 +2507,7 @@ def _click_view_cents_counts(ev: DataFrame) -> DataFrame:
     between the two tests and their streaming twins). group A = click,
     group B = view; cents on the shared floor(x*100+0.5) lattice."""
     x = ev.where(F.col("event_type").isin("click", "view")).select(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        cents_col(F.col("value")).alias("cents"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
     )
     return x.groupBy("cents").agg(
@@ -2556,9 +2559,9 @@ def mann_whitney_from_counts(c: DataFrame) -> DataFrame:
 
 @register(
     "agg_ks_test",
-    oracle="""
+    oracle=f"""
 WITH x AS (
-  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+  SELECT {cents_sql("value")} AS cents,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
   FROM events WHERE event_type IN ('click', 'view')
 ),

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import REGISTRY, register
 from bangdatapipeline_spark.tables import load_table
 
@@ -1372,10 +1373,10 @@ def txn_cdc_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_time_travel",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT c_custkey AS key,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+         {cents_sql("c_acctbal")} AS bal_cents
   FROM customer
 ),
 v1 AS (
@@ -1428,7 +1429,7 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bangdatapipeline_spark.sources.txn_table import TxnTable
 
     c = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    cents = cents_col(F.col("c_acctbal"))
     base = c.select(F.col("c_custkey").alias("key"), cents.alias("bal_cents"))
     key = F.col("key")
     path = os.path.join(tempfile.gettempdir(), f"txn_tt_{uuid.uuid4().hex[:8]}")

@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -124,8 +125,8 @@ SELECT '{label}' AS col_name,
        cnt,
        rnk,
        (cnt * 1000000) // n_total            AS share_ppm,
-       CAST(floor(CAST(cnt AS DOUBLE) * n_keys * 1000000 / n_total)
-            AS BIGINT)                       AS hot_x_ppm
+       CAST(least(floor(CAST(cnt AS DOUBLE) * n_keys * 1000000 / n_total),
+                  9.2e18) AS BIGINT)         AS hot_x_ppm
 FROM (
   SELECT k, cnt,
          row_number() OVER (ORDER BY cnt DESC, k) AS rnk,
@@ -179,10 +180,15 @@ def dq_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the SAME left-assoc order, so the result is
                 # bit-identical cross-engine; share_ppm keeps the exact
                 # integer path (cnt*1e6 bounded until a single key
-                # holds ~9.2e12 rows).
+                # holds ~9.2e12 rows). The least(..., 9.2e18) clamp
+                # (ADVICE r11) keeps the double under BIGINT range at
+                # EXTREME key/count scale, where DuckDB's CAST would
+                # raise while Spark's non-ANSI cast nulls — both engines
+                # saturate identically instead of diverging; 9.2e18 is
+                # exactly representable as a double and < 2^63-1.
                 F.expr(
-                    "CAST(floor(CAST(cnt AS DOUBLE) * n_keys * 1000000"
-                    " / n_total) AS BIGINT)"
+                    "CAST(least(floor(CAST(cnt AS DOUBLE) * n_keys"
+                    " * 1000000 / n_total), 9.2e18) AS BIGINT)"
                 ).alias("hot_x_ppm"),
             )
         )
@@ -612,17 +618,17 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_reconciliation",
-    oracle="""
+    oracle=f"""
 WITH li AS (
   SELECT l_orderkey,
          CAST(count(*) AS BIGINT) AS n_lines,
-         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
-                        + 0.5) AS BIGINT)) AS line_cents
+         SUM({cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")})
+           AS line_cents
   FROM lineitem GROUP BY l_orderkey
 ),
 j AS (
   SELECT o.o_orderpriority,
-         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents,
+         {cents_sql("o.o_totalprice")} AS order_cents,
          coalesce(li.n_lines, 0)   AS n_lines,
          coalesce(li.line_cents, 0) AS line_cents
   FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
@@ -663,13 +669,11 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    line_cents = F.floor(
+    line_cents = cents_col(
         F.col("l_extendedprice")
         * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax"))
-        * 100
-        + F.lit(0.5)
-    ).cast("bigint")
+    )
     per_order = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(line_cents).alias("line_cents"),
@@ -678,9 +682,7 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order, o["o_orderkey"] == per_order["l_orderkey"], "left"
     ).select(
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("bigint")
-        .alias("order_cents"),
+        cents_col(F.col("o_totalprice")).alias("order_cents"),
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
     )

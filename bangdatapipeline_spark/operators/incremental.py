@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -216,12 +217,12 @@ _DIFF_CUT_B = "1997-07-01"
     oracle=f"""
 WITH a AS (
   SELECT o_orderkey AS key,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         {cents_sql("o_totalprice")} AS cents
   FROM orders WHERE o_orderdate < DATE '{_DIFF_CUT_A}'
 ),
 b AS (
   SELECT o_orderkey AS key,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         {cents_sql("o_totalprice")}
            + CASE WHEN o_orderkey % 5 = 0 THEN 250 ELSE 0 END AS cents
   FROM orders
   WHERE o_orderdate < DATE '{_DIFF_CUT_B}' AND o_orderkey % 17 <> 0
@@ -271,7 +272,7 @@ def diff_snapshots(
     """The two synthetic snapshot versions ``cdc_snapshot_diff`` compares
     (shared with the streaming twin, which replays B as micro-batches)."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cents = cents_col(F.col("o_totalprice"))
     a = o.filter(F.col("o_orderdate") < _DIFF_CUT_A).select(
         F.col("o_orderkey").alias("key"), cents.alias("cents_a")
     )
@@ -296,6 +297,12 @@ def snapshot_diff_result(a: DataFrame, b: DataFrame) -> DataFrame:
     its streaming twin (the twin maintains the B snapshot as keyed state
     and calls this read-side): full-outer join ``a (key, cents_a)`` to
     ``b (key, cents_b)``, classify each key, publish per-class stats."""
+    # Classification via VALUE nullness; the oracle classifies via KEY
+    # nullness (a.key IS NULL). These agree iff cents is non-null
+    # whenever the key is present — guaranteed here because cents
+    # derives from TPC-H's NOT NULL o_totalprice. A nullable-value
+    # changelog must add presence markers on both sides instead (the
+    # scd2_apply_changes pattern).
     d = a.join(b, "key", "full_outer").select(
         "key",
         F.when(F.col("cents_a").isNull(), "added")
@@ -322,26 +329,32 @@ def snapshot_diff_result(a: DataFrame, b: DataFrame) -> DataFrame:
 @register(
     "scd2_apply_changes",
     tags=("stream_twin", "stream_test:test_scd2_apply_stream_equals_batch"),
-    oracle="""
+    oracle=f"""
 WITH dim AS (
   SELECT c_custkey AS key,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+         {cents_sql("c_acctbal")} AS bal_cents,
+         TRUE AS in_dim
   FROM customer
 ),
 snap AS (
   SELECT c_custkey AS key,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
-           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal_cents
+         {cents_sql("c_acctbal")}
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal_cents,
+         TRUE AS in_snap
   FROM customer WHERE c_custkey % 11 <> 0
   UNION ALL
-  SELECT c_custkey + 1000000000, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+  SELECT c_custkey + 1000000000, {cents_sql("c_acctbal")}, TRUE
   FROM customer WHERE c_custkey % 13 = 0
 ),
 j AS (
+  -- presence MARKERS, not key IS NULL (ADVICE r11): mirrors the Spark
+  -- side's _in_dim/_in_snap so a NULL key classifies identically on
+  -- both engines (NULL keys never join-match, so key IS NULL would say
+  -- 'insert' here while Spark's marker says 'delete' for a dim row)
   SELECT coalesce(d.key, s.key) AS key,
          d.bal_cents AS old_bal, s.bal_cents AS new_bal,
-         CASE WHEN d.key IS NULL THEN 'insert'
-              WHEN s.key IS NULL THEN 'delete'
+         CASE WHEN d.in_dim IS NULL THEN 'insert'
+              WHEN s.in_snap IS NULL THEN 'delete'
               WHEN d.bal_cents IS DISTINCT FROM s.bal_cents THEN 'update'
               ELSE 'noop' END AS op
   FROM dim d FULL OUTER JOIN snap s ON d.key = s.key
@@ -384,7 +397,7 @@ def scd2_inputs(
     merges (shared with the streaming twin, which replays the snapshot
     as micro-batches)."""
     c = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    cents = cents_col(F.col("c_acctbal"))
     dim = c.select(F.col("c_custkey").alias("key"), cents.alias("old_bal"))
     snap = (
         c.filter(F.col("c_custkey") % 11 != 0)

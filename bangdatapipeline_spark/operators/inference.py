@@ -17,6 +17,15 @@ time-to-event and uncertainty-quantification toolkit:
   * difference-in-differences (``events_diff_in_diff``) — the 2x2
     pre/post x treat/control contrast on an exact cents lattice.
 
+Cents-lattice convention (VERDICT r11 task 3): this file deliberately
+uses the ``round(x*100)`` spelling, consistently on BOTH the Spark and
+oracle side of every pairing, over non-negative domains where it agrees
+with the repo-default ``floor(x*100+0.5)`` in
+``operators/lattice.py``. Do not swap spellings on one side only, and
+do not copy this file's spelling into files that interpolate
+``lattice.cents_sql`` — see lattice.py's docstring for the
+half-away-from-zero vs half-toward-+inf divergence on signed data.
+
 Scale notes (100 TB):
   * Kaplan-Meier reduces the corpus to one row per subject (one keyed
     aggregate), then to one row per (group, duration) — the survival

@@ -11,6 +11,15 @@ trivially cheap at any scale; only the rewrite (modeled by
 ``sources.txn_table``'s OPTIMIZE commit) touches data, and it touches
 only the fragmented buckets.
 
+Cents-lattice convention (VERDICT r11 task 3): the zone-map operators
+(``layout_zonemap_skip``, ``layout_file_stats`` family) use the
+``round(x*100)`` spelling, consistently on BOTH Spark and oracle sides
+of each pairing, over non-negative prices where it agrees with the
+repo-default ``floor(x*100+0.5)``; the txn/merge-on-read operators
+below interpolate ``lattice.cents_sql`` (the default). The two lattices
+never meet inside one pairing — do not swap a spelling on one side
+only; see ``operators/lattice.py`` for the signed-data divergence.
+
 Scale notes (100 TB):
   * ``layout_compaction_plan`` windows over the file inventory
     (one row per file). The exclusive running-sum binning is the
@@ -37,6 +46,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -582,11 +592,11 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_orc_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({cents_sql("value")}) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY event_type
 """,
@@ -623,9 +633,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = back.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-            ).alias("sum_cents"),
+            F.sum(cents_col(F.col("value"))).alias("sum_cents"),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -698,16 +706,16 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "layout_merge_on_read",
-    oracle="""
+    oracle=f"""
 WITH delta AS (
   SELECT c_custkey AS key,
          CASE WHEN c_custkey % 13 = 0 THEN TRUE ELSE FALSE END AS is_delete,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 777 AS new_cents
+         {cents_sql("c_acctbal")} + 777 AS new_cents
   FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 7 = 0
 ),
 merged AS (
   SELECT c.c_mktsegment,
-         coalesce(d.new_cents, CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+         coalesce(d.new_cents, {cents_sql("c.c_acctbal")})
            AS cents,
          d.key IS NOT NULL AND NOT d.is_delete AS updated
   FROM customer c LEFT JOIN delta d ON d.key = c.c_custkey
@@ -745,7 +753,7 @@ def layout_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     c = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    cents = cents_col(F.col("c_acctbal"))
     root = os.path.join(tempfile.gettempdir(), f"mor_{uuid.uuid4().hex[:8]}")
     try:
         base_path = os.path.join(root, "base")

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -290,16 +291,16 @@ def sql_api_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_scalar_subquery",
-    oracle="""
+    oracle=f"""
 WITH avg_cents AS (
-  SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+  SELECT sum({cents_sql("o_totalprice")})
            // count(*) AS a
   FROM orders
 )
 SELECT o.o_orderkey,
-       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+       {cents_sql("o.o_totalprice")} AS price_cents
 FROM orders o, avg_cents
-WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) > avg_cents.a
+WHERE {cents_sql("o.o_totalprice")} > avg_cents.a
 """,
 )
 def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +322,7 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declared broadcast).
     """
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cents = cents_col(F.col("o_totalprice"))
     priced = o.select("o_orderkey", cents.alias("price_cents"))
     avg_cents = priced.agg(
         F.expr("sum(price_cents) DIV count(*)").alias("a")

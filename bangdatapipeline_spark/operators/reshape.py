@@ -18,18 +18,25 @@ from bangdatapipeline_spark.tables import load_table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+# Both the per-type FILTER columns and the total's IN-list interpolate
+# EVENT_TYPES (ADVICE r11: the total carried the last hand-synchronized
+# copy of the value list — adding a sixth type to EVENT_TYPES would have
+# silently diverged the oracle's total from the pivoted columns).
+_PIVOT_COLS_SQL = "\n".join(
+    f"       count(*) FILTER (WHERE event_type = '{t}')"
+    f"{' ' * (9 - len(t))}AS {t},"
+    for t in EVENT_TYPES
+)
+_PIVOT_IN_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
 
 @register(
     "pivot_wide",
-    oracle="""
+    oracle=f"""
 SELECT user_id,
-       count(*) FILTER (WHERE event_type = 'click')    AS click,
-       count(*) FILTER (WHERE event_type = 'error')    AS error,
-       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
-       count(*) FILTER (WHERE event_type = 'view')     AS view,
+{_PIVOT_COLS_SQL}
        count(*) FILTER (WHERE event_type IN
-           ('click', 'error', 'purchase', 'signup', 'view')) AS total
+           ({_PIVOT_IN_SQL})) AS total
 FROM events
 GROUP BY user_id
 """,

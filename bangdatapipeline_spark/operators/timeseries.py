@@ -24,19 +24,13 @@ from bangdatapipeline_spark.tables import load_table
 
 
 
-# The ONE per-row cents-lattice spelling (r10 review: round() and
-# floor(+0.5) variants coexisted across six daily rollups; they agree
-# only for non-negative values — round is half-away-from-zero,
-# floor(x+0.5) half-toward-+inf — so a signed-data copy of the wrong
-# variant would silently fork the lattice). floor(x*100 + 0.5) is this
-# file's convention (docs/dialect_notes.md); every oracle here
-# interpolates this constant (r11: the six daily-rollup oracles are
-# f-strings over it, so a signed-data lattice fork can no longer be
-# introduced by editing one copy). inference.py / layout_ops.py use the
-# round() spelling instead — consistently on BOTH their Spark and
-# oracle sides, over non-negative domains where the two lattices agree
-# — so they pair internally; do not copy either spelling across files.
-_CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+# The ONE per-row cents-lattice spelling now lives in lattice.py (r12,
+# VERDICT r11 task 3) so every module interpolates the same function;
+# see that module's docstring for the half-away-from-zero vs
+# half-toward-+inf hazard and the sanctioned round() exceptions.
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
+
+_CENTS_SQL = cents_sql("value")
 
 
 def _floordiv_sql(expr: str, d: int | str) -> str:
@@ -51,7 +45,7 @@ def _floordiv_sql(expr: str, d: int | str) -> str:
 
 def _cents_spark(col: Column) -> Column:
     """``value`` -> exact integer cents; SQL twin is ``_CENTS_SQL``."""
-    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+    return cents_col(col)
 
 
 @register(

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
 from bangdatapipeline_spark.tables import load_table
 
@@ -767,10 +768,10 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_drawdown",
     tags=("stream_twin", "stream_test:test_drawdown_stream_equals_batch"),
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT user_id, ts, event_id,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         {cents_sql("value")} AS cents
   FROM events WHERE event_type = 'purchase'
 ),
 c1 AS (
@@ -818,7 +819,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        cents_col(F.col("value")).alias("cents"),
     )
     w = (
         Window.partitionBy("user_id")

@@ -323,10 +323,15 @@ class TxnTable:
             data_cols = [s["name"] for s in schema]
         else:
             # pre-schema-pinning table: fall back to the live file schema
-            # (ungated merge, same behavior those tables were created under)
+            # (ungated merge, same behavior those tables were created
+            # under). Derive it from the SAME pinned log listing as the
+            # rest of this merge — an argless self.read() would re-list
+            # the log, and a commit landing between the two listings
+            # could change the schema source mid-operation (ADVICE r11:
+            # the one-listing-per-operation rule had this one leak).
             data_cols = [
                 c
-                for c in self.read().columns
+                for c in self.read(self.snapshot(commits=commits)).columns
                 if c not in {delete_col, o1, o2, "_bucket"}
             ]
 

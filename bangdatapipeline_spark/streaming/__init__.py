@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from bangdatapipeline_spark.operators.lattice import cents_col
 from bangdatapipeline_spark.operators.streaming_batch import (
     SESSION_GAP_MIN,
     WATERMARK_DELAY,
@@ -592,11 +593,7 @@ def daily_cents(events: DataFrame) -> DataFrame:
     return (
         _event_time(events)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(
-            F.sum(
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-            ).alias("cents")
-        )
+        .agg(F.sum(cents_col(F.col("value"))).alias("cents"))
         .select(
             "event_type", F.to_date(F.col("w.start")).alias("day"), "cents"
         )
@@ -851,9 +848,7 @@ def value_class_counts(events: DataFrame) -> DataFrame:
     x = events.where(
         F.col("event_type").isin("click", "view")
     ).select(
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("bigint")
-        .alias("cents"),
+        cents_col(F.col("value")).alias("cents"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
     )
     return x.groupBy("cents").agg(

@@ -699,6 +699,7 @@ def main() -> None:
         # publish per-query min (no BASELINE budget line -> no floor
         # subtraction -> min is unconditionally better). The remaining
         # non-headline rows keep the main-sweep sample.
+        key_of = dict(benchable)
         retried = noise_ratio_initial > RETRY_NOISE_THRESHOLD
         retry_published = False
         headline_min_published = False
@@ -722,7 +723,6 @@ def main() -> None:
             headline_rows = [
                 (m, k, SF_DIR) for m, k in benchable if m in HEADLINE_METRICS
             ] + [(m, k, canon_dir) for m, k in _CANONICAL_ROWS]
-            key_of = dict(benchable)
             nonheadline_slowest = sorted(
                 (m for m, _k in benchable if m not in HEADLINE_METRICS),
                 key=lambda m: timings[m],
@@ -803,10 +803,6 @@ def main() -> None:
     finally:
         shutil.rmtree(canon_dir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 4)
-    plan_total = round(sum(plan_secs.values()), 4)
-    setup_total = round(sum(setup_secs.values()), 4)
-
     # Non-headline drift gate (VERDICT r10 task 4): the slowest
     # non-headline rows (graph family + orders_udf_window_agg, ...) have
     # no BASELINE budget line, so a real plan regression there was
@@ -828,6 +824,38 @@ def main() -> None:
         # a corrupt budgets file must CRASH, not count as empty
         with open(budgets_path) as f:
             bench_budgets = json.load(f)
+
+    # Budget-drift retry (ADVICE r11): the noise retry above only fires
+    # when the GLOBAL sentinel is noisy, so a quiet-sentinel sweep with a
+    # single per-row transient spike >BENCH_DRIFT_RATIO x its budget
+    # reference used to publish the spiked sample and hard-fail the
+    # committed-artifact contract with no retry path (r11's
+    # customers_fuzzy_blocking_eval, 0.289 -> 0.742 s). Mirror
+    # sf1_smoke's warm budget-alert retry: every budgeted row whose
+    # published value exceeds BENCH_DRIFT_RATIO x its reference gets ONE
+    # warm re-time regardless of sentinel state, publishing
+    # min(published, retry) — a transient spike settles back under
+    # budget, a real plan regression stays over and the alert stands.
+    # Raw pairs land in ``budget_retried`` so the adjudication is
+    # auditable. Budgeted rows all run at SF_DIR (the canonical-layout
+    # twins are headline-only), so this runs after canon_dir teardown.
+    budget_retried: dict[str, list[float]] = {}
+    for m, ref in bench_budgets.items():
+        if m not in timings or timings[m] <= BENCH_DRIFT_RATIO * ref:
+            continue
+        exec_s, plan_s, setup_s, _cold = _time_query(
+            spark, registry[key_of[m]].fn, SF_DIR
+        )
+        budget_retried[m] = [timings[m], round(exec_s, 4)]
+        if exec_s < timings[m]:
+            timings[m] = round(exec_s, 4)
+            plan_secs[m] = round(plan_s, 4)
+            setup_secs[m] = round(setup_s, 4)
+
+    total = round(sum(timings.values()), 4)
+    plan_total = round(sum(plan_secs.values()), 4)
+    setup_total = round(sum(setup_secs.values()), 4)
+
     over_budget = {
         m: [timings[m], ref]
         for m, ref in bench_budgets.items()
@@ -874,6 +902,7 @@ def main() -> None:
         "nonheadline_retry": nonheadline_retry,
         "cold_sec_retry": cold_sec_retry,
         "cold_recheck": cold_recheck,
+        "budget_retried": budget_retried,
         "over_budget": over_budget,
         "sf": sf,
     }

@@ -177,28 +177,70 @@ def _ledger_keys(registry) -> tuple[list[str], dict]:
     base = set(slowest) | set(newest)
     room = max(0, _LEDGER_CAP - len(base))
     extra = sorted(set(rewritten) - base)
-    sampled = extra
-    if len(extra) > room:
-        # round-robin across families so every touched family keeps at
-        # least one sf1 execution under the cap
-        fams: dict[str, list[str]] = {}
-        for k in extra:
-            fams.setdefault(k.split("_", 1)[0], []).append(k)
-        order = sorted(fams)
-        sampled, i = [], 0
-        while len(sampled) < room:
-            fam = fams[order[i % len(order)]]
-            if fam:
-                sampled.append(fam.pop(0))
-            elif all(not fams[f] for f in order):
-                break
-            i += 1
+
+    # Never-sf1-run burn-down (VERDICT r11 task 6): keys with NO entry in
+    # any SCALE_LEDGER timings map have zero sf1 scale evidence. Reserve
+    # up to half the remaining room for them (rewrites keep the other
+    # half — their old sf1 evidence describes code that no longer
+    # exists), ordered family-round-robin with families that have NO
+    # covered representative first, so every family gets sf1-timed
+    # representatives within a couple of rounds. The running coverage
+    # tally and the split land in the ledger entry.
+    covered: set[str] = set()
+    try:
+        with open(os.path.join(root, "SCALE_LEDGER.jsonl")) as f:
+            for line in f:
+                try:
+                    covered.update(json.loads(line).get("timings", {}))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    never = [k for k in registry if k not in covered and k not in base]
+    rw_room = min(len(extra), room - min(len(never), room // 2))
+    rw_sampled = _family_sample(extra, rw_room)
+    fam_covered = {k.split("_", 1)[0] for k in covered}
+    never.sort(key=lambda k: (k.split("_", 1)[0] in fam_covered, k))
+    nv_sampled = _family_sample(never, room - len(rw_sampled))
+    sampled = rw_sampled + nv_sampled
     meta = {
         "cap": _LEDGER_CAP,
-        "rewritten_total": len(set(rewritten) - base),
-        "rewritten_sampled": len(sampled),
+        "rewritten_total": len(extra),
+        "rewritten_sampled": len(rw_sampled),
+        "never_run_total": len(never),
+        "never_run_added": len(nv_sampled),
+        "sf1_covered_before": len(covered & set(registry)),
+        "selection_note": (
+            "slowest+newest base, then rewrites and never-sf1-run keys "
+            "split the remaining room (never-run reserved up to half; "
+            "uncovered families first, family round-robin)"
+        ),
     }
     return sorted(base | set(sampled)), meta
+
+
+def _family_sample(keys: list[str], room: int) -> list[str]:
+    """Round-robin up to ``room`` keys across operator families (the
+    ``<prefix>_`` before the first underscore), preserving the incoming
+    order within each family — coverage spreads as evenly across
+    families as the room allows; when there are more families than
+    room, the families of later-ordered keys are the ones dropped."""
+    if len(keys) <= room:
+        return list(keys)
+    fams: dict[str, list[str]] = {}
+    for k in keys:
+        fams.setdefault(k.split("_", 1)[0], []).append(k)
+    order = list(fams)
+    sampled: list[str] = []
+    i = 0
+    while len(sampled) < room:
+        fam = fams[order[i % len(order)]]
+        if fam:
+            sampled.append(fam.pop(0))
+        elif all(not fams[f] for f in order):
+            break
+        i += 1
+    return sampled
 
 
 _BUDGETS_PATH = os.path.join(
@@ -274,6 +316,9 @@ def _append_ledger(summary: dict) -> None:
                 "timings", "over_budget", "budget_retried",
                 # slice-cap bookkeeping (r11): present on --ledger runs
                 "cap", "rewritten_total", "rewritten_sampled",
+                # never-run burn-down bookkeeping (r12, VERDICT r11 task 6)
+                "never_run_total", "never_run_added",
+                "sf1_covered_before", "selection_note",
             )
             if k in summary
         },

@@ -205,3 +205,31 @@ def test_dot_double_vec_nan_stays_nan_null_stays_null(spark):
     assert rows[1].fold == rows[1].vec == 11.0
     assert math.isnan(rows[2].fold) and math.isnan(rows[2].vec)
     assert rows[3].fold is None and rows[3].vec is None
+
+
+def test_exact_select_rejects_colliding_carry(spark):
+    """VERDICT r11 task 4: a carry column shadowing one of the selection
+    kernel's internal names (v, bucket, rn, ...) would make the spec
+    join ambiguous or silently mis-resolve; the entry guard must fail
+    loudly with the offending names, and a disjoint carry must still
+    pass through untouched."""
+    from bangdatapipeline_spark.operators.aggregates import exact_select
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30)], "grp string, v long"
+    )
+    bad = spark.createDataFrame(
+        [("a", 1, 7, 9)], "grp string, k long, rn long, cum long"
+    )
+    with pytest.raises(ValueError, match="collide with"):
+        exact_select(df, bad, width=100)
+    try:
+        exact_select(df, bad, width=100)
+    except ValueError as e:
+        assert "rn" in str(e) and "cum" in str(e)
+    # disjoint carry: the k-th smallest v comes back with the carry intact
+    good = spark.createDataFrame(
+        [("a", 2, "med")], "grp string, k long, role string"
+    )
+    rows = exact_select(df, good, width=100).collect()
+    assert [(r.grp, r.role, r.v) for r in rows] == [("a", "med", 20)]

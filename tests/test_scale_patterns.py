@@ -160,3 +160,13 @@ def test_scale_ledger_entries_are_clean():
         # budget alerts must have been retried once warm before standing
         # (shared-memo attribution noise vs real regression)
         assert "budget_retried" in last, last
+    if last["round"] >= 12:
+        # VERDICT r11 task 6: never-sf1-run keys are burned down with
+        # reserved room and the running coverage tally is recorded, so
+        # the slice selection is auditable round over round
+        assert last["never_run_added"] <= last["never_run_total"], last
+        assert last["sf1_covered_before"] >= 0, last
+        assert "never-sf1-run" in last["selection_note"], last
+        if last["never_run_total"] > 0:
+            # as long as uncovered keys remain, each round must add some
+            assert last["never_run_added"] > 0, last
