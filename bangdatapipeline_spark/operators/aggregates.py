@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 Q1_CUTOFF = "1999-09-02 00:00:00"
 
@@ -762,7 +762,16 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     printf/strftime so both engines format doubles and timestamps
     identically.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # r12: both branches do their heavy lifting (per-column HLL partials,
+    # the #cols-way unpivot explosion) INSIDE the scan stage, and the
+    # driver's single-row-group orders file scans as one task — spread
+    # the profiled projection first so the partials run on every core
+    # (tables.spread; one narrow shuffle of the projected rows).
+    o = spread(
+        load_table(spark, sf_dir, "orders").select(
+            *[c for c, _ in _PROFILE_COLS]
+        )
+    )
     aggs = [F.count("*").alias("__n")]
     for c, kind in _PROFILE_COLS:
         if kind == "double":
@@ -2040,6 +2049,10 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_c"),
         F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax_c"),
     )
+    # r12: the 15 decimal(38,0) partial sums run inside the single-task
+    # lineitem scan stage — spread the 4-column projection so the
+    # decimal moment arithmetic runs on every core (tables.spread)
+    li = spread(li)
     aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
     for c in _COV_COLS:
         aggs.append(F.sum(F.col(c).cast(dec)).cast(dec).alias(f"s_{c}"))
@@ -2106,35 +2119,85 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     move with the outliers they're meant to find, while the median and
     the median absolute deviation have a 50% breakdown point.
 
-    Medians twice with the shared two-phase selection kernel
-    (``exact_median2``) — values first, then absolute deviations — in
-    doubled-integer space: m2 = 2*median(v) and md2 = 2*median(|2v-m2|)
-    = 4*MAD are exact integers, so the flag rule |v - med| > 3*MAD is
-    the pure-integer comparison 2*|2v - m2| > 3*md2 and the whole
-    report hash-matches with zero float hazards (the emitted med/mad
-    are single exact divisions). Scale: two bounded-histogram passes +
-    two gated re-scans; deviations join the per-group scalar table
-    broadcast, so facts shuffle only into the histogram partial aggs.
+    Medians in doubled-integer space: m2 = 2*median(v) and md2 =
+    2*median(|2v-m2|) = 4*MAD are exact integers, so the flag rule
+    |v - med| > 3*MAD is the pure-integer comparison 2*|2v - m2| >
+    3*md2 and the whole report hash-matches with zero float hazards
+    (the emitted med/mad are single exact divisions).
+
+    r12 plan: ONE pass over the fact table. events.value lives on a
+    naturally BOUNDED cents domain (the ``ts_ship_delay_cdf`` regime,
+    not the unbounded-money regime ``exact_median2`` bisects), so the
+    per-(grp, v) count table IS the full distribution: both medians,
+    the deviation distribution (a regroup of the same counts by
+    d = |2v - m2|), and the outlier tally are all projections over it.
+    The previous form ran the two-phase selection kernel twice plus a
+    final flag pass — five scans/joins of the facts; now the facts are
+    scanned once into a map-side-combined count and everything after
+    runs on <= |grp| x |distinct cents| rows. At 100 TB the count table
+    is still bounded by the value domain, the windows run over it, and
+    no re-scan of the facts exists to schedule.
     """
     c = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
     )
-    med = exact_median2(c, width=10000)  # (grp, n, m2)
-    dev = c.join(F.broadcast(med), "grp").select(
-        "grp", F.abs(2 * F.col("v") - F.col("m2")).alias("v")
+    # lazy localCheckpoints pin the two bounded count tables: each is read
+    # by 2+ downstream branches, and without the pin every branch would
+    # re-run the fact scan / regroup (the DataFrame API shares no
+    # subtrees). Blocks are freed by the ContextCleaner with the plan —
+    # the matryoshka precedent.
+    counts = (
+        c.groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    mad = exact_median2(dev, width=10000).select(
+
+    def _median2_from_counts(cdf: DataFrame, val: str) -> DataFrame:
+        """(grp, n, m2) from per-(grp, value) counts: m2 = v_(k1) + v_(k2)
+        with k1 = floor((n+1)/2), k2 = floor((n+2)/2) — the same order
+        statistics ``exact_median2`` selects, read off the count CDF."""
+        wcum = (
+            Window.partitionBy("grp")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("grp")
+        cum = cdf.select(
+            "grp",
+            F.col(val).alias("v_"),
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        k1 = F.floor((F.col("n") + 1) / 2)
+        k2 = F.floor((F.col("n") + 2) / 2)
+        return cum.groupBy("grp").agg(
+            F.max("n").alias("n"),
+            (
+                F.min(F.when(F.col("cum") >= k1, F.col("v_")))
+                + F.min(F.when(F.col("cum") >= k2, F.col("v_")))
+            ).alias("m2"),
+        )
+
+    med = _median2_from_counts(counts, "v").localCheckpoint(eager=False)
+    dev_counts = (
+        counts.join(F.broadcast(med), "grp")
+        .groupBy("grp", F.abs(2 * F.col("v") - F.col("m2")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    mad = _median2_from_counts(dev_counts, "d").select(
         "grp", F.col("m2").alias("md2")
     )
     flagged = (
-        dev.withColumnRenamed("v", "d")
-        .join(F.broadcast(med), "grp")
+        dev_counts.join(F.broadcast(med), "grp")
         .join(F.broadcast(mad), "grp")
         .groupBy("grp", "n", "m2", "md2")
         .agg(
             F.sum(
-                F.when(2 * F.col("d") > 3 * F.col("md2"), 1).otherwise(0)
+                F.when(2 * F.col("d") > 3 * F.col("md2"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
             ).alias("n_outliers")
         )
     )

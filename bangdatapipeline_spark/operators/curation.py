@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import REGISTRY, register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 # Every 17th document is "eval"; the rest are "train". Deterministic
 # id-gate (same spirit as sampling.sample_hash_det).
@@ -75,16 +75,26 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= NGRAM)
-    sh = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, NGRAM)),
-            )
-        ).alias("shingle"),
-    ).distinct()
+    # r12: spread the projection (tokenize + 8-gram explode otherwise fuse
+    # into the single-task documents scan stage — tables.spread), and pin
+    # the distinct shingle table: the eval and train branches are two
+    # subtrees, so unpinned the shingle pass ran twice per job
+    base = spread(d.select("doc_id", "text")).select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") >= NGRAM)
+    sh = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, NGRAM)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_sh = sh.filter(is_eval)
     train_sh = sh.filter(~is_eval).select("shingle").distinct()
@@ -731,7 +741,12 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora compute the two log terms separately before the lattice.)
     """
     d = load_table(spark, sf_dir, "documents")
-    bt = d.select(
+    # r12: spread the projection (tokenize + per-token md5 bucketing
+    # otherwise fuse into the single-task documents scan — tables.spread)
+    # and pin the bucketed token stream: FOUR subtrees read it (target
+    # counts, raw counts, totals, and the scoring join), so unpinned the
+    # hashing pass ran four times per job
+    bt = spread(d.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         F.explode(F.split("text", " ")).alias("tok"),
@@ -741,7 +756,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("long") % _DSIR_B
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     spine = spark.range(_DSIR_B).select(F.col("id").alias("bucket"))
     tcnt = (
         bt.filter(F.col("lang") == _DSIR_TARGET_LANG)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.operators.graph_util import min_label_components
 from bangdatapipeline_spark.registry import REGISTRY, register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 P = 2147483647  # 2^31 - 1 (Mersenne prime) — modulus for all hashes
 MINHASH_K = 16  # signature length
@@ -627,12 +627,18 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     variants = _deletion_variants("c_name")
-    v = c.select(
+    # r12: spread the projection (the x(len+1) deletion-variant explode
+    # otherwise fuses into the single-task customer scan — tables.spread)
+    # and pin the variant table: BOTH self-join sides read it, so
+    # unpinned the explode ran twice per job
+    v = spread(
+        c.select("c_custkey", "c_name", "c_nationkey")
+    ).select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("nk"),
         F.explode(variants).alias("vkey"),
-    )
+    ).localCheckpoint(eager=False)
     a = v.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"), "nk", "vkey"
     )
@@ -1061,9 +1067,13 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine on (pair, diag, grp) keys.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = d.withColumn("ws", F.split("text", " ")).filter(
-        F.size("ws") >= SPAN_N
-    )
+    # r12: spread the projection — tokenize + the positional-hash Arrow
+    # kernel + posexplode otherwise fuse into the single-task documents
+    # scan stage (tables.spread); the pinned cache below then holds a
+    # parallel layout too
+    ws = spread(d.select("doc_id", "text")).withColumn(
+        "ws", F.split("text", " ")
+    ).filter(F.size("ws") >= SPAN_N)
     g = ws.select(
         "doc_id",
         F.posexplode(ngram_hashes_positional(F.col("ws"))).alias("pos0", "h"),

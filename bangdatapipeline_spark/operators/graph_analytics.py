@@ -1766,23 +1766,35 @@ def _nbr_band_buckets(col):
 
         @F.pandas_udf("array<bigint>")
         def _bands(nbrs: pd.Series) -> pd.Series:
-            out = []
-            for lst in nbrs.tolist():
-                x = np.asarray(lst, dtype=np.int64)[None, :] % P
-                # reduce mod P BEFORE the multiply (r10 review): a < P
-                # and x%P < P keep a*x under 2^62 for ANY int64 id —
-                # unreduced, ids >= ~4.3e9 wrap silently in np.int64
-                # while the oracle's BIGINT errors (same class as the
-                # CMS fix in aggregates.py)
-                sig = ((a * x + b) % P).min(axis=1)  # K signatures
-                bkts = []
-                for band in range(BANDS):
-                    acc = np.int64(0)
-                    for r in range(ROWS_PER_BAND):
-                        acc = (acc * SH_MIX + sig[band * ROWS_PER_BAND + r]) % P
-                    bkts.append(int(acc))
-                out.append(bkts)
-            return pd.Series(out, dtype=object)
+            # r12: vectorized across the whole Arrow batch (the previous
+            # per-row loop paid ~20k tiny numpy dispatches per batch) —
+            # flatten every neighbor list into one array, compute all
+            # K x total_neighbors signatures in one shot, and segment-min
+            # back to per-node signatures with minimum.reduceat. Same
+            # integer lattice, same results.
+            lists = nbrs.to_numpy()
+            n = len(lists)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=n)
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in lists])
+            # reduce mod P BEFORE the multiply (r10 review): a < P
+            # and x%P < P keep a*x under 2^62 for ANY int64 id —
+            # unreduced, ids >= ~4.3e9 wrap silently in np.int64
+            # while the oracle's BIGINT errors (same class as the
+            # CMS fix in aggregates.py)
+            x = flat % P
+            sig_all = (a * x[None, :] + b) % P  # K x total_neighbors
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # adjacency rows are non-empty by construction (every node has
+            # at least one neighbor), which reduceat's segmentation needs
+            sigs = np.minimum.reduceat(sig_all, starts, axis=1)  # K x n
+            acc = np.zeros((BANDS, n), dtype=np.int64)
+            for r in range(ROWS_PER_BAND):
+                rows = sigs[r::ROWS_PER_BAND][:BANDS]
+                acc = (acc * SH_MIX + rows) % P
+            return pd.Series(list(acc.T), dtype=object)
 
         _NBR_BANDS_UDF = _bands
     return _NBR_BANDS_UDF(col)
@@ -2184,40 +2196,83 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles disconnected pairs by simply omitting them, which is why
     production closeness sampling prefers it).
 
-    Plan: same Pregel supersteps as graph_bfs_levels over the
-    session-cached doubled edge list — one equi-join + one min-aggregate
-    per round, message volume |seeds| x |frontier| x avg-degree,
-    collapsed to |seeds| x |reached| state rows between rounds. At
-    100 TB closeness is ALWAYS estimated from a bounded seed sample
-    (exact all-pairs is |V| BFS runs); k seeds cost k-fold the single
-    BFS's shuffle volume over the same co-partitioned edge buckets, and
-    the final rollup is one |seeds|-row aggregate.
+    Plan (r12, BIT-PARALLEL multi-source BFS): the bounded seed set maps
+    to bit positions (seed rank -> bit), per-node state is ONE bigint
+    bitmask of "which seeds reach this node within k hops", and each
+    superstep is one equi-join + one ``bit_or`` aggregate over the
+    session-cached doubled edge list — message volume is |E| rows of
+    (dst, mask) per round, independent of the seed count, where the
+    previous (seed, node, dist)-row form shuffled up to |seeds| x |E|
+    message rows (the textbook multi-source-BFS compaction: OR is the
+    min-dist lattice join when distances are read off the first round a
+    bit appears). Cumulative masks m1 ⊆ m2 ⊆ m3 are kept per round;
+    dist(node, seed) is the first round whose mask contains the seed's
+    bit, decoded by one |seeds|-row broadcast spine joined on a bit
+    test, and the final rollup is one |seeds|-row aggregate. At 100 TB
+    closeness is ALWAYS estimated from a bounded seed sample (exact
+    all-pairs is |V| BFS runs); the seed sample packs into ceil(k/64)
+    mask words, so k seeds cost ~1 word of shuffle per edge per round
+    over the same co-partitioned edge buckets — not k-fold the state.
     """
     contrib, _init, _n = _trade_contrib(spark, sf_dir)
     edges = contrib.select("src", "dst")
-    dist = (
+    seeds = (
         edges.filter(F.col("src") < _BFS_SEED_BELOW)
         .select(F.col("src").alias("seed"))
         .distinct()
-        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+        .withColumn(
+            "bit", F.row_number().over(Window.orderBy("seed")) - F.lit(1)
+        )
     )
-    for _ in range(_BFS_ROUNDS):
-        nbr = edges.join(dist, edges["src"] == dist["node"]).select(
-            "seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+    # one state DataFrame carries EVERY round's cumulative mask as a
+    # column (mk0..mk3), so the lineage stays linear — round k's plan
+    # contains rounds 0..k-1 exactly once. (A first cut kept each
+    # round's mask as its own DataFrame and outer-joined them at decode
+    # time; every join re-executed the earlier rounds' supersteps and
+    # the "optimization" measured SLOWER than the (seed, node, dist)
+    # form it replaced.)
+    state = seeds.select(
+        F.col("seed").alias("node"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mk0"),
+    )
+    mask_cols = ["mk0"]
+    for k in range(1, _BFS_ROUNDS + 1):
+        prev = mask_cols[-1]
+        cur = f"mk{k}"
+        msgs = edges.join(state, edges["src"] == state["node"]).select(
+            F.col("dst").alias("node"),
+            *[F.lit(0).cast("bigint").alias(c) for c in mask_cols],
+            F.col(prev).alias(cur),
         )
-        dist = (
-            dist.unionByName(nbr)
-            .groupBy("seed", "node")
-            .agg(F.min("dist").alias("dist"))
+        carried = state.select(
+            "node", *mask_cols, F.col(prev).alias(cur)
         )
-    return (
-        dist.filter(F.col("dist") > 0)
-        .groupBy(F.col("seed").cast("bigint").alias("seed"))
-        .agg(
-            F.count(F.lit(1)).alias("n_reached"),
-            F.sum("dist").cast("bigint").alias("sum_dist"),
-            F.sum(F.expr("6 DIV dist")).cast("bigint").alias("harmonic_x6"),
+        state = (
+            carried.unionByName(msgs)
+            .groupBy("node")
+            .agg(*[F.bit_or(c).alias(c) for c in [*mask_cols, cur]])
         )
+        mask_cols.append(cur)
+    full = state
+    hit = (
+        # ~|seeds|-row spine broadcast onto the node masks: dist > 0 pairs
+        # are bits present in m3 but not in m0 (the seed's own node)
+        full.join(
+            F.broadcast(seeds),
+            F.expr("(shiftright(mk3, bit) & 1) = 1 AND (shiftright(mk0, bit) & 1) = 0"),
+        )
+        .select(
+            "seed",
+            F.when(F.expr("(shiftright(mk1, bit) & 1) = 1"), F.lit(1))
+            .when(F.expr("(shiftright(mk2, bit) & 1) = 1"), F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("dist"),
+        )
+    )
+    return hit.groupBy(F.col("seed").cast("bigint").alias("seed")).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+        F.sum(F.expr("6 DIV dist")).cast("bigint").alias("harmonic_x6"),
     )
 
 

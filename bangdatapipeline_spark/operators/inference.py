@@ -46,7 +46,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 # High-value order threshold (~p75 of o_totalprice): the "event" in the
 # time-to-first-high-value-order survival analysis. Customers who never
@@ -253,18 +253,38 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; coarsen the money lattice to whole dollars beyond that.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # r12: materialize the lattice hash ONCE per exploded row and CASE over
+    # the column. _boot_weight_sql textually inlines the hash into every
+    # CDF branch (fine for the oracle — one string both engines parse),
+    # but Spark's codegen evaluates conditional branches lazily and does
+    # not common-subexpression-eliminate across WHEN arms, so the 30M-row
+    # explode was computing the 6-op integer hash up to 6x per row.
+    # CollapseProject keeps the alias materialized (the hash chain is not
+    # "cheap" and is referenced by every branch). Same integers, same
+    # weights — the oracle string is untouched.
+    branches = "".join(
+        f" WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    # r12: the driver's orders table is ONE parquet row group, so the scan
+    # (and everything fused into its stage — here the x201 replicate
+    # explode, the hottest work in this query) runs as a single task.
+    # Repartitioning the 3-column projection BEFORE the explode costs one
+    # narrow |orders|-row shuffle and spreads the 201x expansion over
+    # every core (guide: "one huge unsplittable file -> repartition
+    # immediately after the read"); the width tracks the session's
+    # parallelism, not a constant.
     w = (
         orders.select(
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderkey").alias("k"),
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         )
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R))))
+        .withColumn("h", F.expr(_rep_hash_sql("k", "r")))
         .withColumn(
             "wt",
-            F.expr(
-                f"CASE WHEN r = 0 THEN 1 ELSE {_boot_weight_sql('k', 'r')} END"
-            ),
+            F.expr(f"CASE WHEN r = 0 THEN 1{branches} ELSE 6 END"),
         )
     )
     m = (
@@ -277,27 +297,31 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sw") > 0)
         .drop("sw")
     )
-    point = m.filter(F.col("r") == 0).select(
-        "priority",
-        F.col("n0").cast("long").alias("n_orders"),
-        F.col("mean_cents").cast("long").alias("point_mean_cents"),
+    # r12: ONE consumer of the replicate table. The previous point/ci
+    # branches each re-executed the full x201 explode + aggregate (the
+    # DataFrame API shares no subtrees), doubling the only expensive
+    # stage. Instead the r=0 row is forced to sort LAST within its
+    # priority (rank 201), which leaves the r>0 replicate ranks 1..200
+    # exactly as the oracle's ranked CTE assigns them, and one
+    # conditional aggregate reads the point estimate and both CI order
+    # statistics off the same 1005-row windowed table.
+    rk = Window.partitionBy("priority").orderBy(
+        (F.col("r") == 0).cast("int"), "mean_cents", "r"
     )
-    rk = Window.partitionBy("priority").orderBy("mean_cents", "r")
-    ci = (
-        m.filter(F.col("r") > 0)
-        .withColumn("rn", F.row_number().over(rk))
-        .groupBy("priority")
-        .agg(
-            F.max(F.when(F.col("rn") == 5, F.col("mean_cents")))
-            .cast("long")
-            .alias("ci_lo_cents"),
-            F.max(F.when(F.col("rn") == 195, F.col("mean_cents")))
-            .cast("long")
-            .alias("ci_hi_cents"),
-        )
-    )
-    return point.join(ci, "priority").select(
-        "priority", "n_orders", "point_mean_cents", "ci_lo_cents", "ci_hi_cents"
+    ranked = m.withColumn("rn", F.row_number().over(rk))
+    return ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("r") == 0, F.col("n0")))
+        .cast("long")
+        .alias("n_orders"),
+        F.max(F.when(F.col("r") == 0, F.col("mean_cents")))
+        .cast("long")
+        .alias("point_mean_cents"),
+        F.max(F.when((F.col("r") > 0) & (F.col("rn") == 5), F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when((F.col("r") > 0) & (F.col("rn") == 195), F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_hi_cents"),
     )
 
 

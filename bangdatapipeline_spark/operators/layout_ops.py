@@ -924,29 +924,64 @@ def layout_sort_compression_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed and bounded — no global sort of
     the fact table is needed to MEASURE what a global sort would save;
     cross-order boundary runs are O(#orders) noise amortized identically
-    across candidates. One melted in-row projection (4 candidates x
-    rows, scan-local), one keyed window, two bounded aggregates. At
-    100 TB this audit costs one scan, and acting on it (rewriting sorted)
-    is the expensive step it justifies.
+    across candidates.
+
+    r12 plan: the run tally no longer melts the fact table 4x through
+    one (cand, orderkey)-keyed window — the four candidates share ONE
+    exchange on l_orderkey and each gets its own narrow in-partition
+    sort (l_linenumber, its own val — the per-candidate tie-break is
+    load-bearing: (orderkey, linenumber) is NOT unique, so each
+    candidate's lag must run over ITS value order), so the shuffle
+    carries |rows| x 4-value rows instead of 4|rows| melted rows and
+    the four lags reduce in one keyless partial aggregate. The melted
+    projection survives only for the distinct-value branch, where
+    map-side combine collapses it to |cand| x |distinct| before the
+    exchange. At 100 TB this audit costs one scan + one fact exchange,
+    and acting on it (rewriting sorted) is the expensive step it
+    justifies.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    m = l.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        *[f"{spark_e} AS v_{name}" for name, spark_e, _ in _RLE_CANDS],
+    )
+    run_cols = []
+    for name, _, _ in _RLE_CANDS:
+        w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", f"v_{name}")
+        run_cols.append(
+            F.when(
+                ~F.col(f"v_{name}").eqNullSafe(F.lag(f"v_{name}").over(w)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias(f"r_{name}"),
+        )
+    runs = m.select(*run_cols)
+    totals = runs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(f"r_{name}").alias(f"s_{name}") for name, _, _ in _RLE_CANDS],
+    )
+    agg = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("cand"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"s_{name}").alias("runs_natural"),
+                    )
+                    for name, _, _ in _RLE_CANDS
+                ]
+            )
+        ).alias("t")
+    ).select("t.cand", "t.n_rows", "t.runs_natural")
     stack_expr = "stack({n}, {args}) AS (cand, val)".format(
         n=len(_RLE_CANDS),
         args=", ".join(f"'{name}', {spark_e}" for name, spark_e, _ in _RLE_CANDS),
     )
-    m = l.selectExpr("l_orderkey", "l_linenumber", stack_expr)
-    w = Window.partitionBy("cand", "l_orderkey").orderBy("l_linenumber", "val")
-    runs = m.withColumn(
-        "run_start",
-        F.when(
-            ~F.col("val").eqNullSafe(F.lag("val").over(w)), F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    agg = runs.groupBy("cand").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("run_start").alias("runs_natural"),
-    )
-    dist = m.groupBy("cand").agg(F.countDistinct("val").alias("n_distinct"))
+    melted = l.selectExpr(stack_expr)
+    dist = melted.groupBy("cand").agg(F.countDistinct("val").alias("n_distinct"))
     return agg.join(dist, "cand").select(
         "cand",
         F.col("n_rows").cast("long").alias("n_rows"),

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 # BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
 # non-alnum-non-space symbols (the GPT-2 pre-tokenizer family, simplified).
@@ -685,8 +685,14 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project the tokenizer ONCE below the pair generator: inlining the
     # bare split() into the zip_with/slice/size expressions re-tokenizes
     # every document ~4x (higher-order lambdas are interpreted) — the
-    # measured anti-pattern text_ngram_topk documents (r10 review)
-    t = d.select("lang", F.split("text", " ").alias("toks"))
+    # measured anti-pattern text_ngram_topk documents (r10 review).
+    # r12: spread the 2-column projection first — tokenize + pair-form +
+    # explode otherwise all fuse into the single-task scan stage of the
+    # driver's one-row-group documents file (tables.spread), and BOTH
+    # corpus passes (pair counts, coverage) inherit the parallel layout.
+    t = spread(d.select("lang", F.col("text"))).select(
+        "lang", F.split("text", " ").alias("toks")
+    )
     toks = F.col("toks")
     pairs = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
@@ -901,9 +907,11 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink shuffle payload; collisions only merge counts, and candidates
     are re-verified downstream exactly like the MinHash verify pass).
     """
-    d = _tokens(load_table(spark, sf_dir, "documents")).filter(
-        F.size("toks") >= _SPAN_N
-    )
+    # r12: spread first — tokenize, span transform and explode otherwise
+    # fuse into the single-task documents scan stage (tables.spread)
+    d = _tokens(
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ).filter(F.size("toks") >= _SPAN_N)
     spans = F.expr(
         f"transform(sequence(1, size(toks) - {_SPAN_N - 1}), "
         f"i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
@@ -1398,7 +1406,11 @@ def text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     join carries counts, not positions. ln() of the smoothed ratio is
     irrational — round(4) is hash-safe.
     """
-    d = _tokens(load_table(spark, sf_dir, "documents"))
+    # r12: spread the projection (tokenize + zip_with + explode otherwise
+    # fuse into the single-task documents scan), and pin the exploded
+    # pair stream — THREE subtrees read it (dp, bg, and ctx via bg), so
+    # unpinned it re-tokenized the corpus three times per run
+    d = _tokens(spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")))
     toks = F.col("toks")
     pair = F.explode(
         F.zip_with(
@@ -1407,8 +1419,10 @@ def text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
         )
     )
-    pairs = d.select("doc_id", pair.alias("p")).select(
-        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    pairs = (
+        d.select("doc_id", pair.alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .localCheckpoint(eager=False)
     )
     bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
     ctx = bg.groupBy("prev").agg(F.sum("c2").alias("c1"))
@@ -2102,8 +2116,12 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     nd = d.agg(F.count(F.lit(1)).alias("n"))
     # tokenize ONCE below the generator (a bare split inside the transform
-    # would be re-evaluated 4x per row: size, sequence bound, 2x element_at)
-    toks = d.selectExpr("doc_id", "split(text, ' ') AS toks")
+    # would be re-evaluated 4x per row: size, sequence bound, 2x element_at).
+    # r12: spread first — tokenize + bigram explode otherwise fuse into
+    # the single-task documents scan stage (tables.spread)
+    toks = spread(d.select("doc_id", "text")).selectExpr(
+        "doc_id", "split(text, ' ') AS toks"
+    )
     bg = toks.selectExpr("doc_id", _BIGRAM_GEN_EXPR)
     w = Window.partitionBy("term").orderBy("doc_id")
     p = bg.withColumn("rn", F.row_number().over(w))

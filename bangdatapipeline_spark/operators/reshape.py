@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 

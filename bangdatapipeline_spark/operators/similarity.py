@@ -635,19 +635,23 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_gemm_topk", oracle=_KNN_TOPK_ORACLE)
-def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force kNN as a block matrix multiply: the query matrix
-    (nq x d, tiny) is broadcast; each Arrow batch of the streamed corpus
-    does ONE numpy GEMM (block x Q^T) and emits only its block-local top-k
-    per query, so the sole shuffle is the candidate set (<= k x nq x
-    n_blocks rows) for the global top-k window.
+def _gemm_topk_candidates(
+    spark: SparkSession, e: DataFrame, label_mask: bool = False
+) -> DataFrame:
+    """Block-GEMM top-k candidate generator — the ONE kernel behind
+    ``knn_gemm_topk``, ``emb_knn_outlier`` and ``sample_hard_negatives``
+    (r12 optimization: the latter two previously re-ran the broadcast
+    pair pass through the per-pair Arrow fold UDF, shipping every
+    (query, corpus) pair's two 64-dim arrays across the Python boundary;
+    this kernel streams the corpus ONCE and moves only candidates).
 
-    This is the 100-TB brute-force scale path: per-executor work is a
-    dense f64 GEMM (BLAS, ~10-100x the throughput of the expression-tree
-    fold in ``knn_cosine_topk``), memory is one corpus block at a time,
-    and nothing but candidates ever moves. Same oracle as
-    ``knn_cosine_topk``.
+    The query matrix (nq x d, tiny) is broadcast; each Arrow batch of
+    the streamed corpus does ONE numpy GEMM (block x Q^T) and emits only
+    its block-local top-k per query, so the sole shuffle is the
+    candidate set (<= k x nq x n_blocks rows). Any global top-k row is
+    inside its own block's top-k, so the union of block-local top-k sets
+    contains the global top-k and a downstream row_number window
+    recovers exactly the global ranking.
 
     Boundary discipline (r10 review, same rule as ``gemm_pairs_tiled``):
     BLAS reassociates the d=64 sum, so an emitted sim could round or
@@ -661,31 +665,40 @@ def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Block-local pruning is tie-safe: blocks rank by (-sim, n_id) via
     lexsort, the same total order as the global window.
+
+    With ``label_mask=True`` corpus rows sharing the query's label are
+    excluded (hard-negative mining) and the candidate rows carry
+    ``q_label``/``n_label``. Emitted sims are RAW fold doubles —
+    callers round (or lattice) per their own oracle.
     """
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
-    q_pdf = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
+    q_cols = ["vec_id", "label", "embedding"] if label_mask else ["vec_id", "embedding"]
+    q_pdf = e.filter(F.col("vec_id") < N_QUERIES).select(*q_cols).toPandas()
     q_ids = q_pdf["vec_id"].to_numpy()
     qt = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64).T  # d x nq
-    bq = spark.sparkContext.broadcast((q_ids, qt))
+    q_labels = q_pdf["label"].to_numpy() if label_mask else None
+    bq = spark.sparkContext.broadcast((q_ids, qt, q_labels))
 
     def block_topk(batches):
-        ids_q, qmat = bq.value
+        ids_q, qmat, labs_q = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy()
+            labs = pdf["label"].to_numpy() if labs_q is not None else None
             block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             sims = block @ qmat  # n_block x nq — the GEMM
-            out_q, out_n, out_s = [], [], []
+            out = {k: [] for k in ("q_id", "n_id", "sim")}
+            if labs_q is not None:
+                out["q_label"] = []
+                out["n_label"] = []
             for j, qid in enumerate(ids_q):
-                col = np.where(ids == qid, -np.inf, sims[:, j])
+                drop = ids == qid
+                if labs_q is not None:
+                    drop = drop | (labs == labs_q[j])
+                col = np.where(drop, -np.inf, sims[:, j])
                 idx = np.nonzero(np.isfinite(col))[0]
                 if len(idx) > TOP_K:
                     kth = np.partition(col[idx], len(idx) - TOP_K)[
@@ -698,20 +711,40 @@ def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     block[idx] * qmat[:, j][None, :], axis=1
                 )[:, -1] if len(idx) else np.empty(0)
                 order = np.lexsort((ids[idx], -fold))[:TOP_K]
-                out_q.append(np.full(len(order), qid))
-                out_n.append(ids[idx[order]])
-                out_s.append(fold[order])
+                out["q_id"].append(np.full(len(order), qid))
+                out["n_id"].append(ids[idx[order]])
+                out["sim"].append(fold[order])
+                if labs_q is not None:
+                    out["q_label"].append(np.full(len(order), labs_q[j]))
+                    out["n_label"].append(labs[idx[order]])
             yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "n_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
-                }
+                {k: np.concatenate(v) for k, v in out.items()}
             )
 
-    cand = e.select("vec_id", "embedding").mapInPandas(
-        block_topk, schema="q_id long, n_id long, sim double"
-    )
+    schema = "q_id long, n_id long, sim double"
+    in_cols = ["vec_id", "embedding"]
+    if label_mask:
+        schema = "q_id long, n_id long, sim double, q_label int, n_label int"
+        in_cols = ["vec_id", "label", "embedding"]
+    return e.select(*in_cols).mapInPandas(block_topk, schema=schema)
+
+
+@register("knn_gemm_topk", oracle=_KNN_TOPK_ORACLE)
+def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force kNN as a block matrix multiply (see
+    :func:`_gemm_topk_candidates` — the shared kernel): the query matrix
+    is broadcast, each corpus block emits block-local top-k candidates
+    with exact fold-order sims, and one q_id window recovers the global
+    top-k.
+
+    This is the 100-TB brute-force scale path: per-executor work is a
+    dense f64 GEMM (BLAS, ~10-100x the throughput of the expression-tree
+    fold in ``knn_cosine_topk``), memory is one corpus block at a time,
+    and nothing but candidates ever moves. Same oracle as
+    ``knn_cosine_topk``.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = _gemm_topk_candidates(spark, e)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         cand.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -1619,8 +1652,10 @@ def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join + aggregate below never re-derives the full ANN / exact-kNN
     # lineages (the r3 bench showed the composed plan recomputing both).
     sys_rank = knn_ann_lsh(spark, sf_dir).select("q_id", "n_id", "rn").cache()
+    # truth via the GEMM twin — same oracle, identical rows as
+    # knn_cosine_topk, without the per-pair Arrow fold pass (r12)
     truth = (
-        knn_cosine_topk(spark, sf_dir)
+        knn_gemm_topk(spark, sf_dir)
         .select(F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"), F.lit(1).alias("rel"))
         .cache()
     )
@@ -2002,12 +2037,22 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding deploy makes: 4x less dot-product work and 4x narrower
     shuffles, graded in-query against the exact ranking.
 
-    Both similarities come out of ONE pair pass (single broadcast
-    nested-loop join, no second crossJoin); prefix norms are projected
-    per ROW before the join, not per pair. All folds are the shared
-    deterministic left-to-right double fold, and ranking happens on the
-    full-precision doubles (bit-identical to the oracle) with n_id
-    tie-breaks, so even the division is hash-exact.
+    Both similarities come out of ONE corpus pass through a dual-score
+    block-GEMM kernel (r12 optimization — previously a broadcast
+    nested-loop pair pass shipped every (query, corpus) pair's arrays
+    through the per-pair Arrow fold UDF, then localCheckpointed the
+    |Q| x |corpus| pair table for two window passes): each corpus block
+    runs TWO numpy GEMMs (full 64-dim and renormalized 16-dim prefix),
+    takes block-local top-{TOP_K} candidates under BOTH rankings at the
+    1e-9 GEMM margin, re-scores exactly those candidates with the exact
+    left-to-right fold (``knn_gemm_topk``'s boundary discipline — the
+    emitted simf/simp are bit-identical to the previous fold
+    expressions, including the simp division ``foldp / (q_pn * pn)``
+    with sequentially-folded norms), and ships only the candidate union.
+    The two rank-filtered windows then recover the exact global
+    rankings: every true global top-k row under either score is inside
+    its own block's top-k under that score, so candidate-set ranks equal
+    true ranks for all surviving rows.
 
     Scale posture (100 TB): at billion-vector scale the prefix ranking is
     the candidate generator (16-dim GEMM tiles = 1/4 the FLOPs and I/O of
@@ -2015,55 +2060,82 @@ def knn_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gemm_pairs_tiled`` on sliced arrays with ``knn_gemm_topk`` on the
     survivors. The in-query grading column is how that trade is tuned.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
-    pref = F.slice(F.col("embedding"), 1, _MRL_DIM)
-    side = e.select(
-        "vec_id",
-        "embedding",
-        pref.alias("p"),
-        F.sqrt(dot_double_vec(pref, pref)).alias("pn"),
+    q_pdf = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    q = (
-        side.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("p").alias("q_p"),
-            F.col("pn").alias("q_pn"),
-        )
+    q_ids = q_pdf["vec_id"].to_numpy()
+    qmat = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)  # nq x d
+    qpref = qmat[:, :_MRL_DIM]
+
+    def _fold_sq_norm(m):
+        # sequential per-dim fold == dot_double_vec(pref, pref) order
+        acc = np.zeros(m.shape[0])
+        for d in range(m.shape[1]):
+            acc += m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    q_pn = _fold_sq_norm(qpref)
+    bq = spark.sparkContext.broadcast((q_ids, qmat.T, qpref.T, q_pn))
+
+    def block_dual_topk(batches):
+        ids_q, qt, qpt, qpn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pref = block[:, :_MRL_DIM]
+            pn = _fold_sq_norm(pref)
+            gf = block @ qt                                  # full-dim GEMM
+            gp = (pref @ qpt) / (qpn[None, :] * pn[:, None])  # prefix GEMM, normalized
+            out = {k: [] for k in ("q_id", "n_id", "simf", "simp")}
+            for j, qid in enumerate(ids_q):
+                self_mask = ids == qid
+                colf = np.where(self_mask, -np.inf, gf[:, j])
+                colp = np.where(self_mask, -np.inf, gp[:, j])
+                idx = np.nonzero(~self_mask)[0]
+                if len(idx) > TOP_K:
+                    kf = np.partition(colf[idx], len(idx) - TOP_K)[len(idx) - TOP_K]
+                    kp = np.partition(colp[idx], len(idx) - TOP_K)[len(idx) - TOP_K]
+                    idx = idx[
+                        (colf[idx] >= kf - 1e-9) | (colp[idx] >= kp - 1e-9)
+                    ]
+                if not len(idx):
+                    continue
+                # exact fold-order re-score of the candidate union
+                foldf = np.add.accumulate(
+                    block[idx] * qt[:, j][None, :], axis=1
+                )[:, -1]
+                foldp = np.add.accumulate(
+                    pref[idx] * qpt[:, j][None, :], axis=1
+                )[:, -1]
+                simp = foldp / (qpn[j] * pn[idx])
+                keep_f = np.lexsort((ids[idx], -foldf))[:TOP_K]
+                keep_p = np.lexsort((ids[idx], -simp))[:TOP_K]
+                keep = np.unique(np.concatenate([keep_f, keep_p]))
+                out["q_id"].append(np.full(len(keep), qid))
+                out["n_id"].append(ids[idx[keep]])
+                out["simf"].append(foldf[keep])
+                out["simp"].append(simp[keep])
+            if out["q_id"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()}
+                )
+
+    pairs = e.select("vec_id", "embedding").mapInPandas(
+        block_dual_topk, schema="q_id long, n_id long, simf double, simp double"
     )
-    pairs = (
-        side.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("simf"),
-            (dot_double_vec(F.col("q_p"), F.col("p")) / (F.col("q_pn") * F.col("pn"))).alias(
-                "simp"
-            ),
-        )
-    )
-    # Two RANK-FILTERED window passes over the materialized pair table
-    # instead of two stacked full sorts (r7 verdict note): each rank<=K
-    # filter lets InferWindowGroupLimit cap per-partition sort input to K
-    # rows, the expensive pair pass (BNLJ + two dot folds) runs once, and
-    # full-top-k MEMBERSHIP (all the boolean needs) comes from a left join
-    # against the K-row full-rank set. localCheckpoint, not .cache():
-    # CacheManager pins a cached relation until explicit unpersist — every
-    # invocation would leave the pair table resident for the session —
-    # while checkpoint blocks are released by the ContextCleaner as soon
-    # as the returned plan is garbage-collected. eager=False: lazy, so
-    # plan-only callers (test_plans, dump_plans) and the bench's setup
-    # phase don't silently pay the pair materialization — the blocks are
-    # persisted at the first real action and shared by both window
-    # branches from then on. Cluster trade-off (documented, accepted):
-    # checkpoint truncates lineage, so a lost executor's pair blocks are
-    # NOT recomputable — fine in local mode (the graded path) and for
-    # this bounded pair table; a long-lived cluster deployment under
-    # dynamic allocation should swap in reliable checkpointing
-    # (spark.sparkContext.setCheckpointDir + .checkpoint()) at the same
-    # call site.
+    # lazy localCheckpoint so the bounded candidate table materializes once
+    # and serves both window branches (same rationale/trade-off as before
+    # this kernel existed: blocks are freed by the ContextCleaner when the
+    # plan is garbage-collected; a cluster deployment under dynamic
+    # allocation would use reliable checkpointing at this call site)
     pairs = pairs.localCheckpoint(eager=False)
     wp = Window.partitionBy("q_id").orderBy(F.col("simp").desc(), F.col("n_id").asc())
     wf = Window.partitionBy("q_id").orderBy(F.col("simf").desc(), F.col("n_id").asc())
@@ -2122,28 +2194,21 @@ def emb_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     member of the LOF family; the full LOF ratio adds one more
     self-join over these same pairs).
 
-    Reuses the exact brute-force kNN shape (broadcast query side over
-    the streamed corpus, candidates-only shuffle); the score is the SUM
-    of the top-{TOP_K} distances in exact ppm integers — each dot
-    product is a bit-identical cross-engine fold, floor-latticed to
-    ppm BEFORE summing, so the ranking key is an exact integer and the
-    global ordering cannot split on accumulation order. At 100 TB the
-    pair generation swaps to the LSH/IVF candidate paths (same
-    machinery as knn_ann_lsh) and the scoring agg is unchanged.
+    Runs on the shared block-GEMM candidate kernel
+    (:func:`_gemm_topk_candidates` — r12 optimization: the previous
+    broadcast-crossJoin form shipped all |Q| x |corpus| pairs through
+    the per-pair Arrow fold UDF; now the corpus streams once and only
+    block-local top-{TOP_K} candidates shuffle). The score is the SUM
+    of the top-{TOP_K} distances in exact ppm integers — candidate sims
+    are exact left-to-right fold doubles (the kernel's boundary
+    discipline), floor-latticed to ppm BEFORE summing, so the ranking
+    key is an exact integer and the global ordering cannot split on
+    accumulation order. At 100 TB the pair generation swaps to the
+    LSH/IVF candidate paths (same machinery as knn_ann_lsh) and the
+    scoring agg is unchanged.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    sims = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim"),
-        )
-    )
+    sims = _gemm_topk_candidates(spark, e)
     wnn = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     scored = (
         sims.withColumn("rn", F.row_number().over(wnn))
@@ -2294,34 +2359,18 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep step behind triplet / InfoNCE training sets; easy negatives
     (random different-label picks) teach nothing.
 
-    Same plan skeleton as knn_cosine_topk (broadcast bounded anchor set,
-    streamed corpus, exact Arrow dot kernel, one q_id shuffle for the
-    per-anchor window) plus the label-inequality predicate evaluated
-    BEFORE the dot product, so same-label rows never reach the kernel.
-    At 100 TB the anchor set batches and the corpus pass reuses the
-    blocked-GEMM kernel (knn_gemm_topk) with the label filter in the
-    block mask.
+    Runs on the shared block-GEMM candidate kernel with the
+    label-inequality predicate as the block mask
+    (:func:`_gemm_topk_candidates` with ``label_mask=True`` — exactly
+    the "label filter in the block mask" posture this docstring used to
+    defer to 100 TB; r12 made it the executed plan: the corpus streams
+    once, same-label rows never produce a candidate, and only
+    block-local top-{TOP_K} candidates with exact fold-order sims ever
+    shuffle, replacing the broadcast-crossJoin pair pass through the
+    per-pair Arrow fold UDF).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
-    )
-    sims = (
-        e.crossJoin(F.broadcast(q))
-        .filter(
-            (F.col("vec_id") != F.col("q_id"))
-            & (F.col("label") != F.col("q_label"))
-        )
-        .select(
-            "q_id",
-            "q_label",
-            F.col("vec_id").alias("n_id"),
-            F.col("label").alias("n_label"),
-            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim"),
-        )
-    )
+    sims = _gemm_topk_candidates(spark, e, label_mask=True)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -2474,7 +2523,9 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    exact = REGISTRY["knn_cosine_topk"].fn(spark, sf_dir).select(
+    # exact ranking via the GEMM twin — same oracle, identical rows as
+    # knn_cosine_topk, without the per-pair Arrow fold pass (r12)
+    exact = REGISTRY["knn_gemm_topk"].fn(spark, sf_dir).select(
         "q_id", "n_id"
     )
     hits = (
@@ -2752,8 +2803,12 @@ def eval_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # no .cache() here: each ranker appears exactly once in the DAG, so a
     # cache would only pin blocks without ever being re-read (memory
-    # hygiene — repeated bench/correctness rounds share one session)
-    truth = knn_cosine_topk(spark, sf_dir).select(
+    # hygiene — repeated bench/correctness rounds share one session).
+    # Ground truth comes from knn_gemm_topk — registered against the SAME
+    # oracle as knn_cosine_topk (identical rows, hash-checked), but the
+    # corpus streams through one GEMM per block instead of every pair
+    # crossing the Arrow boundary (r12 optimization).
+    truth = knn_gemm_topk(spark, sf_dir).select(
         F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n")
     )
     sys_rank = knn_rerank_two_stage(spark, sf_dir).select("q_id", "n_id")
@@ -2806,34 +2861,66 @@ def emb_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram also calibrates the dedup/decontamination thresholds
     the semantic family uses).
 
-    Same bounded-query x streamed-corpus pair pass as the exact kNN
-    baseline (broadcast query side, Arrow dot kernel with the oracle's
-    exact fold order), but the reduction is a {_SIM_HIST_BINS}-key count
-    — map-side combine collapses the pair stream per task, so unlike
-    top-k nothing per-pair ever shuffles. At 100 TB the query side is a
-    fixed sample and the corpus pass reuses the blocked-GEMM kernel;
-    bin membership is floor() of bit-identical doubles (clamped at the
-    edges), hence hash-exact.
+    Blocked-GEMM pair pass (r12 optimization — previously the broadcast
+    crossJoin shipped every (query, corpus) pair's two arrays through
+    the per-pair Arrow fold UDF): the query matrix is broadcast, each
+    corpus block runs ONE numpy GEMM and bins its pairs locally, so
+    only <= {_SIM_HIST_BINS} partial-count rows per Arrow batch ever
+    leave Python and the one shuffle carries bin partials.
+
+    Bin membership stays hash-exact under the same boundary discipline
+    as ``knn_gemm_topk``: bins are floor((sim + 1.0) * 10) of the exact
+    left-to-right fold value; the GEMM value differs from the fold by
+    reassociation error (~1e-12 for unit 64-dots), so only pairs whose
+    scaled GEMM score lands within 1e-6 of an integer bin edge can
+    possibly bin differently — exactly those few pairs are re-scored
+    with the sequential fold (the oracle's association order) and
+    binned from the fold double with the identical IEEE expression.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q_pdf = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    sims = (
-        F.broadcast(q)
-        .crossJoin(e.select("vec_id", "embedding"))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim")
-        )
+    q_ids = q_pdf["vec_id"].to_numpy()
+    qt = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64).T  # d x nq
+    bq = spark.sparkContext.broadcast((q_ids, qt))
+    n_bins = _SIM_HIST_BINS
+
+    def block_hist(batches):
+        ids_q, qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            block = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = block @ qmat  # n_block x nq — the GEMM
+            scaled = (sims + 1.0) * 10
+            # pairs whose scaled GEMM score sits within 1e-6 of an integer
+            # edge: re-score with the exact sequential fold and rebin
+            near = np.abs(scaled - np.rint(scaled)) < 1e-6
+            for i, j in zip(*np.nonzero(near)):
+                acc = 0.0
+                qcol = qmat[:, j]
+                row = block[i]
+                for d in range(row.shape[0]):  # fold order == dot_double_vec
+                    acc += row[d] * qcol[d]
+                scaled[i, j] = (acc + 1.0) * 10
+            bins = np.clip(np.floor(scaled), 0, n_bins - 1).astype(np.int64)
+            # self-pairs (corpus row IS the query) are excluded by value
+            keep = ids[:, None] != ids_q[None, :]
+            counts = np.bincount(bins[keep], minlength=n_bins)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({"bin": nz.astype(np.int32), "n": counts[nz]})
+
+    partials = e.select("vec_id", "embedding").mapInPandas(
+        block_hist, schema="bin int, n long"
     )
-    bin_col = F.least(
-        F.greatest(F.floor((F.col("sim") + 1.0) * 10), F.lit(0)),
-        F.lit(_SIM_HIST_BINS - 1),
-    ).cast("int")
-    return sims.groupBy(bin_col.alias("bin")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return partials.groupBy("bin").agg(F.sum("n").alias("n"))
 
 
 def _kmeans_quality_oracle() -> str:

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 
 
@@ -1853,7 +1853,12 @@ def ts_ship_delay_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tiny table; no re-scan, no sort of raw rows, any percentile of
     a bounded-domain metric is O(domain) after one pass.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # r12: the broadcast probe + month formatting + (month, delay) partial
+    # agg all fuse into the single-task lineitem scan stage — spread the
+    # 2-column projection first so they run on every core (tables.spread)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),

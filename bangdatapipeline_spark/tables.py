@@ -77,6 +77,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The driver's tables are single-row-group parquet files, so a scan —
+    and every operator FUSED into its stage, up to the first exchange —
+    runs as one task no matter how many cores the session has. For
+    queries whose scan stage carries heavy per-row work (tokenization,
+    replicate explosion, wide product aggregations) that single task IS
+    the wall clock. Spreading the narrow projected input first costs one
+    small shuffle and parallelizes everything downstream (guide §2.5:
+    "one huge unsplittable file -> repartition immediately after the
+    read"). Scale-adaptive by construction: the width tracks
+    ``defaultParallelism`` (the driver benches several core counts), and
+    on a cluster reading many >=row-group files the same call is a
+    cheap rebalance rather than a correctness hazard. Apply it to the
+    PROJECTED few-column input, never the full-width row."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all tables as a dict of lazy DataFrames."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -42,11 +42,9 @@ CARTESIAN_OK = {
     # this audit — the pair-pass shape is asserted by
     # test_similarity.py instead.
     "knn_hamming_topk",  # broadcast packed query side (knn pattern)
-    "sample_hard_negatives",  # broadcast bounded anchor set (knn pattern)
     "eval_ivf_nprobe_curve",  # 3-row nprobe config spine, range-joined (min_cr <= n)
     "knn_mmr_diversify",  # candidate re-rank over the exact pair set
     "dedup_near_jaccard",  # bounded exact ground truth (EXACT_BOUND)
-    "eval_rank_metrics",  # grades ANN against the exact baseline
     "eval_dedup_recall",  # grades detectors against exact ground truth
     "emb_pca_power",  # 1-row eigvec estimate crossJoined into projections
     "ml_kmeans_2iter",  # k-centroid array broadcast as a 1-row crossJoin
@@ -65,8 +63,9 @@ CARTESIAN_OK = {
     "text_surprisal_bigram",  # 1-row smoothing scalars
     "join_bloom_prefilter",  # 1-row bloom bit-set broadcast onto the fact scan
     "ml_naive_bayes",  # per-lang model rows (bounded by |langs|) broadcast
-    "emb_knn_outlier",  # exact brute-force pair pass (broadcast query side)
     "graph_modularity",  # 1-row edge-count scalar crossJoined into terms
+    "graph_closeness_sample",  # ~|seeds|-row bit spine broadcast onto node masks
+    # (bit-test join decodes the bit-parallel BFS; bounded by the seed sample)
     "ts_xcorr_leadlag",  # 5-row lag spine crossJoined onto the bounded daily table
     "text_langid",  # language-profile constant table broadcast
     "text_langid_confusion",  # composes text_langid: inherits its constant
@@ -87,12 +86,10 @@ CARTESIAN_OK = {
     "layout_file_bloom",  # #files x 21-row broadcast probe grid (declared)
     "dq_sequence_gaps",  # 1-row key-extremes scalar crossJoined onto boundary keys
     "graph_degree_assortativity",  # 1-row co-moment + count scalars combined
-    "eval_rerank_recall",  # composes the exact-kNN baseline (broadcast query side)
     "eval_er_quality",  # three 1-row metric counters combined into one row
     "curation_source_rollup",  # composes text_surprisal_buckets' 1-row cuts
     "sample_temperature_weights",  # 1-row corpus-total scalars crossJoined
     "pipeline_token_budget_schedule",  # same 1-row sqrt-total scalar crossJoin
-    "emb_sim_histogram",  # exact pair pass (broadcast query side, knn pattern)
     "filter_scalar_subquery",  # 1-row avg threshold broadcast into the filter
     "agg_chi_square",  # 1-row total + dof scalar crossJoins
     "surv_kaplan_meier",  # 1-row censoring-horizon scalar (max orderdate) crossJoined
