@@ -643,6 +643,25 @@ def _out_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _in_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node ORIENTED in-neighbor arrays (dst -> [src...]), memoized
+    per (session, sf_dir) — the mirror of ``_out_adjacency`` for
+    supersteps that aggregate onto the RECEIVING endpoint
+    (graph_hits_counts' a-steps). Unsorted: its only consumer folds an
+    order-independent BIGINT sum over the array."""
+    key = (session_key(spark), sf_dir, "in")
+    cached = _adj_cache.get(key)
+    if cached is None:
+        oriented, _, _ = _oriented_copurchase(spark, sf_dir)
+        cached = (
+            oriented.groupBy("dst")
+            .agg(F.collect_list("src").alias("nbrs"))
+            .cache()
+        )
+        _adj_cache[key] = cached
+    return cached
+
+
 def _und_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node sorted UNDIRECTED neighbor-set arrays (u -> [v...]),
     memoized per (session, sf_dir). graph_neighbor_minhash reads this
@@ -699,18 +718,22 @@ def _triangle_edge_legs(tris, with_third: bool = False) -> DataFrame:
     (pa < pb), optionally carrying the THIRD node of each leg — the ONE
     attribution scheme ``graph_neighbor_jaccard`` (counts legs) and
     ``graph_adamic_adar`` (weights legs by the third node's degree)
-    share (r10 review: two hand-synchronized three-way unions)."""
+    share (r10 review: two hand-synchronized three-way unions).
+
+    r12: ONE scan + an explode of the three leg structs instead of a
+    three-way unionAll — the union form scanned the |triangles|-row
+    cached relation three times (the scan was ~1/3 of each consumer's
+    steady-state wall clock); the exploded row count and every emitted
+    value are identical."""
     legs = [("u", "v", "w"), ("u", "w", "v"), ("v", "w", "u")]
-    parts = []
+    structs = []
     for a, b, t in legs:
-        cols = [F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")]
+        fields = [F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")]
         if with_third:
-            cols.append(F.col(t).alias("third"))
-        parts.append(tris.select(*cols))
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionAll(part)
-    return out
+            fields.append(F.col(t).alias("third"))
+        structs.append(F.struct(*fields))
+    out_cols = ["leg.pa", "leg.pb"] + (["leg.third"] if with_third else [])
+    return tris.select(F.explode(F.array(*structs)).alias("leg")).select(*out_cols)
 
 
 def _ranked_topk(scored: DataFrame, *order_cols) -> DataFrame:
@@ -1380,6 +1403,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregate — message volume is bounded by |reached| x avg-degree,
     and the aggregate collapses it back to |reached| rows before the
     next round.
+
+    r12 note: examined, left as-is after TWO measured-and-rejected
+    rewrites at sf0.1 — (a) broadcasting the per-round distance table
+    (3 BroadcastHashJoins, edge list never shuffled) ran SLOWER than
+    the planner's sort-merge pipeline (3.4 s vs 2.9 s med: each round's
+    broadcast build re-executes the prior rounds' chain, while the SMJ
+    rounds pipeline through reused shuffle exchanges); (b) a 1-row
+    broadcast-map fold over adjacency arrays — Spark's GetMapValue
+    LINEAR-SCANS the map per lookup, see graph_hits_counts.
 
     100 TB: identical supersteps with the edge list bucketed on src so
     every round's join is co-located; frontier DataFrames checkpoint
@@ -2099,21 +2131,31 @@ def graph_hits_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically within an iteration because normalization is a positive
     scalar per step.
 
-    Each iteration is ONE shuffled join (edges x current score, message
-    volume = |E|) followed by a map-side-combined sum on the receiving
+    Each iteration is ONE broadcast join into the cached edge list
+    (scores are per-node, nodes << edges, so the edge relation is never
+    shuffled) followed by a map-side-combined sum on the receiving
     endpoint — the textbook Pregel superstep as DataFrames, same shape
-    as graph_pagerank but with exact BIGINT message values. Reuses the
-    memoized oriented edge list (built once per session/sf). At 100 TB:
-    bucket edges by src AND a dst-keyed copy by dst to make both
-    directions exchange-free; four bounded supersteps, no iteration-
-    count blowup.
+    as graph_pagerank but with exact BIGINT message values. r12 changes
+    (guide §1.2/§2.4): a1 (the oriented in-degree) reads the memoized
+    |V|-row in-adjacency array lengths instead of scanning + aggregating
+    the |E|-row edge list, and a2 — consumed TWICE in the final plan
+    (h2's broadcast lineage AND the full-outer join side) — is pinned
+    with .cache() so its superstep chain executes once. Two rejected
+    alternatives, both measured SLOWER at sf0.1: folding a 1-row
+    broadcast MAP of scores over the adjacency arrays (Spark's
+    GetMapValue is a LINEAR scan over the 20k-entry map -> ~50 s/run),
+    and a dense positional-ARRAY fold (O(1) lookups but the interpreted
+    higher-order fold costs more than the whole join+agg superstep:
+    1.07 s vs 0.99 s). At 100 TB: bucket edges by src AND a dst-keyed
+    copy by dst to make both directions exchange-free; four bounded
+    supersteps, no iteration-count blowup.
     """
     oriented, _deg, _edges = _oriented_copurchase(spark, sf_dir)
-    # each superstep BROADCASTS the bounded |V|-row score table into the
-    # cached edge list (scores are per-node, nodes << edges), so the edge
-    # relation is never shuffled — the only exchange per step is the
-    # map-side-combined aggregate on the receiving endpoint
-    a1 = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("a")).withColumnRenamed("dst", "node")
+    in_adj = _in_adjacency(spark, sf_dir)  # dst -> [src...]
+    # a1 = oriented in-degree: the in-adjacency array length (|V| rows)
+    a1 = in_adj.select(
+        F.col("dst").alias("node"), F.size("nbrs").cast("bigint").alias("a")
+    )
     h1 = (
         oriented.join(F.broadcast(a1), oriented["dst"] == a1["node"])
         .groupBy("src")
@@ -2125,6 +2167,7 @@ def graph_hits_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst")
         .agg(F.sum("h").alias("a"))
         .withColumnRenamed("dst", "node")
+        .cache()
     )
     h2 = (
         oriented.join(F.broadcast(a2), oriented["dst"] == a2["node"])

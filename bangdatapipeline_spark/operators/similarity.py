@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.caches import session_key
 from bangdatapipeline_spark.registry import REGISTRY, register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 N_QUERIES = 100  # query set = vec_id < 100 (matches BASELINE.md emb_knn_top5)
 TOP_K = 5
@@ -1875,8 +1875,19 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+    # r12: spread the corpus side before the broadcast pair pass — the
+    # single-row-group scan otherwise fuses the |corpus| x |Q| dot folds
+    # and the candidate window's input into ONE task (guide §2.5). A
+    # GEMM-kernel rewrite was measured SLOWER here: the corpus is tiny
+    # (2 000 rows at sf0.1), so the kernel's per-run Python-boundary cost
+    # (query-side toPandas + fresh mapInPandas lineage that defeats the
+    # declared cache's plan-canonicalization reuse) exceeds the whole
+    # JVM pair pass. The BNLJ stays: it is the declared exact candidate
+    # semantics, the broadcast side is the <=100-row query set, and at
+    # scale the corpus side streams.
     allsims = (
-        e.crossJoin(F.broadcast(q))
+        spread(e.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1900,7 +1911,7 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair is k² rows/query and feeds the s2 scoring plus both per-pick
     # renames (pa, pb) — pin it for the same single-computation reason.
     pair = (
-        a.join(b, "q_id")
+        a.join(F.broadcast(b), "q_id")
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             "q_id",
@@ -1925,11 +1936,21 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", F.col("n_id").alias("p_id"), "sim", "score")
         )
 
+    # r12: every post-candidate join side is constant-bounded (p1/p2 are
+    # one row per query, pair is k² rows per query, k and |Q| fixed), but
+    # the planner saw unknown-size cached subtrees and picked
+    # SortMergeJoin — 7 sort+exchange pairs of sub-10k-row tables
+    # dominated the steady state. Explicit broadcasts (guide §3.1: hint
+    # when estimates are wrong) collapse the cascade to hash joins.
     s2 = (
-        d.join(p1, "q_id")
+        d.join(F.broadcast(p1), "q_id")
         .filter(F.col("n_id") != F.col("p_id"))
         .join(
-            pair.withColumnRenamed("id_a", "n_id").withColumnRenamed("id_b", "p_id"),
+            F.broadcast(
+                pair.withColumnRenamed("id_a", "n_id").withColumnRenamed(
+                    "id_b", "p_id"
+                )
+            ),
             ["q_id", "n_id", "p_id"],
         )
         .select(
@@ -1949,11 +1970,11 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim_ab").alias("sim_d2"),
     )
     s3 = (
-        d.join(p1.select("q_id", F.col("p_id").alias("p1_id")), "q_id")
-        .join(p2.select("q_id", F.col("p_id").alias("p2_id")), "q_id")
+        d.join(F.broadcast(p1.select("q_id", F.col("p_id").alias("p1_id"))), "q_id")
+        .join(F.broadcast(p2.select("q_id", F.col("p_id").alias("p2_id"))), "q_id")
         .filter((F.col("n_id") != F.col("p1_id")) & (F.col("n_id") != F.col("p2_id")))
-        .join(pa, ["q_id", "n_id", "p1_id"])
-        .join(pb, ["q_id", "n_id", "p2_id"])
+        .join(F.broadcast(pa), ["q_id", "n_id", "p1_id"])
+        .join(F.broadcast(pb), ["q_id", "n_id", "p2_id"])
         .select(
             "q_id",
             "n_id",

@@ -551,13 +551,20 @@ def test_sequence_gaps_windows_only_boundary_lists(spark, sf_dir):
 def test_hits_supersteps_broadcast_scores(spark, sf_dir):
     """Every HITS superstep joins the |V|-row score table via broadcast —
     the cached edge list must never be shuffled for a join (the only
-    exchanges are the bounded per-node aggregates)."""
-    plan = _plan(REGISTRY["graph_hits_counts"].fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
-    # the only merge join allowed is the final full-outer of the two
-    # |V|-row score tables — never an edge-list join
-    assert plan.count("SortMergeJoin") <= 1
-    assert "SortMergeJoin" not in plan.split("FullOuter")[-1]
+    exchanges are the bounded per-node aggregates). r12: a2 is consumed
+    twice (h2's broadcast lineage + the final full-outer side), so it
+    must be pinned (InMemoryRelation) to execute its chain once."""
+    df = REGISTRY["graph_hits_counts"].fn(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+        assert "InMemoryRelation" in plan, plan[:3000]
+        # the only merge join allowed is the final full-outer of the two
+        # |V|-row score tables — never an edge-list join
+        assert plan.count("SortMergeJoin") <= 1
+        assert "SortMergeJoin" not in plan.split("FullOuter")[-1]
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_rerank_pool_join_broadcasts(spark, sf_dir):
