@@ -1036,24 +1036,21 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: the EVAL side is bounded and broadcast (the knn
     query-side pattern) — 100 TB of train vectors stream through one
     narrow pass with zero corpus shuffle; only per-vector flagged rows
-    (a tiny fraction) reach the aggregate. The dot is the shared
-    left-to-right double fold — bit-identical to the oracle.
+    (a tiny fraction) reach the aggregate. r12 (guide §4.1/§4.2): the
+    pair pass runs on :func:`gemm_cross_broadcast` — one GEMM per Arrow
+    batch against the broadcast eval matrix, exact fold re-score of the
+    tau-margin candidates — instead of a BroadcastNestedLoopJoin that
+    shipped every (train, eval) pair's two 64-dim arrays through the
+    per-pair Arrow fold (|train| x |eval| x 128 doubles per run). Sims
+    and the tau cut are bit-identical to the fold (kernel docstring).
     """
-    from bangdatapipeline_spark.operators.similarity import dot_double_vec
+    from bangdatapipeline_spark.operators.similarity import gemm_cross_broadcast
 
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.filter(F.col("vec_id") % EVAL_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_emb")
-    )
-    hits = (
-        e.filter(F.col("vec_id") % EVAL_MOD != 0)
-        .crossJoin(F.broadcast(ev))
-        .select(
-            "vec_id",
-            "eval_id",
-            dot_double_vec(F.col("embedding"), F.col("ev_emb")).alias("sim"),
-        )
-        .filter(F.col("sim") >= _DECON_SEM_TAU)
+    ev = e.filter(F.col("vec_id") % EVAL_MOD == 0)
+    train = e.filter(F.col("vec_id") % EVAL_MOD != 0)
+    hits = gemm_cross_broadcast(spark, train, ev, tau=_DECON_SEM_TAU).select(
+        F.col("a_id").alias("vec_id"), F.col("b_id").alias("eval_id"), "sim"
     )
     best = F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg_id")))
     return hits.groupBy("vec_id").agg(

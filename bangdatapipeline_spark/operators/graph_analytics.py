@@ -1103,7 +1103,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def degrees(e: DataFrame) -> DataFrame:
         return e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
 
-    d1 = degrees(edges)
+    # d1 is consumed TWICE (the round-1 survivor broadcast AND the final
+    # output's left side) — pinned so the initial |E|-row degree pass
+    # executes once per materialization (r12, the HITS-a2 pattern).
+    d1 = degrees(edges).cache()
     cur = edges
     dcur = d1
     for _ in range(_KCORE_ROUNDS):
@@ -1717,21 +1720,26 @@ def graph_walks_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partition-order-dependent in Spark; a hash walk never is).
 
     Each step is one frontier-to-edges equi-join + per-walk argmin
-    window — Pregel supersteps over the session-cached edge list. At
-    100 TB with millions of walks, the frontier join co-locates on the
-    cached edge partitioning and the window keys on walk id; neither
-    moves the full edge list after the first shuffle.
+    window — Pregel supersteps over the session-cached edge list. r12
+    (guide §2.4/§1.2): the visited hops ride ALONG the frontier as
+    carried columns (a few ints per walk) instead of being re-joined at
+    the end — the prior form joined hop t's DataFrame into the output,
+    and hop t's lineage contains ALL earlier steps, so the step chain
+    re-executed O(T²) times across the final join. Row semantics are
+    unchanged: both forms drop a walk at the step where it dies (inner
+    joins shrink monotonically), every hop value is the same argmin.
+    At 100 TB with millions of walks, the frontier join co-locates on
+    the cached edge partitioning and the window keys on walk id;
+    neither moves the full edge list after the first shuffle.
     """
     contrib, _init, _n = _trade_contrib(spark, sf_dir)
     edges = contrib.select("src", "dst")
-    w0 = (
+    walks = (
         edges.filter((F.col("src") % 2 == 0) & (F.col("src") < _WALK_SEED_BELOW))
         .select(F.col("src").alias("start"))
         .distinct()
         .withColumn("cur", F.col("start"))
     )
-    frontier = w0
-    hops = []
     for t in range(1, _WALK_STEPS + 1):
         gate = F.md5(
             F.concat(
@@ -1741,21 +1749,21 @@ def graph_walks_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         wname = Window.partitionBy("start").orderBy(gate.asc(), F.col("dst").asc())
-        frontier = (
-            frontier.join(edges, frontier["cur"] == edges["src"])
+        carry = [F.col(f"s{i}") for i in range(1, t)]
+        walks = (
+            walks.join(edges, walks["cur"] == edges["src"])
             .withColumn("rn", F.row_number().over(wname))
             .filter(F.col("rn") == 1)
-            .select("start", F.col("dst").alias("cur"))
+            .select("start", *carry, F.col("dst").alias(f"s{t}"))
+            .withColumn("cur", F.col(f"s{t}"))
         )
-        hops.append(frontier.select("start", F.col("cur").alias(f"s{t}")))
-    out = w0.select(F.col("start").cast("bigint").alias("start"))
-    for t, h in enumerate(hops, start=1):
-        out = out.join(
-            h.select(F.col("start").cast("bigint").alias("start"),
-                     F.col(f"s{t}").cast("bigint").alias(f"s{t}")),
-            "start",
-        )
-    return out
+    return walks.select(
+        F.col("start").cast("bigint").alias("start"),
+        *[
+            F.col(f"s{t}").cast("bigint").alias(f"s{t}")
+            for t in range(1, _WALK_STEPS + 1)
+        ],
+    )
 
 
 # --------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from bangdatapipeline_spark.operators.windows import (
     scd2_history,
 )
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 
 @register(
@@ -869,8 +869,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*_bloom_bits_spark(F.col("c_custkey")))).alias("bit")
     ).agg(F.sort_array(F.collect_set("bit")).alias("bloom_bits"))
     b = _bloom_bits_spark(F.col("o_custkey"))
-    fact = orders.select(
-        F.year("o_orderdate").alias("order_year"),
+    # r12: the 3 md5-derived bit positions per fact row are heavy scan-
+    # stage expressions fused into the single-row-group scan's one task —
+    # spread the 2-column projection first (guide §2.5, the tables.spread
+    # pattern) so the hash work runs at session parallelism.
+    fact = spread(
+        orders.select(F.year("o_orderdate").alias("order_year"), "o_custkey")
+    ).select(
+        "order_year",
         "o_custkey",
         b[0].alias("b0"),
         b[1].alias("b1"),

@@ -306,12 +306,17 @@ def layout_file_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     #files × 7 rows via a broadcast cross of the 7-key probe list.
     """
     o = load_table(spark, sf_dir, "orders")
-    keys = o.select(
-        (F.col("o_orderkey") / _BLOOM_FILE_ROWS)
-        .cast("long")
-        .alias("fid"),
-        F.col("o_custkey").alias("k"),
-    ).distinct()
+    # keys feeds TWO consumers (the word build and the probed file list)
+    # — pinned so the distinct shuffle executes once per materialization
+    # (r12, the same dual-consumer rule as graph_kcore's d1).
+    keys = (
+        o.select(
+            (F.col("o_orderkey") / _BLOOM_FILE_ROWS).cast("long").alias("fid"),
+            F.col("o_custkey").alias("k"),
+        )
+        .distinct()
+        .cache()
+    )
     bits = keys.select(
         "fid", F.explode(F.array(*_fb_pos_spark(F.col("k")))).alias("pos")
     )

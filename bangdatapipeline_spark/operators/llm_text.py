@@ -811,10 +811,16 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = raw.filter(F.col("n_chars").between(_PREP_LO, _PREP_HI))
     wmd5 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # ex and near are each consumed by TWO branches of the funnel (the
+    # stage count + the next stage's lineage); pinned so the md5 window
+    # and the tiled-GEMM dedup each execute once per run instead of
+    # once per downstream branch (r12 dual-consumer rule; .cache() is
+    # lazy, so plan construction stays action-free).
     ex = (
         q.withColumn("rn", F.row_number().over(wmd5))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text")
+        .cache()
     )
     emb = load_table(spark, sf_dir, "embeddings")
     joined = ex.join(emb, ex.doc_id == emb.vec_id).select(
@@ -830,7 +836,11 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    near = joined.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "text")
+    near = (
+        joined.join(dups, "doc_id", "left_anti")
+        .select("doc_id", "lang", "text")
+        .cache()
+    )
     t = near.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )

@@ -526,7 +526,15 @@ def _ivf_ranked(e: DataFrame) -> DataFrame:
     lattice — the ONE cell-assignment definition ``knn_ivf_topk`` and
     ``eval_ivf_nprobe_curve`` share (r10 review: the tuning curve is only
     meaningful if it grades the exact index the ranker deploys; two
-    copies of the assignment stage could drift independently)."""
+    copies of the assignment stage could drift independently).
+
+    r12: the returned ranking is pinned with ``.cache()`` — every caller
+    consumes it from at least TWO subtrees (knn_ivf_topk: corpus cells +
+    query probes; the curve: three probe depths), and uncached each
+    consumer re-executed the double posexplode + |x| x |cells| scoring
+    join. The pure-JVM lineage canonicalizes identically across calls,
+    so the two registered consumers also share one materialization per
+    session (CacheManager dedupes re-cache calls on an identical plan)."""
     x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).withColumn(
         "val", F.col("val").cast("double")
     )
@@ -542,7 +550,7 @@ def _ivf_ranked(e: DataFrame) -> DataFrame:
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("cell").asc()
     )
-    return scores.withColumn("cr", F.row_number().over(w_cell))
+    return scores.withColumn("cr", F.row_number().over(w_cell)).cache()
 
 
 def _ivf_oracle() -> str:
@@ -936,6 +944,66 @@ def gemm_cross_tiled(
 
     return tiles.groupBy("ia", "ib").applyInPandas(
         tile, "a_id long, b_id long, sim double"
+    )
+
+
+def gemm_cross_broadcast(
+    spark: SparkSession,
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tau: float = PAIR_TAU,
+) -> DataFrame:
+    """Cross-table threshold similarity (A x B) with the BOUNDED B side
+    broadcast — the one-pass sibling of :func:`gemm_cross_tiled` for
+    when B fits a broadcast (the knn query-side pattern): A streams ONCE
+    through ``mapInPandas``, each Arrow batch runs one numpy GEMM
+    against the broadcast B matrix and emits only threshold survivors.
+    r12: replaces broadcast-BNLJ callers that shipped every (a, b)
+    pair's two embedding arrays through the per-pair Arrow fold
+    (|A| x |B| x 2d doubles across the Python boundary per run; this
+    kernel moves |A| x d once plus survivors).
+
+    Boundary discipline (same rule as ``gemm_pairs_tiled``): candidates
+    collect at ``tau - 1e-9`` on the GEMM values (margin >> the ~1e-12
+    reassociation error of unit dots), are re-scored with the exact
+    left-to-right fold, and are cut and emitted on the FOLD value — so
+    the returned ``(a_id, b_id, sim)`` rows and sims are bit-identical
+    to a per-pair ``dot_double_vec`` pass filtered at ``sim >= tau``.
+    Rows with NULL embeddings are dropped (a NULL fold sim can never
+    pass the threshold); embeddings CONTAINING NaN yield NaN GEMM sims,
+    which fail the ``>=`` collect exactly like the fold path's NaN.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b_pdf = b_df.select(F.col(id_col), F.col(emb_col)).toPandas()
+    ids_b_drv = b_pdf[id_col].to_numpy()
+    bt_drv = np.vstack(b_pdf[emb_col].to_numpy()).astype(np.float64).T  # d x nb
+    bb = spark.sparkContext.broadcast((ids_b_drv, bt_drv))
+
+    def block_hits(batches):
+        ids_b, bmat = bb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf[emb_col].notna()]
+            if pdf.empty:
+                continue
+            ids_a = pdf[id_col].to_numpy()
+            block = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            sims = block @ bmat  # n_block x nb — the GEMM
+            r, c = np.nonzero(sims >= tau - 1e-9)
+            if not len(r):
+                continue
+            fold = np.add.accumulate(block[r] * bmat[:, c].T, axis=1)[:, -1]
+            keep = fold >= tau
+            r, c, fold = r[keep], c[keep], fold[keep]
+            yield pd.DataFrame({"a_id": ids_a[r], "b_id": ids_b[c], "sim": fold})
+
+    return a_df.select(id_col, emb_col).mapInPandas(
+        block_hits, schema="a_id long, b_id long, sim double"
     )
 
 
@@ -1495,6 +1563,10 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "s", "code")
         .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
     )
+    # r12 note: pinning scored (it feeds both the corpus code assignment
+    # and the query-side ADC LUT) was measured a wash at sf0.1 (A/B med
+    # 1.96 vs 2.09 s) — the scoring subtree is cheap next to the windows
+    # — so the pin is deliberately NOT applied.
     scored = dots.join(F.broadcast(c2), ["code", "s"]).select(
         "vec_id", "s", "code", "dot",
         F.round(F.col("dot") - F.col("c2") / 2, 6).alias("score"),
@@ -2981,7 +3053,10 @@ def eval_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle assignment; the report is one keyed aggregate + a 1-row
     total (declared broadcast).
     """
-    base = REGISTRY["ml_kmeans_2iter"].fn(spark, sf_dir)
+    # base (the full 2-iteration assignment plan) is consumed TWICE — the
+    # 1-row total and the per-cluster aggregate; pinned so the Lloyd
+    # iterations execute once per run (r12 dual-consumer rule).
+    base = REGISTRY["ml_kmeans_2iter"].fn(spark, sf_dir).cache()
     tot = base.agg(F.count(F.lit(1)).alias("n_total"))
     i4 = F.expr("CAST(round(d2 * 10000) AS BIGINT)")
     return (

@@ -74,7 +74,6 @@ CARTESIAN_OK = {
     "win_rfm_segments",  # 1-row quintile cut points crossJoined
     "dedup_semantic_clustered",  # k-centroid array broadcast as a 1-row crossJoin
     "eval_semantic_recall",  # centroid-array + 2 scalar-counter 1-row crossJoins
-    "decontaminate_semantic",  # bounded eval side broadcast (knn query-side pattern)
     "sample_importance_dsir",  # 1-row corpus-total scalars crossJoined into the model
     "events_dau_wau",  # ~30-row day spine, trailing-7d range predicate
     "ts_wau_bitmap_sliding",  # same day-spine range join (bitmap path)
