@@ -770,7 +770,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spread(
         load_table(spark, sf_dir, "orders").select(
             *[c for c, _ in _PROFILE_COLS]
-        )
+        ),
+        "o_orderkey",
     )
     aggs = [F.count("*").alias("__n")]
     for c, kind in _PROFILE_COLS:
@@ -2052,7 +2053,7 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: the 15 decimal(38,0) partial sums run inside the single-task
     # lineitem scan stage — spread the 4-column projection so the
     # decimal moment arithmetic runs on every core (tables.spread)
-    li = spread(li)
+    li = spread(li, "qty", "price_c", "disc_c", "tax_c")
     aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
     for c in _COV_COLS:
         aggs.append(F.sum(F.col(c).cast(dec)).cast(dec).alias(f"s_{c}"))

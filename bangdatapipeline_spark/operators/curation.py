@@ -79,7 +79,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the single-task documents scan stage — tables.spread), and pin
     # the distinct shingle table: the eval and train branches are two
     # subtrees, so unpinned the shingle pass ran twice per job
-    base = spread(d.select("doc_id", "text")).select(
+    base = spread(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", toks.alias("toks")
     ).filter(F.size("toks") >= NGRAM)
     sh = (
@@ -746,7 +746,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and pin the bucketed token stream: FOUR subtrees read it (target
     # counts, raw counts, totals, and the scoring join), so unpinned the
     # hashing pass ran four times per job
-    bt = spread(d.select("doc_id", "lang", "text")).select(
+    bt = spread(d.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id",
         "lang",
         F.explode(F.split("text", " ")).alias("tok"),
@@ -1701,7 +1701,10 @@ def curation_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    per_doc = d.select(
+    # r12: the canon regex chain + md5 were fused into the single-task
+    # scan stage (guide §2.5) — spread the 3-column projection first so
+    # the per-row normalization parallelizes.
+    per_doc = spread(d.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id", "source", F.md5(F.encode(canon, "utf-8")).alias("h")
     ).withColumn(
         "is_dup", F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("h"))

@@ -346,7 +346,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"concat_ws(',', slice(sig, g * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
             )
         ).alias("key"),
-    )
+        # r12: bexp feeds BOTH self-join sides — unpinned, the minhash
+        # signature expression (the dominant per-row cost after the
+        # cached word-fold) evaluated twice per run. .cache(), NOT
+        # localCheckpoint: a checkpoint's per-call RDD id would make the
+        # plans of downstream cached consumers (eval_dedup_recall's
+        # sys_p) unique per run and defeat their plan-identity reuse.
+    ).cache()
     a = bexp.select(F.col("key"), F.col("doc_id").alias("id_a"))
     b = bexp.select(F.col("key"), F.col("doc_id").alias("id_b"))
     cand_ids = (
@@ -632,7 +638,7 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and pin the variant table: BOTH self-join sides read it, so
     # unpinned the explode ran twice per job
     v = spread(
-        c.select("c_custkey", "c_name", "c_nationkey")
+        c.select("c_custkey", "c_name", "c_nationkey"), "c_custkey"
     ).select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
@@ -922,7 +928,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"concat_ws(',', slice(sig, g * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
             )
         ).alias("key"),
-    )
+        # r12: bexp feeds BOTH probe sides (delta + base) — pinned for
+        # the same reason as dedup_near_minhash's band table above
+        # (.cache() for plan-identity friendliness, same note).
+    ).cache()
     delta_b = bexp.filter(F.col("doc_id") % 4 == 0).select(
         "key", F.col("doc_id").alias("id_new")
     )
@@ -1071,7 +1080,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel + posexplode otherwise fuse into the single-task documents
     # scan stage (tables.spread); the pinned cache below then holds a
     # parallel layout too
-    ws = spread(d.select("doc_id", "text")).withColumn(
+    ws = spread(d.select("doc_id", "text"), "doc_id").withColumn(
         "ws", F.split("text", " ")
     ).filter(F.size("ws") >= SPAN_N)
     g = ws.select(

@@ -427,7 +427,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding step.
     """
     contrib_src, ranks, n_df = _trade_contrib(spark, sf_dir)
-    for _ in range(_PAGERANK_ITERS):
+    for i in range(_PAGERANK_ITERS):
+        # r12: pin the previous round's |V|-row rank table before it is
+        # broadcast — round t's broadcast build otherwise re-executes
+        # rounds 1..t-1 over the cached edges (O(T²) edge passes; the
+        # graph_bfs_levels docstring documents the same re-execution
+        # trap). Lazy localCheckpoint: 16k rows per round, and the
+        # per-round lineage becomes one join+agg instead of the chain.
+        if i > 0:
+            ranks = ranks.localCheckpoint(eager=False)
         ranks = (
             contrib_src.join(F.broadcast(ranks), contrib_src["src"] == ranks["node"])
             .groupBy("dst")
@@ -1924,6 +1932,13 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (two band-join sides, two verify broadcasts) — uncached it was
     # recomputed per subtree (r9 review, ~4x the dominant shuffle)
     nb = _und_adjacency(spark, sf_dir)
+    # r12 measured-and-rejected: localCheckpoint-pinning bands (it feeds
+    # both the stop-bucket aggregate and bk) made warm runs 1.95->2.67 s:
+    # the checkpoint's per-call RDD id makes bk's canonicalized plan
+    # unique per run, so bk's .cache() stops deduping across runs and
+    # every run rebuilds the band table. Rule recorded: never put a
+    # localCheckpoint UPSTREAM of a .cache() that relies on plan-identity
+    # reuse across runs.
     bands = nb.select(
         "u", F.posexplode(_nbr_band_buckets(F.col("nbrs"))).alias("b", "bkt")
     )

@@ -274,12 +274,14 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # immediately after the read"); the width tracks the session's
     # parallelism, not a constant.
     w = (
-        orders.select(
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderkey").alias("k"),
-            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        spread(
+            orders.select(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderkey").alias("k"),
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            ),
+            "k",
         )
-        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R))))
         .withColumn("h", F.expr(_rep_hash_sql("k", "r")))
         .withColumn(

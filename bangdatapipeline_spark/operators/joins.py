@@ -874,7 +874,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the 2-column projection first (guide §2.5, the tables.spread
     # pattern) so the hash work runs at session parallelism.
     fact = spread(
-        orders.select(F.year("o_orderdate").alias("order_year"), "o_custkey")
+        orders.select(F.year("o_orderdate").alias("order_year"), "o_custkey"),
+        "order_year",
+        "o_custkey",
     ).select(
         "order_year",
         "o_custkey",

@@ -690,7 +690,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode otherwise all fuse into the single-task scan stage of the
     # driver's one-row-group documents file (tables.spread), and BOTH
     # corpus passes (pair counts, coverage) inherit the parallel layout.
-    t = spread(d.select("lang", F.col("text"))).select(
+    t = spread(d.select("lang", F.col("text")), "text").select(
         "lang", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
@@ -920,7 +920,7 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: spread first — tokenize, span transform and explode otherwise
     # fuse into the single-task documents scan stage (tables.spread)
     d = _tokens(
-        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     ).filter(F.size("toks") >= _SPAN_N)
     spans = F.expr(
         f"transform(sequence(1, size(toks) - {_SPAN_N - 1}), "
@@ -1306,6 +1306,15 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-safe here (contrast docs/dialect_notes.md on terminating
     ratios).
     """
+    # r12 measured-and-rejected: deriving cnt from a pinned dt
+    # (c(token) = Σ_doc cd — one explode pass instead of two) is the
+    # right 100 TB rewrite on shuffle volume, but measured SLOWER at
+    # bench scale with both pin flavors (med 0.61-0.81 s -> 1.06-1.37 s):
+    # the two redundant branches below share one job DAG and execute
+    # CONCURRENTLY on otherwise-idle cores, while the pin serializes the
+    # chain through a materialization on the critical path. Keeping the
+    # two-branch form; the derivation note stays here for the cluster
+    # port, where duplicate shuffles are never free.
     d = _tokens(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode("toks").alias("token"))
     cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
@@ -1359,7 +1368,17 @@ def text_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tercile edges don't need exactness (documented trade, same as the
     profiler's cardinality policy).
     """
-    x = text_surprisal(spark, sf_dir).select("doc_id", F.col("xent_nats"))
+    # r12: the full surprisal plan feeds TWO consumers (the cutpoint
+    # aggregate and the final bucket projection) — unpinned it executed
+    # twice per run (plan showed 2x the surprisal exchange set).
+    # .cache() pins the |docs|-row score table (measured 0.68 -> 0.42 s
+    # steady-state noop med; a localCheckpoint pin measured no better
+    # and would break downstream plan-identity cache reuse).
+    x = (
+        text_surprisal(spark, sf_dir)
+        .select("doc_id", F.col("xent_nats"))
+        .cache()
+    )
     cuts = x.agg(
         F.percentile("xent_nats", 1.0 / 3).alias("q33"),
         F.percentile("xent_nats", 2.0 / 3).alias("q66"),
@@ -1420,7 +1439,9 @@ def text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuse into the single-task documents scan), and pin the exploded
     # pair stream — THREE subtrees read it (dp, bg, and ctx via bg), so
     # unpinned it re-tokenized the corpus three times per run
-    d = _tokens(spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")))
+    d = _tokens(
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    )
     toks = F.col("toks")
     pair = F.explode(
         F.zip_with(
@@ -1801,7 +1822,9 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by construction — the iterative merge loop re-aggregates
     pairs per round; each round is this same bounded-key shape).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # r12: the nested char-pair transform fuses into the single-task
+    # documents scan (guide §2.5) — spread the 1-column projection first.
+    d = spread(load_table(spark, sf_dir, "documents").select("text"), "text")
     pairs = d.selectExpr(
         "explode(flatten(transform("
         "  filter(split(text, ' '), w -> length(w) >= 2),"
@@ -1855,6 +1878,10 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing you'd additionally count-min-sketch if it outgrew memory
     (agg_cms_heavy_hitters is the registered sketch path).
     """
+    # r12 measured-and-rejected: spread() on the text projection (the
+    # bpe-pair treatment) made this op SLOWER (0.29 -> 0.39 s med) — the
+    # word-bigram generator is light enough that the extra round-robin
+    # exchange of full text rows costs more than the serial scan stage.
     d = load_table(spark, sf_dir, "documents")
     # Guard IN-ROW (CASE inside the generator), not via a post-explode
     # where clause: sequence(1, 0) is the DESCENDING [1, 0] in Spark, so a
@@ -2129,7 +2156,7 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be re-evaluated 4x per row: size, sequence bound, 2x element_at).
     # r12: spread first — tokenize + bigram explode otherwise fuse into
     # the single-task documents scan stage (tables.spread)
-    toks = spread(d.select("doc_id", "text")).selectExpr(
+    toks = spread(d.select("doc_id", "text"), "doc_id").selectExpr(
         "doc_id", "split(text, ' ') AS toks"
     )
     bg = toks.selectExpr("doc_id", _BIGRAM_GEN_EXPR)

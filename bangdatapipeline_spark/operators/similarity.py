@@ -1113,6 +1113,11 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors, not shuffle volume.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # r12: the broadcast-candidate argmin fold fuses into the scan stage,
+    # and the single-row-group file makes that ONE task (guide §2.5) —
+    # spread the 2-column projection so both assignment rounds fold in
+    # parallel. c0 keeps the raw scan (its vec_id filter pushes down).
+    e_rows = spread(e.select("vec_id", "embedding"), "vec_id")
 
     def assign(cents: DataFrame) -> DataFrame:
         cand = cents.agg(
@@ -1136,7 +1141,7 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         best = F.aggregate(F.col("cands"), init, step)
         return (
-            e.crossJoin(F.broadcast(cand))
+            e_rows.crossJoin(F.broadcast(cand))
             .select("vec_id", "embedding", best.alias("best"))
             .select(
                 "vec_id",
@@ -1958,7 +1963,7 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics, the broadcast side is the <=100-row query set, and at
     # scale the corpus side streams.
     allsims = (
-        spread(e.select("vec_id", "embedding"))
+        spread(e.select("vec_id", "embedding"), "vec_id")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(

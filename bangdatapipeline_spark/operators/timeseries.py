@@ -1857,7 +1857,8 @@ def ts_ship_delay_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg all fuse into the single-task lineitem scan stage — spread the
     # 2-column projection first so they run on every core (tables.spread)
     li = spread(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        "l_orderkey",
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(

