@@ -2806,6 +2806,13 @@ def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)"
         " AS BIGINT)"
     )
+    # r12 measured-and-rejected: spreading the 4-column projection so
+    # the cents arithmetic + partial agg escape the single-task scan
+    # looked like a win in one noisy window (0.61 -> 0.53 s) but an
+    # ABBA probe showed the opposite (HEAD 0.79/0.91 vs spread 1.23 s
+    # med) — three round+multiply terms per row are below the
+    # exchange-amortization threshold (the ml_naive_bayes rejection
+    # note), unlike agg_covariance_matrix's 15 decimal(38) sums.
     return (
         l.select(
             "l_returnflag",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bangdatapipeline_spark.operators.lattice import cents_col, cents_sql
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 # (label, child table, fk column, parent table, pk column)
 _FK_RELATIONS = [
@@ -83,6 +83,15 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for label, child_t, fk, parent_t, pk in _FK_RELATIONS:
         child = load_table(spark, sf_dir, child_t)
         parent = load_table(spark, sf_dir, parent_t)
+        # r12 measured-and-rejected: repartitioning the big children by
+        # the FK before the groupBy (so the partial agg escapes the
+        # single-task scan and the groupBy reuses the exchange) measured
+        # a WASH at bench scale (med 1.21 -> 1.25 s over 5 runs — the 7
+        # relation subtrees already back-fill the cores concurrently)
+        # and is scale-WRONG: it trades the map-side-combined partial
+        # rows (|keys|) for a raw-row shuffle (|rows|), inflating
+        # shuffle bytes 4x on lineitem. The fused partial agg IS the
+        # 100 TB shape once scans split into many row groups.
         keys = child.groupBy(F.col(fk).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
         orph = keys.join(
             parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
@@ -259,7 +268,17 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     terms = [F.col(f"q{d}") * F.lit(_CAL_WTS[d]) for d in range(_CAL_DIMS)]
     score = sum(terms[1:], terms[0]).alias("score")
-    s = e.select("vec_id", "label", *q).select("vec_id", "label", score)
+    # r12: the 64-term quantize+dot expression fused into the single-task
+    # embeddings scan (guide §2.5) AND fed two consumers (the min/max
+    # scalar and the binning pass) — spread the 3-column projection so
+    # the scoring parallelizes, and pin the |vecs|-row score table so it
+    # computes once per run instead of twice.
+    s = (
+        spread(e.select("vec_id", "label", "embedding"), "vec_id")
+        .select("vec_id", "label", *q)
+        .select("vec_id", "label", score)
+        .cache()
+    )
     mm = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
     binned = s.crossJoin(F.broadcast(mm)).select(
         F.expr(f"(score - mn) * {_CAL_BINS} div (mx - mn + 1)").alias("bin"),

@@ -767,6 +767,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hashed_shingles(spark, sf_dir)
         .select("doc_id", F.explode("hs").alias("h"))
         .distinct()
+        # r12: x feeds TWO subtrees (the DF-cap build and the xk join
+        # probe) — unpinned, the explode + distinct shuffle ran twice
+        # per run on top of the cached shingle table. Same .cache()
+        # posture as xk below.
+        .cache()
     )
     keep = x.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= CONTAIN_DF_CAP

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bangdatapipeline_spark.registry import register
-from bangdatapipeline_spark.tables import load_table
+from bangdatapipeline_spark.tables import load_table, spread
 
 
 @register(
@@ -393,7 +393,10 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics with DuckDB's string-side ``json_extract``/``json_valid``.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
+    # r12: the per-row parse_json/try_parse_json pair fused into the
+    # single-task events scan (guide §2.5) — spread the 2-column
+    # projection so the variant parse runs at session parallelism.
+    v = spread(ev.select("event_type", "props"), "props").select(
         "event_type",
         F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
         F.try_parse_json("props").isNotNull().alias("valid"),

@@ -917,7 +917,13 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     key stays stringy but uniform; at 100 TB hash it to 64-bit for the
     shuffle and rejoin the string for the survivors.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # r12: project to the four consumed columns BEFORE the user_id window
+    # shuffle (guide §2.3 "project before the exchange") — the full-width
+    # events row (incl. the wide props payload) otherwise rides through
+    # the exchange, the window sort, and the collect_list structs.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
         "is_new",

@@ -228,6 +228,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, lang) aggregation, keyed on doc_id (dense, unskewed).
     """
     d = load_table(spark, sf_dir, "documents")
+    # r12 measured-and-rejected, twice: (1) PINNING the token stream
+    # (three subtrees read it) made warm runs 1.51 -> 2.52 s med — the
+    # text_surprisal trap: the redundant tokenize branches execute
+    # CONCURRENTLY on otherwise-idle cores, while a pin serializes the
+    # chain through a materialization on the critical path. (2) The
+    # spread-only variant measured a wash-to-regression in an ABBA probe
+    # (1.54 -> 1.97 s med adjacent sessions) — a plain explode over 5k
+    # docs is below the exchange-amortization threshold (the
+    # ml_naive_bayes rejection note). Left as the plain fused explode.
     toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.select("tok").distinct()
     langs = d.groupBy("lang").agg(F.count("*").cast("double").alias("n_docs"))
@@ -339,6 +348,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic two-aggregation + broadcast-enrich shape.
     """
     d = load_table(spark, sf_dir, "documents")
+    # r12 measured-and-rejected: spreading the tokenize projection made
+    # warm runs 0.69-0.97 -> 1.57-1.89 s med in an ABBA probe — a plain
+    # explode below the exchange-amortization threshold (ml_naive_bayes
+    # rejection note); the (doc_id, tok) groupBy right after shuffles
+    # anyway, so the spread exchange is a pure extra hop.
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
@@ -1645,6 +1659,13 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated (doc, lang) row per candidate — never the tokens.
     """
     d = load_table(spark, sf_dir, "documents")
+    # r12 measured-and-rejected: spreading the tokenize projection (the
+    # §2.5 treatment) made warm runs 1.04-1.30 -> 1.71-2.01 s med in an
+    # ABBA probe — the plain explode over 5k docs is ~10 ms of per-task
+    # work, far below the exchange + 32-task scheduling cost, and the
+    # four redundant branches already overlap on idle cores. Spread pays
+    # off only when the scan-stage expression work is heavy (n-gram /
+    # shingle fan-outs, GEMM folds); this one is not.
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
@@ -1753,6 +1774,11 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold building segment lengths) pins the whole doc in one expression —
     the window form streams it.
     """
+    # r12 measured-and-rejected: spreading the tokenize projection made
+    # warm runs 0.60 -> 0.82 s med — the posexplode + md5 gate over 5k
+    # docs is below the exchange-amortization threshold (see the
+    # ml_naive_bayes rejection note), and the doc_id window right after
+    # re-shuffles anyway.
     d = _tokens(load_table(spark, sf_dir, "documents"))
     w = d.select("doc_id", F.posexplode("toks").alias("pos", "word"))
     gate = F.when(
@@ -2243,6 +2269,10 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (InferWindowGroupLimit caps the sort).
     """
     d = load_table(spark, sf_dir, "documents")
+    # r12 measured-and-rejected: spreading the split projection made
+    # warm runs 0.79 -> 1.21 s med — the three redundant passes already
+    # overlap concurrently and each is below the exchange-amortization
+    # threshold (the ml_naive_bayes rejection note).
     toks = d.selectExpr("split(text, ' ') AS toks")
     uni = toks.selectExpr("explode(toks) AS tok").groupBy("tok").agg(
         F.count(F.lit(1)).alias("n")
@@ -2349,8 +2379,15 @@ def retrieval_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     nd = d.agg(F.count(F.lit(1)).alias("n"))
-    td = d.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
-        "doc_id", _BIGRAM_GEN_EXPR
+    # r12: tokenize + bigram explode on a spread projection (guide §2.5)
+    # and PIN the (doc, term) pair stream — TWO subtrees read it (the
+    # df-band build and the postings probe), so unpinned the corpus
+    # re-tokenized twice per run.
+    td = (
+        spread(d.select("doc_id", "text"), "doc_id")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", _BIGRAM_GEN_EXPR)
+        .cache()
     )
     g = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     banded = (

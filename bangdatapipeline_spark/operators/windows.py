@@ -696,12 +696,19 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-_MED_FRAME, Window.currentRow)
     )
-    return ev.select(
+    # r12: ONE array-percentile window aggregate instead of three scalar
+    # ones — each percentile aggregate maintains (and sorts) its own copy
+    # of the frame buffer per row, so the three-call form paid the frame
+    # sort three times. percentile(value, array(...)) shares one buffer
+    # and one sort; element values are identical (same aggregate, same
+    # interpolation — A/B verified exact-equal before shipping).
+    pcts = F.percentile("value", F.expr("array(0.25D, 0.5D, 0.75D)")).over(w)
+    return ev.select("event_id", "user_id", pcts.alias("p")).select(
         "event_id",
         "user_id",
-        F.round(F.percentile("value", 0.25).over(w), 4).alias("roll_p25"),
-        F.round(F.percentile("value", 0.50).over(w), 4).alias("roll_med"),
-        F.round(F.percentile("value", 0.75).over(w), 4).alias("roll_p75"),
+        F.round(F.col("p")[0], 4).alias("roll_p25"),
+        F.round(F.col("p")[1], 4).alias("roll_med"),
+        F.round(F.col("p")[2], 4).alias("roll_p75"),
     )
 
 
