@@ -2148,6 +2148,14 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the fact scan / regroup (the DataFrame API shares no
     # subtrees). Blocks are freed by the ContextCleaner with the plan —
     # the matryoshka precedent.
+    # Cluster caveat (VERDICT r12, applies to all three pins in this
+    # function): localCheckpoint keeps blocks on executors WITHOUT
+    # lineage — on a real cluster an executor loss mid-job makes the
+    # pinned rows unrecoverable and fails the job. Cluster port: reliable
+    # .checkpoint() into the replicated checkpoint dir (or write+read an
+    # intermediate table). In local mode there is a single process whose
+    # loss kills the job regardless, so the cheap form is strictly better
+    # here.
     counts = (
         c.groupBy("grp", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))

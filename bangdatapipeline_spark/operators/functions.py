@@ -394,9 +394,12 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     # r12: the per-row parse_json/try_parse_json pair fused into the
-    # single-task events scan (guide §2.5) — spread the 2-column
-    # projection so the variant parse runs at session parallelism.
-    v = spread(ev.select("event_type", "props"), "props").select(
+    # single-task events scan (guide §2.5) — spread the projection so the
+    # variant parse runs at session parallelism. r13 (ADVICE r12): keyed
+    # on event_id, not the props payload — spread needs a high-cardinality
+    # NON-NULL key, and xxhash64(NULL)/duplicate payloads would pile rows
+    # into one partition (skew, not wrongness).
+    v = spread(ev.select("event_id", "event_type", "props"), "event_id").select(
         "event_type",
         F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
         F.try_parse_json("props").isNotNull().alias("valid"),

@@ -418,11 +418,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel/GraphX uses. The explicit broadcast is right while |V| ≪ |E|
     (here 16k nodes vs 1.2M directed edges; ranks for even 100M nodes ≈
     a few GB — at billion-node scale drop the hint and bucket both
-    sides on the node key so the join is co-partitioned instead). Fixed
-    iteration count keeps the lineage shallow (3 rounds, no checkpoint
-    needed; the label-propagation op shows the localCheckpoint pattern
-    for deeper loops). The oracle unrolls the same 3 rounds as chained
-    CTEs. Ranks are emitted as round(r*1e6, 4) ppm: summation-order
+    sides on the node key so the join is co-partitioned instead). Each
+    round after the first pins the previous round's |V|-row rank table
+    with a lazy ``localCheckpoint`` before it is broadcast (r12):
+    without it, round t's broadcast build re-executed rounds 1..t-1
+    over the cached edges — O(T²) edge passes for T rounds. The oracle
+    unrolls the same 3 rounds as chained CTEs. Ranks are emitted as round(r*1e6, 4) ppm: summation-order
     noise is ~1e-15 relative, many orders of magnitude inside the
     rounding step.
     """
@@ -434,6 +435,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # graph_bfs_levels docstring documents the same re-execution
         # trap). Lazy localCheckpoint: 16k rows per round, and the
         # per-round lineage becomes one join+agg instead of the chain.
+        # Cluster caveat (VERDICT r12): localCheckpoint blocks live on
+        # executors without lineage — an executor loss mid-job is fatal
+        # on a cluster; port with reliable .checkpoint() (replicated
+        # dir) or a written intermediate. Local mode is single-process,
+        # so the cheap form is strictly better here.
         if i > 0:
             ranks = ranks.localCheckpoint(eager=False)
         ranks = (

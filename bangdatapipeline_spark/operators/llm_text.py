@@ -704,7 +704,10 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode otherwise all fuse into the single-task scan stage of the
     # driver's one-row-group documents file (tables.spread), and BOTH
     # corpus passes (pair counts, coverage) inherit the parallel layout.
-    t = spread(d.select("lang", F.col("text")), "text").select(
+    # r13 (ADVICE r12): keyed on doc_id, not the text payload — spread
+    # needs a high-cardinality non-null key; duplicate/null texts would
+    # collapse onto one partition.
+    t = spread(d.select("doc_id", "lang", F.col("text")), "doc_id").select(
         "lang", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
@@ -1464,6 +1467,11 @@ def text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
         )
     )
+    # Cluster caveat (VERDICT r12): localCheckpoint blocks live on
+    # executors without lineage — an executor loss mid-job is fatal on a
+    # cluster; port with reliable .checkpoint() (replicated dir) or a
+    # written intermediate. Local mode is single-process, so the cheap
+    # form is strictly better here.
     pairs = (
         d.select("doc_id", pair.alias("p"))
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
@@ -1849,8 +1857,13 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs per round; each round is this same bounded-key shape).
     """
     # r12: the nested char-pair transform fuses into the single-task
-    # documents scan (guide §2.5) — spread the 1-column projection first.
-    d = spread(load_table(spark, sf_dir, "documents").select("text"), "text")
+    # documents scan (guide §2.5) — spread the narrow projection first.
+    # r13 (ADVICE r12): keyed on doc_id (unique, non-null) instead of the
+    # text payload; the 8-byte id riding the exchange is noise next to
+    # the text column.
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     pairs = d.selectExpr(
         "explode(flatten(transform("
         "  filter(split(text, ' '), w -> length(w) >= 2),"

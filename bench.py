@@ -674,6 +674,17 @@ def main() -> None:
     # so runs stay independent.
     import shutil
 
+    from bangdatapipeline_spark import caches
+
+    # r13 (VERDICT r12 task 2b): by row ~275 the shared session carries
+    # every operator-level cache pin of the sweep; release them so the
+    # canonical rows and the headline retry pass run under the same heap/
+    # GC conditions as the early rows — end-of-sweep cache pressure was
+    # the plausible cause of r12's uniform ~20% headline "regressions" on
+    # untouched operators. Publication rules are unchanged (no new
+    # min-publishing path).
+    caches.release(spark)
+
     _CANONICAL_ROWS = (
         ("q1_pricing_summary_canonical", "agg_groupby"),
         ("events_json_extract_canonical", "json_funcs"),
@@ -731,6 +742,9 @@ def main() -> None:
             retry_rows = headline_rows + [
                 (m, key_of[m], SF_DIR) for m in nonheadline_slowest
             ]
+            # release again immediately before the retry pass (task 2b):
+            # the main sweep's tail + canonical rows re-pinned relations
+            caches.release(spark)
             retry_checkpoints = [_floor_sentinel(spark)]  # retry START
             for i, (metric, key, d) in enumerate(retry_rows):
                 if i == len(retry_rows) // 2:
@@ -855,6 +869,11 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     plan_total = round(sum(plan_secs.values()), 4)
     setup_total = round(sum(setup_secs.values()), 4)
+    # r13 (VERDICT r12 task 2a): the fresh-lineage first-materialization
+    # total, co-published in the FINAL line so cross-round grading sees
+    # both the warm-median and the cold cost without opening BENCH_FULL.
+    # At 100 TB a query runs once — the cold path is the product.
+    cold_total = round(sum(cold_secs.values()), 4)
 
     over_budget = {
         m: [timings[m], ref]
@@ -879,6 +898,7 @@ def main() -> None:
         "cold_sec": cold_secs,
         "plan_sec_total": plan_total,
         "setup_sec_total": setup_total,
+        "cold_sec_total": cold_total,
         "floor_sec": floor_sec,
         # the published pass's checkpoints (so floor_sec/noise_ratio are
         # always recomputable from them), plus both raw passes
@@ -922,6 +942,7 @@ def main() -> None:
                 "queries": headline,
                 "plan_sec_total": plan_total,
                 "setup_sec_total": setup_total,
+                "cold_sec_total": cold_total,
                 "floor_sec": floor_sec,
                 "noise_ratio": noise_ratio,
                 "retried": retried,

@@ -67,6 +67,7 @@ def test_final_line_stays_under_tail_capture_budget():
         "queries": {m: 99999.9999 for m in sorted(bench.HEADLINE_METRICS)},
         "plan_sec_total": 99999.9999,
         "setup_sec_total": 99999.9999,
+        "cold_sec_total": 99999.9999,
         "floor_sec": 99999.9999,
         "noise_ratio": 99999.999,
         "retried": True,
@@ -204,6 +205,14 @@ def test_bench_full_has_breakout_and_plan_budget():
     n = len(full["queries"])
     assert set(full["plan_sec"]) == set(full["queries"])
     assert set(full["cold_sec"]) == set(full["queries"])
+    # r13 (VERDICT r12 task 2a): once the round's final bench lands, the
+    # artifact must carry cold_sec_total, recomputable from the per-key
+    # cold map. Conditional until then: the committed artifact may still
+    # be the pre-r13 one mid-round.
+    if "cold_sec_total" in full:
+        assert full["cold_sec_total"] == round(
+            sum(full["cold_sec"].values()), 4
+        )
     assert len(full["floor_checkpoints"]) == 3
     if n >= 157:
         assert full["plan_sec_total"] <= 30.0, (
