@@ -99,12 +99,13 @@ def release(spark: SparkSession) -> None:
 
     from bangdatapipeline_spark.operators import similarity as sim
 
-    for bc in sim._rerank_bq_cache.values():
-        try:
-            bc.destroy()
-        except Exception:
-            pass  # session already stopped; blocks died with it
-    sim._rerank_bq_cache.clear()
+    for memo in (sim._rerank_bq_cache, sim._query_bq_cache):
+        for bc in memo.values():
+            try:
+                bc.destroy()
+            except Exception:
+                pass  # session already stopped; blocks died with it
+        memo.clear()
 
 
 def free_heap_fraction(spark: SparkSession) -> float:

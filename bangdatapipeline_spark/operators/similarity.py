@@ -483,7 +483,6 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (select + distinct), then rejoin the embeddings — the registry rule
     # forbids dropDuplicates in hash-checked paths (nondeterministic
     # keeper if a non-key column ever rides along; r10 review)
-    emb = e.select("vec_id", "embedding")
     cand = (
         q.join(
             sigs.select(F.col("vec_id").alias("n_id"), "t", "bkt"), ["t", "bkt"]
@@ -491,17 +490,11 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
         .distinct()
-        .join(
-            emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
-                "embedding", "q_emb"
-            ),
-            "q_id",
-        )
-        .join(emb.withColumnRenamed("vec_id", "n_id"), "n_id")
     )
-    sims = cand.select(
-        "q_id", "n_id", dot_double_vec(F.col("q_emb"), F.col("embedding")).alias("sim")
-    )
+    # r13 (VERDICT r12 task 5): exact rerank via the shared fold kernel —
+    # one n_id join instead of two embedding attaches, no per-pair
+    # ArrowEvalPython fold; block-local top-k bounds the window input.
+    sims = _fold_rerank_candidates(spark, e, cand, sf_dir, block_topk=TOP_K)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -636,16 +629,17 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("q_id"), "cell")
 
-    emb = e.select(F.col("vec_id"), F.col("embedding"))
     cand = (
         query_probes.join(corpus_cells, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
         .distinct()
-        .join(emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed("embedding", "q_emb"), "q_id")
-        .join(emb.withColumnRenamed("vec_id", "n_id").withColumnRenamed("embedding", "n_emb"), "n_id")
     )
-    sims = cand.select("q_id", "n_id", dot_double_vec(F.col("q_emb"), F.col("n_emb")).alias("sim"))
+    # r13 (VERDICT r12 task 5): exact rerank via the shared fold kernel —
+    # one n_id join instead of two embedding attaches, no per-pair
+    # ArrowEvalPython fold, and block-local top-k pruning bounds the
+    # window input by k x nq x n_blocks instead of the full probe volume.
+    sims = _fold_rerank_candidates(spark, e, cand, sf_dir, block_topk=TOP_K)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -654,8 +648,115 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> broadcast of the bounded query side as
+# (q_ids int64[nq], Q float64[nq x d], labels[nq]). Memoized for two
+# reasons (VERDICT r12 task 4): (a) every kernel call previously paid a
+# driver-side toPandas of the query rows at plan-construction time, and
+# (b) a FRESH broadcast per call is serialized into the mapInPandas
+# function bytes, making each call's canonicalized plan unique — which
+# defeats CacheManager plan-identity reuse for any cached consumer of a
+# kernel output (the r12 MMR rejection root-caused exactly this).
+# Cleared (broadcasts destroyed) by caches.release, like
+# _rerank_bq_cache below.
+_query_bq_cache: dict = {}
+
+
+def _query_matrix_broadcast(spark: SparkSession, e: DataFrame, sf_dir: str):
+    key = (session_key(spark), sf_dir)
+    bq = _query_bq_cache.get(key)
+    if bq is None:
+        q_pdf = (
+            e.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "label", "embedding")
+            .toPandas()
+        )
+        q_ids = q_pdf["vec_id"].to_numpy()
+        qm = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+        labels = q_pdf["label"].to_numpy()
+        bq = spark.sparkContext.broadcast((q_ids, qm, labels))
+        _query_bq_cache[key] = bq
+    return bq
+
+
+def _fold_rerank_candidates(
+    spark: SparkSession,
+    e: DataFrame,
+    cand: DataFrame,
+    sf_dir: str,
+    extra: str = "",
+    block_topk: int | None = None,
+) -> DataFrame:
+    """Exact fold-order rerank of candidate pairs — the ONE kernel behind
+    the ANN rerank stages (``knn_ann_lsh``, ``knn_ivf_topk``,
+    ``eval_ivf_nprobe_curve``), r13 (VERDICT r12 task 5).
+
+    ``cand`` carries (q_id, n_id[, extra...]). The corpus embedding joins
+    on n_id ONCE; the bounded query side never moves — it rides in as the
+    memoized ``_query_matrix_broadcast``. Each Arrow batch computes the
+    exact LEFT-TO-RIGHT fold dot of its candidates vectorized
+    (``acc += X[:, d] * Q[:, d]``, d ascending — the association order of
+    ``dot_double_vec`` and the DuckDB oracle, bit-identical doubles).
+    This replaces the previous shape — a second broadcast join attaching
+    q_emb plus a per-pair ArrowEvalPython fold — so HALF the embedding
+    bytes cross the Python boundary and one join disappears from the
+    plan.
+
+    With ``block_topk=k``, each batch emits only its top-k rows per query
+    under the (sim desc, n_id asc) total order. The pruning is tie-safe
+    WITHOUT a margin (unlike the GEMM kernel's candidates): the folds are
+    already the exact published values, and any row in the global top-k
+    is in its own block's top-k under the same lexsort order, so the
+    downstream window ranks bit-identical numbers over a candidate set
+    bounded by k x nq x n_blocks instead of the full candidate volume.
+
+    ``extra``: schema fragment ("col type, ...") of carried-through
+    candidate columns (e.g. the curve's min_cr).
+    """
+    bq = _query_matrix_broadcast(spark, e, sf_dir)
+    extra_cols = [f.split()[0] for f in extra.split(",") if f.strip()]
+    schema = "q_id long, n_id long, sim double" + (
+        ", " + extra if extra else ""
+    )
+    k = block_topk
+
+    def fold_sims(batches):
+        q_ids, qm, _labs = bq.value
+        order_q = np.argsort(q_ids, kind="stable")
+        sorted_q = q_ids[order_q]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qi = pdf["q_id"].to_numpy()
+            ni = pdf["n_id"].to_numpy()
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qrow = qm[order_q[np.searchsorted(sorted_q, qi)]]
+            acc = np.zeros(len(qi))
+            for d in range(x.shape[1]):  # sequential over dims == fold order
+                acc += x[:, d] * qrow[:, d]
+            keep = slice(None)
+            if k is not None:
+                o = np.lexsort((ni, -acc, qi))
+                qs = qi[o]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                lens = np.diff(np.r_[starts, len(qs)])
+                rank_in_q = np.arange(len(qs)) - np.repeat(starts, lens)
+                keep = np.sort(o[rank_in_q < k])
+            out = {"q_id": qi[keep], "n_id": ni[keep], "sim": acc[keep]}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()[keep]
+            yield pd.DataFrame(out)
+
+    n_emb = e.select(F.col("vec_id").alias("n_id"), "embedding")
+    cols = ["q_id", "n_id", *extra_cols, "embedding"]
+    return (
+        cand.join(n_emb, "n_id")
+        .select(*cols)
+        .mapInPandas(fold_sims, schema=schema)
+    )
+
+
 def _gemm_topk_candidates(
-    spark: SparkSession, e: DataFrame, label_mask: bool = False
+    spark: SparkSession, e: DataFrame, sf_dir: str, label_mask: bool = False
 ) -> DataFrame:
     """Block-GEMM top-k candidate generator — the ONE kernel behind
     ``knn_gemm_topk``, ``emb_knn_outlier`` and ``sample_hard_negatives``
@@ -690,18 +791,17 @@ def _gemm_topk_candidates(
     ``q_label``/``n_label``. Emitted sims are RAW fold doubles —
     callers round (or lattice) per their own oracle.
     """
-    import numpy as np
-    import pandas as pd
-
-    q_cols = ["vec_id", "label", "embedding"] if label_mask else ["vec_id", "embedding"]
-    q_pdf = e.filter(F.col("vec_id") < N_QUERIES).select(*q_cols).toPandas()
-    q_ids = q_pdf["vec_id"].to_numpy()
-    qt = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64).T  # d x nq
-    q_labels = q_pdf["label"].to_numpy() if label_mask else None
-    bq = spark.sparkContext.broadcast((q_ids, qt, q_labels))
+    # r13 (VERDICT r12 task 4): the query side comes from the memoized
+    # per-(session, sf_dir) broadcast — no per-call toPandas at plan
+    # construction, and the pickled kernel bytes stay identical across
+    # calls (stable canonicalized plan; see _query_bq_cache).
+    bq = _query_matrix_broadcast(spark, e, sf_dir)
+    use_mask = label_mask
 
     def block_topk(batches):
-        ids_q, qmat, labs_q = bq.value
+        ids_q, qm, labs_all = bq.value
+        qmat = qm.T  # d x nq, the GEMM orientation
+        labs_q = labs_all if use_mask else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -763,7 +863,7 @@ def knn_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_cosine_topk``.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cand = _gemm_topk_candidates(spark, e)
+    cand = _gemm_topk_candidates(spark, e, sf_dir)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         cand.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -2330,7 +2430,7 @@ def emb_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring agg is unchanged.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    sims = _gemm_topk_candidates(spark, e)
+    sims = _gemm_topk_candidates(spark, e, sf_dir)
     wnn = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     scored = (
         sims.withColumn("rn", F.row_number().over(wnn))
@@ -2492,7 +2592,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair Arrow fold UDF).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    sims = _gemm_topk_candidates(spark, e, label_mask=True)
+    sims = _gemm_topk_candidates(spark, e, sf_dir, label_mask=True)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -2605,34 +2705,20 @@ def eval_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(
         (F.col("cr") <= max(_CURVE_PROBES)) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("q_id"), "cell", "cr")
-    emb = e.select("vec_id", "embedding")
     cand = (
         probes.join(corpus_cells, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
         .agg(F.min("cr").cast("int").alias("min_cr"))
     )
-    sims = (
-        cand.join(
-            emb.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
-                "embedding", "q_emb"
-            ),
-            "q_id",
-        )
-        .join(
-            emb.withColumnRenamed("vec_id", "n_id").withColumnRenamed(
-                "embedding", "n_emb"
-            ),
-            "n_id",
-        )
-        .select(
-            "q_id",
-            "n_id",
-            "min_cr",
-            dot_double_vec(F.col("q_emb"), F.col("n_emb")).alias("sim"),
-        )
-        .cache()  # three config windows + the volume count read it
-    )
+    # r13 (VERDICT r12 task 5): sims via the shared fold kernel (one n_id
+    # join, queries from the memoized broadcast, no per-pair Arrow fold).
+    # No block-topk pruning here: `vol` counts EVERY candidate pair, so
+    # the full sim table is the semantic unit being cached. min_cr rides
+    # through the kernel.
+    sims = _fold_rerank_candidates(
+        spark, e, cand, sf_dir, extra="min_cr int"
+    ).cache()  # three config windows + the volume count read it
     cfg = spark.createDataFrame([(n,) for n in _CURVE_PROBES], "nprobe int")
     per = (
         sims.join(F.broadcast(cfg), sims.min_cr <= cfg.nprobe)
