@@ -99,7 +99,7 @@ def release(spark: SparkSession) -> None:
 
     from bangdatapipeline_spark.operators import similarity as sim
 
-    for memo in (sim._rerank_bq_cache, sim._query_bq_cache):
+    for memo in (sim._rerank_bq_cache, sim._query_bq_cache, sim._pq_lut_cache):
         for bc in memo.values():
             try:
                 bc.destroy()

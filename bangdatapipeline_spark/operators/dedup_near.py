@@ -352,6 +352,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint: a checkpoint's per-call RDD id would make the
         # plans of downstream cached consumers (eval_dedup_recall's
         # sys_p) unique per run and defeat their plan-identity reuse.
+        # r13 measured-and-rejected: repartition(defaultParallelism, key)
+        # before this cache (guide §2.4 co-partitioning) — ABBA cold
+        # 1.41 -> 1.84 s, warm 0.56 -> 0.90 s. The self-join sides are
+        # BROADCAST hash joins (the pinned band table is small), so the
+        # added string-key exchange buys nothing and is pure cost.
     ).cache()
     a = bexp.select(F.col("key"), F.col("doc_id").alias("id_a"))
     b = bexp.select(F.col("key"), F.col("doc_id").alias("id_b"))
@@ -766,6 +771,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (
         _hashed_shingles(spark, sf_dir)
         .select("doc_id", F.explode("hs").alias("h"))
+        # r13 measured-and-rejected: repartition(defaultParallelism, h)
+        # before the distinct (§2.4 co-partitioning) — ABBA a wash
+        # (cold 2.98 -> 3.11, warm 1.74 -> 1.68): every downstream join
+        # here is a broadcast hash join, so the pre-partitioning buys
+        # nothing; the distinct's own exchange already parallelizes the
+        # explode.
         .distinct()
         # r12: x feeds TWO subtrees (the DF-cap build and the xk join
         # probe) — unpinned, the explode + distinct shuffle ran twice
@@ -936,6 +947,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: bexp feeds BOTH probe sides (delta + base) — pinned for
         # the same reason as dedup_near_minhash's band table above
         # (.cache() for plan-identity friendliness, same note).
+        # r13 measured-and-rejected: band-key repartition before this
+        # cache — same result as dedup_near_minhash above (ABBA cold
+        # 1.45 -> 1.91 s; the probe joins broadcast, so the exchange is
+        # pure cost).
     ).cache()
     delta_b = bexp.filter(F.col("doc_id") % 4 == 0).select(
         "key", F.col("doc_id").alias("id_new")
@@ -1088,10 +1103,21 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = spread(d.select("doc_id", "text"), "doc_id").withColumn(
         "ws", F.split("text", " ")
     ).filter(F.size("ws") >= SPAN_N)
-    g = ws.select(
-        "doc_id",
-        F.posexplode(ngram_hashes_positional(F.col("ws"))).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h").cache()
+    # r13 (guide §2.4): the pin is hash-partitioned by h BEFORE caching —
+    # every consumer below is keyed on h (the df-cap groupBy, the keep
+    # join, BOTH self-join sides), so with the cache already laid out on
+    # h they all run partition-local: three |g|-row exchanges per run
+    # collapse into the one build-time exchange the cache pays once.
+    n_h = max(8, spark.sparkContext.defaultParallelism)
+    g = (
+        ws.select(
+            "doc_id",
+            F.posexplode(ngram_hashes_positional(F.col("ws"))).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .repartition(n_h, "h")
+        .cache()
+    )
     # ^ pinned: g feeds the df-cap aggregate and BOTH self-join sides —
     # uncached, the positional n-gram Arrow kernel over the full corpus
     # runs at least twice per job (r10 review; dedup_containment pins the

@@ -326,12 +326,19 @@ def _trade_contrib(
     # (src, dst, 1/outdeg(src)), packed into partitions of ~150k edges —
     # every iteration re-scans this cache, so its partition count should
     # track |E| (edges-per-partition budget), not the upstream scan's
-    # file splits.
+    # file splits. r13 (VERDICT r12 task 9): partitioned BY src, not
+    # round-robin — (a) the keyed exchange skips the local sort every
+    # keyless repartition pays (sortBeforeRepartition), and (b) each
+    # BFS/closeness superstep joins the cache on src, so the edge side
+    # is already distributed correctly and only the |V|-row state table
+    # shuffles per round (the cluster analogue is bucketing the edge
+    # list by src; pagerank broadcasts its ranks, so it is unaffected
+    # either way).
     n_edge_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     contrib_src = (
         edges.join(F.broadcast(deg), edges["src"] == deg["node"])
         .select("src", "dst", "w")
-        .repartition(n_edge_parts)
+        .repartition(n_edge_parts, "src")
         .cache()
     )
     # |V| as a lazy 1-row aggregate OVER THE CACHE (distinct src = every
@@ -623,8 +630,19 @@ def _order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _op_cache.get(key)
     if cached is None:
         li = load_table(spark, sf_dir, "lineitem")
+        # r13 (guide §2.4 "two operations keyed the same way share one
+        # exchange"): the cache is hash-partitioned by o BEFORE the
+        # distinct — HashPartitioning(o) satisfies the (o, p) aggregate's
+        # clustering requirement, so the distinct runs partition-local on
+        # 32 tasks (previously its partial agg was fused into the
+        # single-task scan), and every consumer's per-order self-join
+        # (_oriented_copurchase's edge build, graph_basket_lift's pair
+        # count) reads both sides already co-partitioned on o — zero
+        # join exchanges where each run previously paid two.
+        n = max(8, spark.sparkContext.defaultParallelism)
         cached = (
             li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .repartition(n, "o")
             .distinct()
             .cache()
         )
@@ -1951,9 +1969,17 @@ def graph_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every run rebuilds the band table. Rule recorded: never put a
     # localCheckpoint UPSTREAM of a .cache() that relies on plan-identity
     # reuse across runs.
+    # r13 (guide §2.4): the band stream is hash-partitioned on the
+    # (b, bkt) band key right after the signature kernel. Everything
+    # below is keyed on it — the stop-bucket groupBy, the keep join, and
+    # BOTH candidate self-join sides — so they all run partition-local
+    # off this ONE exchange; and because keep and bk consume the
+    # IDENTICAL exchange subtree, ReuseExchange dedupes it in the build
+    # plan, so the banded-minhash kernel runs ONCE per build instead of
+    # once per consumer.
     bands = nb.select(
         "u", F.posexplode(_nbr_band_buckets(F.col("nbrs"))).alias("b", "bkt")
-    )
+    ).repartition(max(8, spark.sparkContext.defaultParallelism), "b", "bkt")
     keep = (
         bands.groupBy("b", "bkt")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -248,7 +248,20 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in TPC-H shape), so no skew risk in collect_list.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    docs = li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+    # r13 (VERDICT r12 task 7, guide §2.3/§2.5): project to the five
+    # consumed columns and repartition BY THE ORDER KEY before the
+    # document build. The driver's single-row-group lineitem scan
+    # otherwise fuses the partial collect_list — buffering every struct
+    # of all 600k rows — into ONE scan task; keyed on l_orderkey the
+    # aggregation's clustering requirement is already satisfied, so the
+    # collect_list runs COMPLETE (one buffer pass, no partial/final
+    # merge) across the session's cores after a single narrow exchange,
+    # and the explode-side re-aggregate below inherits the same
+    # partitioning (zero further exchanges).
+    li5 = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).repartition(max(8, spark.sparkContext.defaultParallelism), "l_orderkey")
+    docs = li5.groupBy(F.col("l_orderkey").alias("order_key")).agg(
         F.array_sort(
             F.collect_list(
                 F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")

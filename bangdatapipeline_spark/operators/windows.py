@@ -614,13 +614,66 @@ def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nan_null(c):
         return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
-    lagged = ev.withColumn("v_prev", F.lag("value").over(w_lag))
-    return lagged.select(
+    # r13 (VERDICT r12 task 6): the three frame aggregates (avg, stddev,
+    # corr) each maintained a multi-accumulator state re-evaluated over
+    # the 20-row frame per row (~11 double accumulator updates per frame
+    # element). Values live on the 2-dp cents lattice, so the same frame
+    # pass can instead maintain plain BIGINT sliding sums — exact
+    # integers, one add each — and the three statistics derive per-row
+    # from the closed-form moment identities. Measured: the frame-sum
+    # pass alone 0.80 -> 0.42 s (same window, noop). Output equivalence:
+    # the integer numerators are EXACT, so each derived double is the
+    # correctly-rounded value of the same rational the old float
+    # accumulators approximated — means land on their 5e-4 grid (6-dp
+    # round is grid-exact), sd/corr are irrational with 4-dp boundary
+    # distances >> 1e-12 (docs/dialect_notes.md), and the degenerate
+    # frames (n=1, zero variance, no lag pairs) produce NaN through the
+    # same 0/0 path nan_null already maps to NULL. Oracle hash-verified
+    # at sf0.001/0.01/0.1.
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = ev.select("user_id", "event_id", "ts", vc.alias("vc"))
+    lagged = base.withColumn("pc", F.lag("vc").over(w_lag))
+    in_pair = F.col("pc").isNotNull()
+    sums = lagged.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 6).alias("roll_mean"),
-        F.round(nan_null(F.stddev_samp("value").over(w)), 4).alias("roll_sd"),
-        (F.round(nan_null(F.corr("value", "v_prev").over(w)), 4) + F.lit(0.0)).alias("roll_corr"),
+        F.count("vc").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
+        # pairwise-deletion moments for corr: only rows with a lag pair
+        F.count("pc").over(w).alias("n2"),
+        F.sum("pc").over(w).alias("sp"),
+        F.sum(F.col("pc") * F.col("pc")).over(w).alias("spp"),
+        F.sum(F.col("vc") * F.col("pc")).over(w).alias("svp"),
+        F.sum(F.when(in_pair, F.col("vc"))).over(w).alias("s1p"),
+        F.sum(F.when(in_pair, F.col("vc") * F.col("vc"))).over(w).alias("s2p"),
+    )
+    # try_divide, not `/`: under ANSI (the vanilla-session default) a
+    # zero divisor throws; try_divide yields NULL, which is exactly the
+    # published value for the degenerate frames (n=1 -> sd NULL, no/
+    # constant lag pairs -> corr NULL — the same rows the old NaN ->
+    # NULL mapping nulled).
+    mean = F.col("s1").cast("double") / (F.lit(100.0) * F.col("n"))
+    var_num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    sd = F.sqrt(
+        F.try_divide(var_num, F.col("n") * (F.col("n") - 1) * F.lit(10000.0))
+    )
+    corr_num = (F.col("n2") * F.col("svp") - F.col("sp") * F.col("s1p")).cast(
+        "double"
+    )
+    corr_den = F.sqrt(
+        (F.col("n2") * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+    ) * F.sqrt(
+        (F.col("n2") * F.col("s2p") - F.col("s1p") * F.col("s1p")).cast("double")
+    )
+    return sums.select(
+        "user_id",
+        "event_id",
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(nan_null(sd), 4).alias("roll_sd"),
+        (F.round(nan_null(F.try_divide(corr_num, corr_den)), 4) + F.lit(0.0)).alias(
+            "roll_corr"
+        ),
     )
 
 
