@@ -804,9 +804,11 @@ def _oriented_copurchase(
             .distinct()
             .cache()
         )
+        # r13 (the _triangle_edge_legs r12 trick applied here): ONE scan
+        # of the edge cache + explode instead of a two-branch union that
+        # scanned it twice per materialization; same (node, d) multiset.
         deg = (
-            edges.select(F.col("pa").alias("node"))
-            .union(edges.select(F.col("pb").alias("node")))
+            edges.select(F.explode(F.array("pa", "pb")).alias("node"))
             .groupBy("node")
             .agg(F.count("*").alias("d"))
             .cache()
@@ -817,10 +819,17 @@ def _oriented_copurchase(
         fwd = (F.col("d_a") < F.col("d_b")) | (
             (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
         )
+        # r13 (same §2.4 layout rule as _trade_contrib): the oriented
+        # cache is hash-partitioned by src — _out_adjacency's collect_list
+        # groupBy(src) and the HITS h-step groupBy(src) then run
+        # partition-local off the cached layout (each previously paid its
+        # own |E|-row exchange per materialization), and triangle_rows'
+        # src-keyed adjacency join reads the big side already distributed.
+        n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
         oriented = ed.select(
             F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        ).cache()
+        ).repartition(n_parts, "src").cache()
         cached = (oriented, deg, edges)
         _oriented_cache[key] = cached
     return cached
@@ -1342,8 +1351,16 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     )
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
     for _ in range(_LPA_ROUNDS):
+        # r13: checkpoint + broadcast the |V|-row label table per round —
+        # the superstep becomes a BroadcastHashJoin over the cached
+        # src-partitioned edge list (no edge re-sort, no label
+        # exchange+sort), the same pattern as graph_bfs_levels /
+        # graph_closeness_sample this round. Cluster caveat as
+        # graph_pagerank: localCheckpoint blocks are unrecoverable on
+        # executor loss — port with reliable .checkpoint().
+        labels = labels.localCheckpoint(eager=False)
         labels = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(F.broadcast(labels), edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
             .withColumn("rn", F.row_number().over(w))
@@ -1445,19 +1462,21 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the aggregate collapses it back to |reached| rows before the
     next round.
 
-    r12 note: examined, left as-is after TWO measured-and-rejected
-    rewrites at sf0.1 — (a) broadcasting the per-round distance table
-    (3 BroadcastHashJoins, edge list never shuffled) ran SLOWER than
-    the planner's sort-merge pipeline (3.4 s vs 2.9 s med: each round's
-    broadcast build re-executes the prior rounds' chain, while the SMJ
-    rounds pipeline through reused shuffle exchanges); (b) a 1-row
-    broadcast-map fold over adjacency arrays — Spark's GetMapValue
-    LINEAR-SCANS the map per lookup, see graph_hits_counts.
+    r12 note: two rewrites measured-and-rejected at sf0.1 — (a)
+    broadcasting the per-round distance table WITHOUT pinning it ran
+    slower (each round's broadcast build re-executed the prior rounds'
+    chain — the pagerank O(T²) trap); (b) a 1-row broadcast-map fold
+    over adjacency arrays — Spark's GetMapValue LINEAR-SCANS the map
+    per lookup, see graph_hits_counts. r13 lands (a) correctly: a lazy
+    localCheckpoint of the frontier each round makes the broadcast
+    build read stored blocks instead of replaying the chain, and the
+    superstep becomes a BroadcastHashJoin over the src-partitioned edge
+    cache — no edge re-sort, no frontier exchange+sort.
 
     100 TB: identical supersteps with the edge list bucketed on src so
-    every round's join is co-located; frontier DataFrames checkpoint
-    every few rounds to truncate lineage (fixed 3 rounds here needs
-    none).
+    every round's join is co-located; swap the localCheckpoint for
+    reliable .checkpoint() (executor loss would otherwise be fatal
+    mid-job) every few rounds.
     """
     contrib, _init, _n = _trade_contrib(spark, sf_dir)
     edges = contrib.select("src", "dst")
@@ -1468,8 +1487,17 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.lit(0))
     )
     for _ in range(_BFS_ROUNDS):
+        # r13: broadcast the checkpointed |reached|-row frontier onto the
+        # cached edge list — same pattern and rationale as
+        # graph_closeness_sample above. This is rejected-rewrite (a) from
+        # the r12 note PLUS the lazy localCheckpoint that fixes why it
+        # lost (the per-round broadcast build re-executed the prior
+        # rounds' chain). Cluster caveat: localCheckpoint blocks live on
+        # executors without lineage — port with reliable .checkpoint()
+        # or a written intermediate.
+        dist = dist.localCheckpoint(eager=False)
         nbr = (
-            edges.join(dist, edges["src"] == dist["node"])
+            edges.join(F.broadcast(dist), edges["src"] == dist["node"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = dist.unionByName(nbr).groupBy("node").agg(F.min("dist").alias("dist"))
@@ -1545,6 +1573,13 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # canonical undirected edges, a < b (cust ids even, supp odd => a != b)
+    # r13 measured-and-rejected: lazy checkpoints (sig aggregate as the
+    # materializing action) + explicit broadcast(m) in both stars — ABBA
+    # cold 4.29 -> 5.04 s, warm flat (4.09/4.11). The loop's cost is the
+    # per-round job floor of a 3k-edge graph, and the extra broadcast-
+    # build jobs outweigh the saved eager-checkpoint job. The eager
+    # per-round checkpoint stays (it truncates the fixpoint lineage —
+    # same role as dedup_clusters'; cluster port: reliable .checkpoint()).
     edges = pairs.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).localCheckpoint(eager=True)
@@ -2343,7 +2378,21 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, _BFS_ROUNDS + 1):
         prev = mask_cols[-1]
         cur = f"mk{k}"
-        msgs = edges.join(state, edges["src"] == state["node"]).select(
+        # r13 (guide §3.1 + §5): pin the |V|-row state with a lazy
+        # localCheckpoint, then BROADCAST it onto the cached edge list —
+        # each superstep becomes a BroadcastHashJoin over the edge cache
+        # (zero edge re-sort) plus a map-combined bit_or shuffle of ~|V|
+        # partials, where the SMJ form re-sorted the 1.17M-row edge side
+        # and exchanged+sorted the state side EVERY round. r12 measured
+        # broadcast-without-checkpoint SLOWER (each round's broadcast
+        # build re-executed the prior rounds' chain — the pagerank O(T²)
+        # trap); the checkpoint is what makes the broadcast form win
+        # (ABBA r13: cold 4.83 -> 2.92, warm 2.49 -> 1.39). Cluster
+        # caveat: localCheckpoint blocks live on executors without
+        # lineage — port with reliable .checkpoint() or a written
+        # intermediate (same note as graph_pagerank).
+        state = state.localCheckpoint(eager=False)
+        msgs = edges.join(F.broadcast(state), edges["src"] == state["node"]).select(
             F.col("dst").alias("node"),
             *[F.lit(0).cast("bigint").alias(c) for c in mask_cols],
             F.col(prev).alias(cur),
